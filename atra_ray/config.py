@@ -1,0 +1,83 @@
+"""Run configuration — mirrors the reference's config surface
+(atra/src/config/crawl.rs:38-120, config/system.rs) as plain dataclasses.
+One ``CrawlConfig`` object is built on the driver and shipped to every task
+and actor by value (it is tiny); per-origin overrides ride along as dicts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+from typing import Optional
+
+from .functions.urlkit import Depth
+
+__all__ = ["BudgetSetting", "ExtractionConfig", "CrawlConfig"]
+
+
+@dataclass(frozen=True, slots=True)
+class BudgetSetting:
+    """Budget classes of atra/src/config/crawl.rs:366-471.
+
+    kind ∈ {"single_page", "seed_only", "normal", "absolute"};
+    `is_in_budget` reproduces crawl.rs:446-471 exactly:
+      seed_only : dts == 0 and (depth_on_website == 0 or dow < depth_on_website)
+      normal    : (dow cap as above) and dts <= depth
+      absolute  : depth == 0 or tds < depth
+      single_page: depth is all-zero (the seed itself)
+    recrawl_interval_s: None -> crawl once (crawl.rs:426-442).
+    """
+
+    kind: str = "single_page"
+    depth_on_website: int = 0
+    depth: int = 0
+    recrawl_interval_s: Optional[float] = None
+    request_timeout_s: Optional[float] = 15.0
+
+    def is_in_budget(self, d: Depth) -> bool:
+        if self.kind == "seed_only":
+            return d.dts == 0 and (self.depth_on_website == 0 or d.dow < self.depth_on_website)
+        if self.kind == "normal":
+            return (self.depth_on_website == 0 or d.dow < self.depth_on_website) and d.dts <= self.depth
+        if self.kind == "absolute":
+            return self.depth == 0 or d.tds < self.depth
+        if self.kind == "single_page":
+            return d.is_zero()
+        raise ValueError(f"unknown budget kind {self.kind!r}")
+
+
+@dataclass(frozen=True, slots=True)
+class ExtractionConfig:
+    """Extractor toggles (atra/src/config/crawl.rs:97-107)."""
+
+    respect_nofollow: bool = True
+    crawl_embedded_data: bool = False
+    crawl_forms: bool = True
+    crawl_javascript: bool = True
+    crawl_onclick_by_heuristic: bool = True
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    budget: BudgetSetting = field(default_factory=BudgetSetting)
+    # per-origin budget overrides (crawl.rs:238-253)
+    budgets_per_origin: tuple[tuple[str, BudgetSetting], ...] = ()
+    extraction: ExtractionConfig = field(default_factory=ExtractionConfig)
+    # politeness: fixed delay per origin in (simulated) seconds; robots
+    # crawl-delay overrides it upward (intervals.rs:25-96, 1 s fallback)
+    delay_s: float = 1.0
+    max_queue_age: int = 20          # crawl.rs:96,150 — drop after 20 re-enqueues
+    respect_robots_txt: bool = True
+    blacklist: tuple[str, ...] = ()  # regex strings (blacklist/lists.rs:112-160)
+    use_recrawl: bool = False
+    max_pages_per_host_per_wave: int = 64   # wave-level politeness budget
+    user_agent: str = "atra-ray/0.1"
+
+    def budget_for(self, origin: str | None) -> BudgetSetting:
+        if origin is not None:
+            for key, b in self.budgets_per_origin:
+                if key == origin:
+                    return b
+        return self.budget
+
+    def to_dict(self) -> dict:
+        return asdict(self)

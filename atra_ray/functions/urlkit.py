@@ -1,0 +1,201 @@
+"""URL canonicalization, depth propagation and origin extraction.
+
+Semantics mirror the reference (FelixEngl/atra):
+
+- canonicalization: fragment is ALWAYS stripped at construction
+  (reference: atra/src/url/url_with_depth.rs:44-47, url/cleaner.rs:52-79),
+  scheme and host are lowercased, default ports dropped, empty path of a
+  special scheme serializes as "/" (the WHATWG rules the Rust `url` crate
+  implements).
+- depth propagation (reference: atra/src/url/url_with_depth.rs:69-110):
+  child of `base`: same host -> depth_on_website+1; host change (or base has
+  no host while child does) -> depth_on_website=0, distance_to_seed+1;
+  child has no comparable host -> depth_on_website+1.
+  Always total_distance_to_seed+1.
+- origin (politeness/budget partition key, reference:
+  atra/src/url/origin.rs:28-42, toolkit/domains.rs:21-29): the public-suffix
+  registrable domain when one exists, else the host, lowercased.
+
+Everything here is pure and deterministic; vector wrappers operate on Python
+lists and are called from inside ``map_batches`` batch functions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import ipaddress
+from dataclasses import dataclass
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+__all__ = [
+    "Depth",
+    "canonicalize",
+    "child_depth",
+    "origin_of",
+    "host_of",
+    "stable_hash64",
+    "url_shard",
+    "with_base",
+]
+
+_DEFAULT_PORTS = {"http": 80, "https": 443, "ws": 80, "wss": 443, "ftp": 21}
+# schemes whose empty path serializes as "/" (WHATWG "special" schemes)
+_SPECIAL_SCHEMES = {"http", "https", "ws", "wss", "ftp", "file"}
+
+# Tiny public-suffix heuristic (the sandbox has no publicsuffix package):
+# known multi-label suffixes we may meet in tests; everything else keeps the
+# last two labels. Good enough for synthetic `hostN.example` hosts; swap in a
+# full PSL snapshot for production.
+_MULTI_SUFFIXES = {
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "co.in", "co.kr",
+}
+
+
+@dataclass(frozen=True, slots=True)
+class Depth:
+    """(depth_on_website, distance_to_seed, total_distance_to_seed) —
+    reference: atra/src/url/depth.rs:27-34."""
+
+    dow: int = 0
+    dts: int = 0
+    tds: int = 0
+
+    def is_zero(self) -> bool:
+        return self.dow == 0 and self.dts == 0 and self.tds == 0
+
+    def as_tuple(self) -> tuple[int, int, int]:
+        return (self.dow, self.dts, self.tds)
+
+
+def canonicalize(url: str) -> str | None:
+    """Parse an absolute URL -> canonical string, or None if unparseable.
+
+    Fragment stripped; scheme+host lowercased; default port dropped; empty
+    path of special schemes becomes "/". Mirrors what the Rust ``url`` crate
+    produces for `AtraUri` (atra/src/url/atra_uri.rs:30-32).
+    """
+    url = url.strip()
+    if not url:
+        return None
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if not scheme:
+        return None
+    if scheme == "data":
+        # data: URLs keep their opaque body, fragment stripped
+        return urlunsplit((scheme, "", parts.path, parts.query, ""))
+    host = parts.hostname
+    if host is None and scheme in _SPECIAL_SCHEMES and scheme != "file":
+        return None
+    netloc = ""
+    if host is not None:
+        host = host.lower().rstrip(".")
+        userinfo = ""
+        if parts.username:
+            userinfo = parts.username
+            if parts.password:
+                userinfo += ":" + parts.password
+            userinfo += "@"
+        port = ""
+        try:
+            p = parts.port
+        except ValueError:
+            return None
+        if p is not None and _DEFAULT_PORTS.get(scheme) != p:
+            port = f":{p}"
+        netloc = f"{userinfo}{host}{port}"
+    path = parts.path
+    if not path and scheme in _SPECIAL_SCHEMES:
+        path = "/"
+    return urlunsplit((scheme, netloc, path, parts.query, ""))
+
+
+def host_of(url: str) -> str | None:
+    try:
+        h = urlsplit(url).hostname
+    except ValueError:
+        return None
+    return h.lower().rstrip(".") if h else None
+
+
+def origin_of(url: str) -> str | None:
+    """Politeness/budget key: registrable domain if derivable, else host.
+
+    Reference: atra/src/url/origin.rs:28-42 prefers the PSL domain
+    (toolkit/domains.rs:21-29), falls back to Url::domain(), then host_str,
+    normalized case-insensitive.
+    """
+    host = host_of(url)
+    if host is None:
+        return None
+    # IP addresses have no registrable domain -> host itself
+    try:
+        ipaddress.ip_address(host)
+        return host
+    except ValueError:
+        pass
+    labels = host.split(".")
+    if len(labels) <= 2:
+        return host
+    tail2 = ".".join(labels[-2:])
+    if tail2 in _MULTI_SUFFIXES and len(labels) >= 3:
+        return ".".join(labels[-3:])
+    return tail2
+
+
+def child_depth(base_depth: Depth, base_host: str | None, child_host: str | None) -> Depth:
+    """Depth of a link found on `base` — atra/src/url/url_with_depth.rs:69-110."""
+    if base_host is not None and child_host is not None:
+        if base_host == child_host:
+            return Depth(base_depth.dow + 1, base_depth.dts, base_depth.tds + 1)
+        return Depth(0, base_depth.dts + 1, base_depth.tds + 1)
+    if base_host is None and child_host is not None:
+        # NoHost{left_has_host: true, right_has_host: false} -> host change
+        return Depth(0, base_depth.dts + 1, base_depth.tds + 1)
+    # child has no host (or neither does) -> counted as same-site hop
+    return Depth(base_depth.dow + 1, base_depth.dts, base_depth.tds + 1)
+
+
+def with_base(base_url: str, base_depth: Depth, raw: str) -> tuple[str, Depth] | None:
+    """Resolve `raw` (relative or absolute) against `base_url`, canonicalize
+    (fragment stripped) and compute the child depth.
+
+    Reference: UrlWithDepth::with_base (atra/src/url/url_with_depth.rs:113-124).
+    Returns None when the href does not parse into a crawlable URL.
+    """
+    raw = raw.strip()
+    if not raw or raw.startswith(("javascript:", "mailto:", "tel:", "#")):
+        return None
+    if raw.startswith("data:"):
+        canon = canonicalize(raw)
+        if canon is None:
+            return None
+        return canon, child_depth(base_depth, host_of(base_url), None)
+    try:
+        joined = urljoin(base_url, raw)
+    except ValueError:
+        return None
+    canon = canonicalize(joined)
+    if canon is None:
+        return None
+    return canon, child_depth(base_depth, host_of(base_url), host_of(canon))
+
+
+def stable_hash64(value: str | bytes, salt: bytes = b"") -> int:
+    """Deterministic 64-bit hash (process-independent — Python's builtin
+    ``hash`` is salted per process and must never be used for partitioning).
+    blake2b is the fastest keyed hash in the stdlib; xxhash is not available
+    in this environment."""
+    if isinstance(value, str):
+        value = value.encode("utf-8", "surrogatepass")
+    return int.from_bytes(
+        hashlib.blake2b(value, digest_size=8, key=salt[:64]).digest(), "big"
+    )
+
+
+def url_shard(url: str, num_shards: int) -> int:
+    return stable_hash64(url) % num_shards

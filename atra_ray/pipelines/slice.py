@@ -1,0 +1,65 @@
+"""The minimum end-to-end slice (SURVEY.md §7.1):
+
+``read_parquet(pages)`` → ``map_batches(extract, batch_format="pyarrow")``
+[→ ``write_parquet``]
+
+This is the unit the whole crawl loop wraps: it exercises zero-copy Arrow
+batches and proves the byte-identical text invariant. Scale notes: the read
+prunes to (url, html) only; batches stay small (wide binary rows); the
+extract kernel runs as stateless tasks so Ray's streaming executor scales it
+to whatever CPUs exist — no barrier, no materialization.
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from ..config import ExtractionConfig
+from ..stages.extract import extract_batch
+
+__all__ = ["extract_pages", "exploded_links"]
+
+# rows are ~1-20 KB of html; 256 rows/batch keeps per-task memory in the
+# low MBs while amortizing task overhead
+DEFAULT_BATCH_SIZE = 256
+
+
+def extract_pages(
+    pages_path: str,
+    cfg: ExtractionConfig | None = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> rd.Dataset:
+    """pages.parquet → extraction Dataset (EXTRACT_SCHEMA rows)."""
+    cfg = cfg or ExtractionConfig()
+    ds = rd.read_parquet(pages_path, columns=["url", "html"])
+
+    def _extract(batch):
+        return extract_batch(batch, cfg)
+
+    return ds.map_batches(_extract, batch_format="pyarrow", batch_size=batch_size)
+
+
+def exploded_links(extracted: rd.Dataset) -> rd.Dataset:
+    """links:list<struct> → one row per (url, target, origin, kind)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        counts = pc.list_value_length(batch["links"]).fill_null(0)
+        urls = batch["url"].take(
+            pa.array(
+                [i for i, c in enumerate(counts.to_pylist()) for _ in range(c)],
+                pa.int64(),
+            )
+        )
+        flat = pc.list_flatten(batch["links"])
+        return pa.table(
+            {
+                "url": urls,
+                "target": pc.struct_field(flat, "target"),
+                "origin": pc.struct_field(flat, "origin"),
+                "kind": pc.struct_field(flat, "kind"),
+            }
+        )
+
+    return extracted.map_batches(_explode, batch_format="pyarrow")

@@ -1,0 +1,436 @@
+"""Deterministic synthetic Common-Crawl-style fixture generator (FIXTURES.md).
+
+Replaces the reference's canned url→response fixtures
+(atra/src/test_impls/, atra/testdata/samples/) with a generated Parquet
+corpus whose oracle columns are known **by construction** — the generator
+composes each page from known text paragraphs and known link targets, then
+renders the HTML and encodes it; the engine must decode + extract its way
+back to exactly those bytes. Nothing here calls engine extraction code, so
+the oracle is independent of the implementation under test.
+
+Tables written to ``<out_dir>/``:
+  pages.parquet        url, warc_ts:timestamp[us], html:binary, text, lang
+                       (exactly BASELINE.json's input_hint schema; ``text``
+                       and ``lang`` are the oracle columns)
+  links_oracle.parquet url, target, origin, kind  — expected extraction
+                       under the default ExtractionConfig
+  seeds.parquet / seeds.txt   seed URLs (one per seed host)
+  robots.parquet       host, robots_txt:binary (missing rows = no robots)
+
+Everything derives from ``random.Random(int)`` seeded with pure-integer
+mixes of (GLOBAL_SEED, host, page) — stable across processes and platforms.
+"""
+
+from __future__ import annotations
+
+import codecs
+import json
+import os
+import random
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.langdetect import LANG_STOPWORDS
+
+GLOBAL_SEED = 42
+EPOCH_US = 1_729_036_800_000_000  # 2024-10-16T00:00:00Z in microseconds
+
+_LANGS = ("eng", "deu", "fra", "spa")
+
+# content words per language (beyond the function words the detector knows)
+_CONTENT = {
+    "eng": "crawler data engine page website index search result link text".split(),
+    "deu": "seite daten suche netz inhalt verzeichnis ergebnis wort text bild".split(),
+    "fra": "page moteur recherche contenu texte image lien résultat mot site".split(),
+    "spa": "página motor búsqueda contenido texto imagen enlace resultado palabra sitio".split(),
+}
+_JP_WORDS = ["検索", "データ", "ページ", "クローラ"]
+
+_ENCODINGS = (
+    # (name, weight) — FIXTURES.md §1 distribution
+    ("utf-8", 70),
+    ("utf-16-le", 10),
+    ("cp1252", 10),
+    ("shift_jis", 5),
+    ("utf-8-invalid", 5),
+)
+_ENC_WHEEL = [name for name, w in _ENCODINGS for _ in range(w)]
+
+_INVALID_SENTINEL = "QatraINVALIDq"
+
+
+def _page_seed(h: int, k: int) -> int:
+    return GLOBAL_SEED * 1_000_000_007 + h * 1_000_003 + k
+
+
+def host_name(h: int) -> str:
+    return f"host{h}.example"
+
+
+def _words(rng: random.Random, lang: str, n: int, ascii_only: bool = False) -> list[str]:
+    pool = sorted(LANG_STOPWORDS[lang]) + _CONTENT[lang]
+    if ascii_only:
+        pool = [w for w in pool if w.isascii()]
+    return [rng.choice(pool) for _ in range(n)]
+
+
+def scale_params(sf: float) -> dict:
+    """Host/page counts per scale factor (Zipf-ish skew: every 17th host is
+    'hot' with 4-8x the pages — exercises hot-host handling)."""
+    if sf <= 0.001:
+        hosts, base = 12, 12
+    elif sf <= 0.01:
+        hosts, base = 40, 40
+    else:
+        hosts, base = 300, 350
+    return {"hosts": hosts, "base_pages": base}
+
+
+def _robots_class(h: int) -> str:
+    r = random.Random(GLOBAL_SEED * 31 + h).random()
+    if r < 0.80:
+        return "allow"
+    if r < 0.90:
+        return "disallow_blocked"
+    if r < 0.95:
+        return "crawl_delay"
+    return "missing"
+
+
+def _page_path(h: int, k: int) -> str:
+    # on disallow hosts every 5th page lives under /blocked/ (robots-denied)
+    if _robots_class(h) == "disallow_blocked" and k % 5 == 0 and k > 0:
+        return f"/blocked/p{k}"
+    return f"/p{k}"
+
+
+def _page_counts(hosts: int, base: int) -> list[int]:
+    counts = []
+    for h in range(hosts):
+        rng = random.Random(GLOBAL_SEED * 77 + h)
+        if h % 17 == 0:
+            counts.append(base * rng.randint(4, 8))
+        else:
+            counts.append(max(3, int(base * (0.5 + rng.random()))))
+    return counts
+
+
+def _gen_page(h: int, k: int, hosts: int, counts: list[int]):
+    """-> (url, html_bytes, oracle_text, lang, oracle_links) where
+    oracle_links = list[(target_raw, origin)] of raw hrefs as written into
+    the document (canonicalization happens engine-side; the links_oracle
+    table stores the CANONICAL target, computed here by construction)."""
+    rng = random.Random(_page_seed(h, k))
+    host = host_name(h)
+    path = _page_path(h, k)
+    url = f"https://{host}{path}"
+    lang = _LANGS[h % 4]
+    enc = rng.choice(_ENC_WHEEL)
+    if enc == "shift_jis":
+        lang = "eng"  # shift_jis cannot encode most latin-1 letters
+
+    ascii_only = enc in ("shift_jis", "utf-8-invalid")
+    title = " ".join(_words(rng, lang, rng.randint(2, 4), ascii_only))
+    paras = [
+        " ".join(_words(rng, lang, rng.randint(10, 24), ascii_only))
+        for _ in range(rng.randint(3, 7))
+    ]
+    if enc == "shift_jis":
+        paras.append(" ".join(rng.choice(_JP_WORDS) for _ in range(4)))
+    if enc == "cp1252" and lang == "deu":
+        paras.append("über müde straße für größe schön " + " ".join(_words(rng, lang, 6)))
+    if enc == "utf-8-invalid":
+        # sentinel replaced by a raw invalid byte post-encode; decoder must
+        # yield exactly one U+FFFD there
+        paras.append("prefix " + _INVALID_SENTINEL + " suffix")
+
+    meta_nofollow = rng.random() < 0.02
+    base_href = None
+    if rng.random() < 0.05:
+        base_href = f"https://{host}/sub/"
+
+    # ---- choose link targets (by construction we know the canonical urls)
+    links: list[tuple[str, str, str]] = []  # (raw_as_written, canonical, origin)
+
+    def add_same_host(j: int, relative: bool):
+        tpath = _page_path(h, j)
+        if relative:
+            # dir-relative href: resolves against <base href> when present,
+            # else against the page's own directory (computed by hand here —
+            # the oracle must not share the engine's URL code)
+            raw = tpath.lstrip("/")  # e.g. "p7" or "blocked/p5"
+            if base_href:
+                resolve_dir = "/sub/"
+            else:
+                resolve_dir = path.rsplit("/", 1)[0] + "/"
+            canon = f"https://{host}{resolve_dir}{raw}"
+            links.append((raw, canon, "href"))
+        else:
+            canon = f"https://{host}{tpath}"
+            links.append((canon, canon, "href"))
+
+    n_same = rng.randint(2, 5)
+    for _ in range(n_same):
+        j = rng.randrange(counts[h])
+        add_same_host(j, rng.random() < 0.5)
+
+    n_cross = rng.randint(0, 2)
+    for _ in range(n_cross):
+        h2 = rng.randrange(hosts)
+        if h2 == h:
+            h2 = (h2 + 1) % hosts
+        if rng.random() < 0.2:
+            canon = f"https://{host_name(h2)}/missing{rng.randrange(999)}"
+        else:
+            j = rng.randrange(counts[h2])
+            canon = f"https://{host_name(h2)}{_page_path(h2, j)}"
+        links.append((canon, canon, "href"))
+
+    nofollow_anchor = None
+    if rng.random() < 0.05:
+        j = rng.randrange(counts[h])
+        nofollow_anchor = f"https://{host}{_page_path(h, j)}"
+
+    link_css = None
+    if rng.random() < 0.10:
+        link_css = f"https://{host}/style{rng.randrange(5)}.css"
+        links.append((link_css, link_css, "href"))
+
+    script_src = None
+    if rng.random() < 0.15:
+        script_src = f"https://{host}/js/app{rng.randrange(5)}.js"
+        links.append((script_src, script_src, "javascript"))
+
+    js_href = None
+    if rng.random() < 0.15:
+        h2 = rng.randrange(hosts)
+        js_href = f"https://{host_name(h2)}{_page_path(h2, 0)}"
+        links.append((js_href, js_href, "javascript_embedded"))
+
+    form_action = None
+    if rng.random() < 0.10:
+        form_action = f"https://{host}/submit{rng.randrange(3)}"
+        links.append((form_action, form_action, "form"))
+
+    onclick_target = None
+    if rng.random() < 0.10:
+        onclick_target = f"https://{host}{_page_path(h, rng.randrange(counts[h]))}"
+        links.append((onclick_target, onclick_target, "onclick"))
+
+    img_src = f"https://{host}/img{rng.randrange(9)}.png" if rng.random() < 0.3 else None
+    data_url = "data:text/plain;base64,SGVsbG8=" if rng.random() < 0.02 else None
+    if data_url:
+        links.append((data_url, data_url, "href"))
+
+    # ---- render HTML (text nodes appear in exactly this order)
+    text_parts = [title]
+    body_bits = []
+    body_bits.append(f"<h1>{title}</h1>")  # title appears once in <title>, once in <h1>
+    text_parts.append(title)
+    for p in paras:
+        body_bits.append(f"<p>{p}</p>")
+        text_parts.append(p)
+    anchor_words_pool = _CONTENT[lang] if not ascii_only else [w for w in _CONTENT["eng"]]
+    for raw, _canon, origin in links:
+        if origin == "href" and not raw.startswith("data:"):
+            atext = rng.choice(anchor_words_pool)
+            body_bits.append(f'<a href="{raw}">{atext}</a>')
+            text_parts.append(atext)
+    if data_url:
+        body_bits.append(f'<a href="{data_url}">blob</a>')
+        text_parts.append("blob")
+    if nofollow_anchor:
+        body_bits.append(f'<a rel="nofollow" href="{nofollow_anchor}">nf</a>')
+        text_parts.append("nf")
+    if img_src:
+        body_bits.append(f'<img src="{img_src}">')
+    if script_src:
+        body_bits.append(f'<script src="{script_src}"></script>')
+    if js_href:
+        body_bits.append(
+            "<script>var e = document.createElement('a'); "
+            f"e.href = '{js_href}'; use(e);</script>"
+        )
+    if form_action:
+        body_bits.append(f'<form action="{form_action}"><input type="submit"></form>')
+    if onclick_target:
+        body_bits.append(
+            f"<div onclick=\"location.href='{onclick_target}';\">click</div>"
+        )
+        text_parts.append("click")
+
+    head_bits = []
+    if enc == "cp1252":
+        head_bits.append('<meta charset="iso-8859-1">')
+    elif enc == "shift_jis":
+        head_bits.append('<meta charset="shift_jis">')
+    elif enc == "utf-8" and rng.random() < 0.5:
+        head_bits.append('<meta charset="utf-8">')
+    if meta_nofollow:
+        head_bits.append('<meta name="robots" content="nofollow">')
+    if base_href:
+        head_bits.append(f'<base href="{base_href}">')
+    head_bits.append(f"<title>{title}</title>")
+
+    html = (
+        "<!DOCTYPE html><html><head>"
+        + "".join(head_bits)
+        + "</head>\n<body>\n"
+        + "\n".join(body_bits)
+        + "\n</body></html>"
+    )
+
+    # ---- encode
+    if enc == "utf-16-le":
+        body = codecs.BOM_UTF16_LE + html.encode("utf-16-le")
+    elif enc == "cp1252":
+        body = html.encode("cp1252")  # strict: generator bug if not encodable
+    elif enc == "shift_jis":
+        body = html.encode("shift_jis")
+    elif enc == "utf-8-invalid":
+        body = html.encode("utf-8").replace(
+            _INVALID_SENTINEL.encode(), b"Q\xffq"
+        )
+    else:
+        body = html.encode("utf-8")
+
+    oracle_text = "\n".join(text_parts)
+    if enc == "utf-8-invalid":
+        oracle_text = oracle_text.replace(_INVALID_SENTINEL, "Q�q")
+
+    # ---- oracle link rows under the DEFAULT extraction config:
+    # nofollow page -> no links; nofollow anchor excluded; img (embedded)
+    # excluded; kind: on_seed for same-host (relative to the effective base,
+    # which is always same-host here), outgoing cross-host, data for data:
+    if meta_nofollow:
+        oracle_links = []
+    else:
+        oracle_links = []
+        seen = set()
+        # links equal to the effective base are dropped by the engine
+        # (extractor_method.rs:314); the effective base is the <base href>
+        # when present, else the page url itself
+        self_url = base_href if base_href else url
+        for _raw, canon, origin in links:
+            if (canon, origin) in seen or canon == self_url:
+                continue
+            seen.add((canon, origin))
+            if canon.startswith("data:"):
+                kind = "data"
+            elif canon.split("/")[2] == host:
+                kind = "on_seed"
+            else:
+                kind = "outgoing"
+            oracle_links.append((canon, origin, kind))
+
+    return url, body, oracle_text, lang, oracle_links
+
+
+def _gen_plaintext_page(h: int, k: int, hosts: int, counts: list[int]):
+    """M12 path: a plain-text page with bare URLs in the prose."""
+    rng = random.Random(_page_seed(h, k) ^ 0x5EED)
+    host = host_name(h)
+    url = f"https://{host}/notes{k}.txt"
+    h2 = (h + 1 + rng.randrange(hosts - 1)) % hosts
+    target = f"https://{host_name(h2)}{_page_path(h2, 0)}"
+    lang = _LANGS[h % 4]
+    body_text = (
+        " ".join(_words(rng, lang, 12))
+        + f" see {target} for more "
+        + " ".join(_words(rng, lang, 8))
+    )
+    return url, body_text.encode("utf-8"), body_text, lang, [(target, "plain_text", "outgoing")]
+
+
+def generate(out_dir: str | os.PathLike, sf: float, force: bool = False) -> Path:
+    """Idempotent: returns immediately when ``<out_dir>/_SUCCESS`` exists."""
+    out = Path(out_dir)
+    marker = out / "_SUCCESS"
+    if marker.exists() and not force:
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+
+    p = scale_params(sf)
+    hosts, base = p["hosts"], p["base_pages"]
+    counts = _page_counts(hosts, base)
+
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    link_rows = {"url": [], "target": [], "origin": [], "kind": []}
+    row_idx = 0
+
+    def emit(url, body, text, lang, olinks):
+        nonlocal row_idx
+        urls.append(url)
+        tss.append(EPOCH_US + row_idx * 1_000_000)
+        htmls.append(body)
+        texts.append(text)
+        langs.append(lang)
+        for target, origin, kind in olinks:
+            link_rows["url"].append(url)
+            link_rows["target"].append(target)
+            link_rows["origin"].append(origin)
+            link_rows["kind"].append(kind)
+        row_idx += 1
+
+    for h in range(hosts):
+        for k in range(counts[h]):
+            emit(*_gen_page(h, k, hosts, counts))
+        # ~4% extra plain-text pages per host
+        n_txt = max(1, counts[h] // 25)
+        for k in range(n_txt):
+            emit(*_gen_plaintext_page(h, k, hosts, counts))
+
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    pq.write_table(pages, out / "pages.parquet")
+    pq.write_table(pa.table({k: pa.array(v, pa.string()) for k, v in link_rows.items()}), out / "links_oracle.parquet")
+
+    # seeds: every 3rd host, path /p0 (always exists: k=0 never /blocked/),
+    # plus one host with no pages at all (fetch-miss seed)
+    seed_urls = [f"https://{host_name(h)}/p0" for h in range(hosts) if h % 3 == 0]
+    seed_urls.append(f"https://host{hosts}.example/p0")
+    pq.write_table(
+        pa.table({"url": pa.array(seed_urls, pa.string()),
+                  "is_seed": pa.array([True] * len(seed_urls))}),
+        out / "seeds.parquet",
+    )
+    (out / "seeds.txt").write_text("\n".join(seed_urls) + "\n")
+
+    rh, rb = [], []
+    for h in range(hosts):
+        cls = _robots_class(h)
+        if cls == "missing":
+            continue
+        rh.append(host_name(h))
+        if cls == "allow":
+            rb.append(b"User-agent: *\nAllow: /\n")
+        elif cls == "disallow_blocked":
+            rb.append(b"User-agent: *\nDisallow: /blocked/\n")
+        else:
+            rb.append(b"User-agent: *\nCrawl-delay: 2\n")
+    pq.write_table(
+        pa.table({"host": pa.array(rh, pa.string()),
+                  "robots_txt": pa.array(rb, pa.binary())}),
+        out / "robots.parquet",
+    )
+
+    (out / "meta.json").write_text(json.dumps({"sf": sf, "seed": GLOBAL_SEED, "rows": row_idx, "hosts": hosts}))
+    marker.touch()
+    return out
+
+
+def fixture_dir_for(sf_dir: str) -> Path:
+    """Map a driver sf_dir like /root/testdata/sf0.01 -> the cached fixture
+    dir /tmp/atra_fixtures/sf0.01 (generated on demand)."""
+    name = Path(sf_dir).name  # e.g. "sf0.01"
+    sf = float(name[2:]) if name.startswith("sf") else 0.01
+    return generate(Path("/tmp/atra_fixtures") / name, sf)

@@ -1,0 +1,157 @@
+"""The fetch-side page processing kernel (SURVEY.md §7.1 slice):
+format detection (M8) → decode (M9) → link extraction (M10-M13, M16) →
+language id (M17) → link packing (M19), as ONE ``map_batches`` pass over
+zero-copy Arrow batches of the pages table.
+
+Mirrors the per-URL section of ``CrawlTask::run``
+(atra/src/crawl/crawler.rs:440-461): determine_format → process/decode →
+detect_language → link_extractors.extract_from_response. The extractor
+dispatch follows the reference's command chain semantics
+(extraction/extractor/mod.rs:37-158): HTML gets the HTML extractor, plain
+text gets linkify, everything decodeable-but-unmatched gets the raw
+fallback (ApplyWhen::Fallback — only when nothing else extracted).
+
+Output schema (one row per input page):
+  url:string, format:string, encoding:string, had_decode_errors:bool,
+  text:string(null for undecodable), lang:string,
+  links:list<struct<target:string, origin:string, kind:string,
+                    dow:uint64, dts:uint64, tds:uint64>>
+
+Input depth columns (dow, dts, tds) are honored when present (crawl mode);
+absent they default to 0 (slice mode).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import ExtractionConfig
+from ..functions.decoding import decode_bytes
+from ..functions.extract_html import extract_html
+from ..functions.extract_text import extract_raw_links, extract_text_links
+from ..functions.formats import DECODEABLE_FORMATS, Format, detect_format
+from ..functions.langdetect import detect_language
+from ..functions.links import effective_base, pack_link
+from ..functions.urlkit import Depth
+
+__all__ = ["extract_batch", "ExtractStage", "LINK_STRUCT", "EXTRACT_SCHEMA"]
+
+LINK_STRUCT = pa.struct(
+    [
+        ("target", pa.string()),
+        ("origin", pa.string()),
+        ("kind", pa.string()),
+        ("dow", pa.uint64()),
+        ("dts", pa.uint64()),
+        ("tds", pa.uint64()),
+    ]
+)
+
+EXTRACT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("format", pa.string()),
+        ("encoding", pa.string()),
+        ("had_decode_errors", pa.bool_()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("links", pa.list_(LINK_STRUCT)),
+    ]
+)
+
+
+def extract_one(url: str, body: bytes | None, depth: Depth, cfg: ExtractionConfig):
+    """Process one page -> (format, encoding, had_errors, text, lang, links).
+    links = list[(target, origin, kind, dow, dts, tds)]."""
+    fmt = detect_format(url, body)
+    if fmt not in DECODEABLE_FORMATS or body is None:
+        return fmt, "none", False, None, "und", []
+
+    text_decoded, encoding, had_errors = decode_bytes(bytes(body), fmt == Format.HTML)
+    if text_decoded is None:
+        return fmt, "none", False, None, "und", []
+
+    raw_links: list[tuple[str, str]] = []  # (origin, raw)
+    page_text = text_decoded
+    base_url, base_depth = url, depth
+
+    if fmt == Format.HTML:
+        ex = extract_html(text_decoded, cfg)
+        page_text = ex.text
+        base_url, base_depth = effective_base(url, depth, ex.base_href)
+        raw_links = sorted(ex.links)
+    elif fmt in (Format.PLAIN_TEXT, Format.STRUCTURED_PLAIN_TEXT, Format.DECODEABLE):
+        raw_links = sorted(("plain_text", t) for t in extract_text_links(text_decoded))
+    elif fmt == Format.JAVASCRIPT:
+        from ..functions.extract_js import extract_js_links
+
+        raw_links = sorted(("javascript_embedded", t) for t in extract_js_links(text_decoded))
+    else:
+        # XML/JSON/SVG/…: raw fallback scan (ApplyWhen::Fallback)
+        raw_links = sorted(("raw", t) for t in extract_raw_links(bytes(body)))
+
+    lang = detect_language(page_text)
+
+    links = []
+    seen = set()  # per-page link dedup (A2, crawl/crawler/result.rs:101-105)
+    for origin, raw in raw_links:
+        packed = pack_link(base_url, base_depth, raw)
+        if packed is None:
+            continue
+        target, d, kind = packed
+        key = (target, origin)
+        if key in seen:
+            continue
+        seen.add(key)
+        links.append((target, origin, kind, d.dow, d.dts, d.tds))
+    return fmt, encoding, had_errors, page_text, lang, links
+
+
+def extract_batch(batch: pa.Table, cfg: ExtractionConfig) -> pa.Table:
+    urls = batch.column("url").to_pylist()
+    bodies = batch.column("html").to_pylist()
+    if "dow" in batch.column_names:
+        dows = batch.column("dow").to_pylist()
+        dtss = batch.column("dts").to_pylist()
+        tdss = batch.column("tds").to_pylist()
+    else:
+        dows = dtss = tdss = None
+
+    fmts, encs, errs, texts, langs, links_col = [], [], [], [], [], []
+    for i, (url, body) in enumerate(zip(urls, bodies)):
+        depth = Depth(dows[i], dtss[i], tdss[i]) if dows is not None else Depth()
+        fmt, enc, had_err, text, lang, links = extract_one(url, body, depth, cfg)
+        fmts.append(fmt)
+        encs.append(enc)
+        errs.append(had_err)
+        texts.append(text)
+        langs.append(lang)
+        links_col.append(
+            [
+                {"target": t, "origin": o, "kind": k, "dow": a, "dts": b, "tds": c}
+                for t, o, k, a, b, c in links
+            ]
+        )
+
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "format": pa.array(fmts, pa.string()),
+            "encoding": pa.array(encs, pa.string()),
+            "had_decode_errors": pa.array(errs, pa.bool_()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "links": pa.array(links_col, pa.list_(LINK_STRUCT)),
+        }
+    )
+
+
+class ExtractStage:
+    """Actor-pool form for ``map_batches(ExtractStage, concurrency=N,
+    batch_format="pyarrow")`` — config held once per actor."""
+
+    def __init__(self, cfg: ExtractionConfig | None = None):
+        self.cfg = cfg or ExtractionConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return extract_batch(batch, self.cfg)

@@ -1,0 +1,29 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def fixtures_small():
+    """Deterministic sf0.001 fixture corpus (cached in /tmp)."""
+    from atra_ray.sources.fixtures import generate
+
+    return generate("/tmp/atra_fixtures/test_sf0.001", 0.001)

@@ -1,0 +1,48 @@
+"""End-to-end Ray Data slice (SURVEY.md §7.1): read_parquet → map_batches
+extraction → compare against oracle columns / write_parquet round trip."""
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from atra_ray.pipelines.slice import exploded_links, extract_pages
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_slice_text_byte_identical(fixtures_small):
+    ds = extract_pages(str(fixtures_small / "pages.parquet"))
+    got = ds.select_columns(["url", "text"]).to_pandas().set_index("url")["text"]
+    oracle = (
+        pq.read_table(fixtures_small / "pages.parquet", columns=["url", "text"])
+        .to_pandas()
+        .set_index("url")["text"]
+    )
+    assert len(got) == len(oracle)
+    for url, text in oracle.items():
+        assert got[url] == text, url
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_slice_links_exact(fixtures_small):
+    links = exploded_links(extract_pages(str(fixtures_small / "pages.parquet")))
+    got = {
+        (r["url"], r["target"], r["origin"], r["kind"])
+        for r in links.to_pandas().to_dict("records")
+    }
+    lo = pq.read_table(fixtures_small / "links_oracle.parquet")
+    oracle = set(
+        zip(*[lo.column(c).to_pylist() for c in ["url", "target", "origin", "kind"]])
+    )
+    assert got == oracle
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_slice_write_parquet_roundtrip(fixtures_small, tmp_path):
+    out = tmp_path / "extracted"
+    ds = extract_pages(str(fixtures_small / "pages.parquet"))
+    ds.write_parquet(str(out))
+    back = pq.read_table(str(out))
+    n_pages = pq.read_metadata(fixtures_small / "pages.parquet").num_rows
+    assert back.num_rows == n_pages
+    # nested links survive the round trip
+    assert pc.sum(pc.list_value_length(back["links"])).as_py() > 0

