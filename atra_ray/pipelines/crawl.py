@@ -1,0 +1,408 @@
+"""BSP crawl driver (SURVEY.md §2.6, §3.1, §7.2 steps 4-8).
+
+The reference's crawl loop is an incremental fixpoint over a shared queue
+with a cooperative termination barrier (atra/src/sync/barrier.rs:33-130,
+crawl/mod.rs:62-165, app/atra.rs:268-341). In Ray Data that becomes
+driver-side BSP rounds ("waves"):
+
+    while frontier non-empty:
+        wave     = union of FrontierShard.pop_wave(w)        (politeness-bounded)
+        results  = wave →  map_batches(FetchExtract pool)    (fetch ⋈ pages + extract)
+        write      results → out/results/round=w/            (Parquet, resumable)
+        mark       crawled urls in seen shards               (link-state upsert)
+        links    = explode(results.links) → budget/blacklist filter
+                   → groupby(target).min(depth)              (wave-level dedup, A1)
+                   → SeenShard.check_and_add                 (global exactly-once)
+                   → FrontierShard.push (routed by origin hash)
+        checkpoint frontier + seen + lineage → out/chk/round=w/ (+_SUCCESS)
+
+Scale notes (10^10 frontier / 256 nodes):
+- a wave never touches the driver: frontier batches are Arrow tables in
+  the object store (`from_arrow_refs`), results stream to Parquet, link
+  routing happens inside map_batches tasks that talk to the shard actors
+  directly. Driver state is O(#shards) counters.
+- the ONE materialize() is the current wave's results (bounded by the
+  politeness budget: ≤ max_per_host × active_hosts rows), reused for the
+  write, the mark pass and the link pass — three streaming passes over
+  object-store blocks instead of three re-fetches.
+- shuffles: the only all-to-all is the per-wave `groupby(target)` link
+  dedup, whose input has already been budget/blacklist-filtered inside
+  map_batches (combiner-style) — at web scale keys are salted by the url
+  hash the groupby itself keys on, so skew = hot-page in-degree only.
+- resume: max round with a _SUCCESS marker wins; seen shards rebuild
+  their blooms from the authoritative Parquet (recover-mode semantics,
+  app/atra.rs:179-199 — unfinished work re-enters the frontier because
+  only checkpointed state counts).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..config import CrawlConfig
+from ..functions.urlkit import Depth, canonicalize, origin_of, stable_hash64
+from ..stages.fetch import FetchExtract, build_page_store
+from ..state.frontier import make_frontier_actor_cls
+from ..state.seen import (
+    KIND_ERROR,
+    KIND_PROCESSED,
+    make_seen_actor_cls,
+)
+
+__all__ = ["run_crawl", "CrawlHandles"]
+
+
+class CrawlHandles:
+    """The crawl's distributed state: fixed-count named shard actors."""
+
+    def __init__(self, num_frontier: int, num_seen: int, cfg: CrawlConfig, seen_bits: int):
+        import ray  # noqa: F401
+
+        FrontierShard = make_frontier_actor_cls()
+        SeenShard = make_seen_actor_cls()
+        self.frontier = [
+            FrontierShard.remote(
+                i,
+                delay_s=cfg.delay_s,
+                max_per_host_per_wave=cfg.max_pages_per_host_per_wave,
+                max_queue_age=cfg.max_queue_age,
+            )
+            for i in range(num_frontier)
+        ]
+        self.seen = [SeenShard.remote(j, num_bits=seen_bits) for j in range(num_seen)]
+
+    def kill(self):
+        import ray
+
+        for a in self.frontier + self.seen:
+            ray.kill(a)
+
+
+def _push_routed(frontier_handles, rows: list[dict]) -> list:
+    """Group rows by origin-hash shard and push; returns refs."""
+    import ray  # noqa: F401
+
+    byshard: dict[int, list[dict]] = {}
+    nf = len(frontier_handles)
+    for r in rows:
+        byshard.setdefault(stable_hash64(r["origin"]) % nf, []).append(r)
+    refs = []
+    for s, rs in byshard.items():
+        refs.append(
+            frontier_handles[s].push.remote(
+                [r["url"] for r in rs],
+                [r["origin"] for r in rs],
+                [r["dow"] for r in rs],
+                [r["dts"] for r in rs],
+                [r["tds"] for r in rs],
+                [r["is_seed"] for r in rs],
+                [r["age"] for r in rs],
+            )
+        )
+    return refs
+
+
+def _seen_check(seen_handles, urls, is_seed, depths) -> list[bool]:
+    """Route check_and_add by url-hash shard; preserves input order."""
+    import ray
+
+    ns = len(seen_handles)
+    byshard: dict[int, list[int]] = {}
+    for i, u in enumerate(urls):
+        byshard.setdefault(stable_hash64(u) % ns, []).append(i)
+    result = [False] * len(urls)
+    refs, keys = [], []
+    for s, idxs in byshard.items():
+        refs.append(
+            seen_handles[s].check_and_add.remote(
+                [urls[i] for i in idxs],
+                [is_seed[i] for i in idxs],
+                [depths[i] for i in idxs],
+            )
+        )
+        keys.append(idxs)
+    for idxs, flags in zip(keys, ray.get(refs)):
+        for i, f in zip(idxs, flags):
+            result[i] = f
+    return result
+
+
+def find_resume_round(out_dir: str) -> int | None:
+    chk = Path(out_dir) / "chk"
+    if not chk.exists():
+        return None
+    rounds = [
+        int(p.name.split("=")[1])
+        for p in chk.glob("round=*")
+        if (p / "_SUCCESS").exists()
+    ]
+    return max(rounds) if rounds else None
+
+
+def run_crawl(
+    pages_path: str,
+    robots_path: str | None,
+    seeds: list[str],
+    cfg: CrawlConfig,
+    out_dir: str,
+    *,
+    num_frontier_shards: int = 4,
+    num_seen_shards: int = 8,
+    fetch_concurrency: int = 4,
+    page_store_partitions: int = 8,
+    seen_bits: int = 1 << 22,
+    batch_size: int = 256,
+    max_waves: int | None = None,
+    resume: bool = False,
+    checkpoint_every: int = 1,
+) -> dict:
+    """Run (or resume) a crawl; returns a summary dict. Ray must already be
+    initialised by the caller (never initialised here)."""
+    import ray
+    import ray.data as rd
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    store_dir = build_page_store(
+        pages_path, str(out / "page_store"), page_store_partitions
+    )
+
+    handles = CrawlHandles(num_frontier_shards, num_seen_shards, cfg, seen_bits)
+    frontier, seen = handles.frontier, handles.seen
+
+    # robots crawl-delays feed the frontier politeness clocks (T1)
+    if robots_path and cfg.respect_robots_txt:
+        from ..functions.robots import parse_robots
+
+        t = pq.read_table(robots_path)
+        delays = {}
+        for host, body in zip(t.column("host").to_pylist(), t.column("robots_txt").to_pylist()):
+            rules = parse_robots(body, cfg.user_agent)
+            if rules.crawl_delay:
+                delays[host] = rules.crawl_delay
+        if delays:
+            ray.get([f.set_delays.remote(delays) for f in frontier])
+
+    start_wave = 0
+    lineage: list[dict] = []
+    if resume:
+        r = find_resume_round(out_dir)
+        if r is not None:
+            chk_dir = str(out / "chk" / f"round={r}")
+            ray.get(
+                [f.restore.remote(chk_dir) for f in frontier]
+                + [s.restore.remote(chk_dir) for s in seen]
+            )
+            lineage = json.loads((Path(chk_dir) / "lineage.json").read_text())
+            start_wave = r + 1
+
+    if start_wave == 0:
+        # ---- seed the frontier (S1: seed/input/seed_data.rs:46-58) ------
+        rows = []
+        for s in seeds:
+            canon = canonicalize(s)
+            if canon is None:
+                continue
+            origin = origin_of(canon)
+            if origin is None:
+                continue
+            rows.append(
+                {"url": canon, "origin": origin, "dow": 0, "dts": 0, "tds": 0,
+                 "is_seed": True, "age": 0}
+            )
+        fresh = _seen_check(
+            seen,
+            [r["url"] for r in rows],
+            [True] * len(rows),
+            [(0, 0, 0)] * len(rows),
+        )
+        rows = [r for r, f in zip(rows, fresh) if f]
+        ray.get(_push_routed(frontier, rows))
+
+    blacklist = [re.compile(p) for p in cfg.blacklist]
+    cfg_ref = cfg  # closure capture (tiny)
+    seen_handles = seen
+    frontier_handles = frontier
+
+    def _link_stage(batch: pa.Table) -> pa.Table:
+        """Explode + filter links inside the map task (combiner before the
+        groupby shuffle): budget (M4), blacklist (M5), data-link drop."""
+        out_rows = {"target": [], "origin": [], "dow": [], "dts": [], "tds": []}
+        for links in batch.column("links").to_pylist():
+            if not links:
+                continue
+            for l in links:
+                if l["kind"] == "data":  # not crawlable (context.rs:261-269)
+                    continue
+                t = l["target"]
+                if not t.startswith(("http://", "https://")):
+                    continue
+                torigin = origin_of(t)
+                if torigin is None:
+                    continue
+                d = Depth(l["dow"], l["dts"], l["tds"])
+                if not cfg_ref.budget_for(torigin).is_in_budget(d):
+                    continue
+                if any(p.search(t) for p in blacklist):
+                    continue
+                out_rows["target"].append(t)
+                out_rows["origin"].append(torigin)
+                out_rows["dow"].append(d.dow)
+                out_rows["dts"].append(d.dts)
+                out_rows["tds"].append(d.tds)
+        return pa.table(
+            {
+                "target": pa.array(out_rows["target"], pa.string()),
+                "origin": pa.array(out_rows["origin"], pa.string()),
+                "dow": pa.array(out_rows["dow"], pa.uint64()),
+                "dts": pa.array(out_rows["dts"], pa.uint64()),
+                "tds": pa.array(out_rows["tds"], pa.uint64()),
+            }
+        )
+
+    def _dedup_group(g):
+        """Keep the minimum-depth discovery per target (A1:
+        groupby(canonical_url).min(depth-tuple))."""
+        return g.sort_values(["tds", "dow", "dts"], kind="mergesort").head(1)
+
+    def _admit_stage(batch) -> pa.Table:
+        """Seen-filter (J1) then route to frontier shards (routing by
+        origin hash = the wave's 'repartition by host' without a shuffle:
+        the actor call IS the route)."""
+        urls = batch.column("target").to_pylist()
+        if not urls:
+            return pa.table({"admitted": pa.array([0], pa.int64()), "checked": pa.array([0], pa.int64())})
+        origins = batch.column("origin").to_pylist()
+        dows = batch.column("dow").to_pylist()
+        dtss = batch.column("dts").to_pylist()
+        tdss = batch.column("tds").to_pylist()
+        depths = list(zip(dows, dtss, tdss))
+        fresh = _seen_check(seen_handles, urls, [False] * len(urls), depths)
+        rows = [
+            {"url": u, "origin": o, "dow": a, "dts": b, "tds": c, "is_seed": False, "age": 0}
+            for u, o, a, b, c, f in zip(urls, origins, dows, dtss, tdss, fresh)
+            if f
+        ]
+        import ray as _ray
+
+        _ray.get(_push_routed(frontier_handles, rows))
+        return pa.table(
+            {"admitted": pa.array([len(rows)], pa.int64()),
+             "checked": pa.array([len(urls)], pa.int64())}
+        )
+
+    def _mark_stage(batch: pa.Table) -> pa.Table:
+        """Lifecycle upsert after the wave (T6): ok → ProcessedAndStored,
+        miss → InternalError; robots_denied stays Discovered."""
+        import ray as _ray
+
+        urls = batch.column("url").to_pylist()
+        statuses = batch.column("status").to_pylist()
+        ns = len(seen_handles)
+        by: dict[tuple[int, int], list[str]] = {}
+        for u, s in zip(urls, statuses):
+            if s == "ok":
+                kind = KIND_PROCESSED
+            elif s == "miss":
+                kind = KIND_ERROR
+            else:
+                continue
+            by.setdefault((stable_hash64(u) % ns, kind), []).append(u)
+        refs = [seen_handles[s].mark.remote(us, kind) for (s, kind), us in by.items()]
+        if refs:
+            _ray.get(refs)
+        return pa.table({"marked": pa.array([len(urls)], pa.int64())})
+
+    t0 = time.monotonic()
+    total_fetched = 0
+    wave = start_wave
+    while True:
+        if max_waves is not None and wave >= start_wave + max_waves:
+            break
+        pop_refs = [f.pop_wave.remote(wave) for f in frontier]
+        wave_ds = rd.from_arrow_refs(pop_refs)
+        wave_results = wave_ds.map_batches(
+            FetchExtract,
+            fn_constructor_kwargs={
+                "store_dir": store_dir,
+                "robots_path": robots_path,
+                "cfg": cfg,
+                "num_partitions": page_store_partitions,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=fetch_concurrency,
+        ).materialize()  # ONE wave pinned (politeness-bounded), reused 3×
+
+        emitted = wave_results.count()
+        if emitted == 0:
+            pending = sum(ray.get([f.count.remote() for f in frontier]))
+            if pending == 0:
+                break
+            wave += 1
+            continue
+
+        wave_results.write_parquet(str(out / "results" / f"round={wave}"))
+        wave_results.map_batches(_mark_stage, batch_format="pyarrow").sum("marked")
+
+        links_ds = wave_results.map_batches(_link_stage, batch_format="pyarrow")
+        deduped = links_ds.groupby("target").map_groups(_dedup_group, batch_format="pandas")
+        admit = deduped.map_batches(_admit_stage, batch_format="pyarrow")
+        admit_tbl = admit.to_pandas()
+        if "admitted" in admit_tbl.columns:
+            admitted = int(admit_tbl["admitted"].sum())
+            checked = int(admit_tbl["checked"].sum())
+        else:  # empty wave: no link batches flowed at all
+            admitted = checked = 0
+
+        status_counts = {
+            r["status"]: r["count()"]
+            for r in wave_results.groupby("status").count().take_all()
+        }
+        total_fetched += status_counts.get("ok", 0)
+        lineage.append(
+            {
+                "round": wave,
+                "emitted": emitted,
+                "status": status_counts,
+                "links_checked": checked,
+                "links_admitted": admitted,
+            }
+        )
+
+        if (wave - start_wave) % checkpoint_every == 0:
+            chk_dir = out / "chk" / f"round={wave}"
+            chk_dir.mkdir(parents=True, exist_ok=True)
+            ray.get(
+                [f.checkpoint.remote(str(chk_dir)) for f in frontier]
+                + [s.checkpoint.remote(str(chk_dir)) for s in seen]
+            )
+            (chk_dir / "lineage.json").write_text(json.dumps(lineage))
+            (chk_dir / "_SUCCESS").touch()
+        wave += 1
+
+    wall = time.monotonic() - t0
+    snaps = ray.get([s.snapshot_table.remote() for s in seen])
+    seen_table = pa.concat_tables(snaps)
+    pq.write_table(seen_table, out / "link_state.parquet")
+    dropped = sum(s["dropped_by_age"] for s in ray.get([f.stats.remote() for f in frontier]))
+    summary = {
+        "waves": wave - start_wave,
+        "last_wave": wave - 1,
+        "fetched_ok": int(total_fetched),
+        "seen_urls": seen_table.num_rows,
+        "dropped_by_age": int(dropped),
+        "wall_s": wall,
+        "lineage": lineage,
+        "out_dir": str(out),
+    }
+    (out / "summary.json").write_text(json.dumps(summary, indent=1))
+    handles.kill()
+    return summary

@@ -35,6 +35,7 @@ import pyarrow.parquet as pq
 from ..functions.langdetect import LANG_STOPWORDS
 
 GLOBAL_SEED = 42
+GENERATOR_VERSION = "2"  # bump when generation rules change (invalidates caches)
 EPOCH_US = 1_729_036_800_000_000  # 2024-10-16T00:00:00Z in microseconds
 
 _LANGS = ("eng", "deu", "fra", "spa")
@@ -146,7 +147,9 @@ def _gen_page(h: int, k: int, hosts: int, counts: list[int]):
         # yield exactly one U+FFFD there
         paras.append("prefix " + _INVALID_SENTINEL + " suffix")
 
-    meta_nofollow = rng.random() < 0.02
+    # k=0 pages are seed targets — a nofollow seed would amputate a whole
+    # host from every crawl test, so nofollow coverage comes from k>0 pages
+    meta_nofollow = rng.random() < 0.02 and k > 0
     base_href = None
     if rng.random() < 0.05:
         base_href = f"https://{host}/sub/"
@@ -348,7 +351,11 @@ def generate(out_dir: str | os.PathLike, sf: float, force: bool = False) -> Path
     """Idempotent: returns immediately when ``<out_dir>/_SUCCESS`` exists."""
     out = Path(out_dir)
     marker = out / "_SUCCESS"
-    if marker.exists() and not force:
+    if (
+        marker.exists()
+        and not force
+        and marker.read_text().strip() == GENERATOR_VERSION
+    ):
         return out
     out.mkdir(parents=True, exist_ok=True)
 
@@ -424,7 +431,7 @@ def generate(out_dir: str | os.PathLike, sf: float, force: bool = False) -> Path
     )
 
     (out / "meta.json").write_text(json.dumps({"sf": sf, "seed": GLOBAL_SEED, "rows": row_idx, "hosts": hosts}))
-    marker.touch()
+    marker.write_text(GENERATOR_VERSION)
     return out
 
 

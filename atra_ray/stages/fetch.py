@@ -1,0 +1,184 @@
+"""Fetch + extract wave stage (SURVEY.md S2/J5/M6) — a stateful
+``map_batches`` actor pool over frontier batches.
+
+The reference fetches live HTTP with reqwest under per-origin politeness
+(atra/src/client/classic.rs:30-104, fetching/requests.rs). This sandbox has
+no network, so per the survey's mapping (J5) the fetch is a **hash join
+frontier ⋈ pages on url**: the pages table is pre-partitioned once by
+``stable_hash64(host) % P`` into a Parquet "page store"
+(`build_page_store`), and each fetch actor lazily loads + caches only the
+partitions its batches touch. Because frontier batches arrive routed by the
+same host-hash, an actor touches few partitions — this is the broadcast-
+small-side / partitioned-lookup pattern, NOT a per-batch re-ship. At real
+scale the same layout holds: partitions stream from shared storage, the
+actor cache is an LRU.
+
+Robots checking (M6) runs here, where the reference's UrlChecker runs it
+(crawl/crawler.rs:640-709): the robots table is tiny (one row per host) and
+loaded once per actor in ``__init__`` (T3's cache analog).
+
+Output rows: the frontier columns + fetch/extraction results. Statuses:
+``ok`` (fetched + extracted), ``miss`` (url not in the pages table — the
+reference's fetch error path, link-state InternalError), ``robots_denied``
+(blocked before fetch — link-state stays Discovered).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import CrawlConfig
+from ..functions.robots import ALLOW_ALL, parse_robots
+from ..functions.urlkit import Depth, stable_hash64
+from ..stages.extract import LINK_STRUCT, extract_one
+from ..state.frontier import FRONTIER_SCHEMA
+
+__all__ = ["FetchExtract", "build_page_store", "RESULT_SCHEMA"]
+
+RESULT_SCHEMA = pa.schema(
+    list(FRONTIER_SCHEMA)
+    + [
+        ("status", pa.string()),
+        ("format", pa.string()),
+        ("encoding", pa.string()),
+        ("had_decode_errors", pa.bool_()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("links", pa.list_(LINK_STRUCT)),
+    ]
+)
+
+
+def build_page_store(pages_path: str, store_dir: str, num_partitions: int = 8) -> str:
+    """One-time layout: pages.parquet → ``store_dir/part={i}/`` by host
+    hash. Idempotent via _SUCCESS marker. Runs as a Ray Data pipeline so it
+    streams at scale (no driver materialization)."""
+    import ray.data as rd
+
+    store = Path(store_dir)
+    if (store / "_SUCCESS").exists():
+        return str(store)
+    store.mkdir(parents=True, exist_ok=True)
+
+    def _part(batch: pa.Table) -> pa.Table:
+        parts = [
+            stable_hash64(u.split("/")[2]) % num_partitions if "://" in u else 0
+            for u in batch.column("url").to_pylist()
+        ]
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    (
+        rd.read_parquet(pages_path, columns=["url", "html"])
+        .map_batches(_part, batch_format="pyarrow")
+        .write_parquet(str(store), partition_cols=["part"])
+    )
+    (store / "_SUCCESS").touch()
+    return str(store)
+
+
+class FetchExtract:
+    """Callable class for ``map_batches(FetchExtract, concurrency=N,
+    batch_format="pyarrow", fn_constructor_kwargs=...)``. All state —
+    robots cache, page-store partition cache, compiled config — is built
+    once per actor."""
+
+    def __init__(
+        self,
+        store_dir: str,
+        robots_path: str | None,
+        cfg: CrawlConfig,
+        num_partitions: int = 8,
+        partition_cache_size: int = 16,
+    ):
+        self.store_dir = Path(store_dir)
+        self.cfg = cfg
+        self.num_partitions = num_partitions
+        self.cache_size = partition_cache_size
+        self._parts: OrderedDict[int, dict[str, bytes]] = OrderedDict()
+        self.robots: dict[str, object] = {}
+        if robots_path and cfg.respect_robots_txt:
+            t = pq.read_table(robots_path)
+            for host, body in zip(
+                t.column("host").to_pylist(), t.column("robots_txt").to_pylist()
+            ):
+                self.robots[host] = parse_robots(body, cfg.user_agent)
+
+    def _partition_lookup(self, part: int) -> dict[str, bytes]:
+        hit = self._parts.get(part)
+        if hit is not None:
+            self._parts.move_to_end(part)
+            return hit
+        pdir = self.store_dir / f"part={part}"
+        lookup: dict[str, bytes] = {}
+        if pdir.exists():
+            for f in sorted(pdir.glob("*.parquet")):
+                t = pq.read_table(f, columns=["url", "html"])
+                lookup.update(
+                    zip(t.column("url").to_pylist(), t.column("html").to_pylist())
+                )
+        self._parts[part] = lookup
+        if len(self._parts) > self.cache_size:
+            self._parts.popitem(last=False)
+        return lookup
+
+    def _robots_for(self, host: str):
+        return self.robots.get(host, ALLOW_ALL)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        dows = batch.column("dow").to_pylist()
+        dtss = batch.column("dts").to_pylist()
+        tdss = batch.column("tds").to_pylist()
+
+        statuses, fmts, encs, errs, texts, langs, links_col = [], [], [], [], [], [], []
+        ecfg = self.cfg.extraction
+        for url, dow, dts, tds in zip(urls, dows, dtss, tdss):
+            host = url.split("/")[2] if "://" in url else ""
+            if self.cfg.respect_robots_txt and not self._robots_for(host).is_allowed(url):
+                statuses.append("robots_denied")
+                fmts.append("unknown")
+                encs.append("none")
+                errs.append(False)
+                texts.append(None)
+                langs.append("und")
+                links_col.append([])
+                continue
+            body = self._partition_lookup(stable_hash64(host) % self.num_partitions).get(url)
+            if body is None:
+                statuses.append("miss")
+                fmts.append("unknown")
+                encs.append("none")
+                errs.append(False)
+                texts.append(None)
+                langs.append("und")
+                links_col.append([])
+                continue
+            fmt, enc, had_err, text, lang, links = extract_one(
+                url, body, Depth(dow, dts, tds), ecfg
+            )
+            statuses.append("ok")
+            fmts.append(fmt)
+            encs.append(enc)
+            errs.append(had_err)
+            texts.append(text)
+            langs.append(lang)
+            links_col.append(
+                [
+                    {"target": t, "origin": o, "kind": k, "dow": a, "dts": b, "tds": c}
+                    for t, o, k, a, b, c in links
+                ]
+            )
+
+        out = {name: batch.column(name) for name in batch.column_names}
+        out["status"] = pa.array(statuses, pa.string())
+        out["format"] = pa.array(fmts, pa.string())
+        out["encoding"] = pa.array(encs, pa.string())
+        out["had_decode_errors"] = pa.array(errs, pa.bool_())
+        out["text"] = pa.array(texts, pa.string())
+        out["lang"] = pa.array(langs, pa.string())
+        out["links"] = pa.array(links_col, pa.list_(LINK_STRUCT))
+        return pa.table(out)

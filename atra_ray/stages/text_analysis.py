@@ -1,0 +1,117 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+quality counts, token counting, document fingerprinting, language id.
+
+All kernels are vectorized (pyarrow.compute RE2 kernels / hashlib over a
+batch) and run as stateless ``map_batches`` tasks — they scale linearly and
+shuffle nothing. Regex classes are chosen to be bit-identical between RE2
+(pyarrow + DuckDB both use RE2) and the SQL oracles in __ray_entry__.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+__all__ = [
+    "doc_quality",
+    "doc_fingerprints",
+    "doc_language",
+    "lang_distribution",
+    "TOKEN_RE",
+    "STOPWORD_RE",
+]
+
+TOKEN_RE = r"[A-Za-z0-9]+"
+# \b word-bounded high-frequency English function words (subset of
+# functions/langdetect.py's list — kept short so the SQL mirror stays legible)
+_STOPWORDS = ("the", "and", "of", "to", "in", "is", "that", "for", "on", "with", "as", "a")
+STOPWORD_RE = r"\b(" + "|".join(_STOPWORDS) + r")\b"
+PUNCT_RE = r"[.,;:!?]"
+_WS_RE = re.compile(r"[ \t\n\r\f]+")  # matches RE2/DuckDB '\s' semantics
+
+
+def doc_quality(docs_path: str) -> rd.Dataset:
+    """doc_id, n_chars, n_tokens, n_stopwords, n_punct, stop_ratio —
+    the counting backbone of a quality-scoring stage (length/punct/stopword
+    ratios)."""
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        lower = pc.utf8_lower(text)
+        n_tokens = pc.count_substring_regex(text, TOKEN_RE)
+        n_stop = pc.count_substring_regex(lower, STOPWORD_RE)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
+                "n_stopwords": pc.cast(n_stop, pa.int64()),
+                "n_punct": pc.cast(
+                    pc.count_substring_regex(text, PUNCT_RE), pa.int64()
+                ),
+                "stop_ratio": pc.divide(
+                    pc.cast(n_stop, pa.float64()),
+                    pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64()),
+                ),
+            }
+        )
+
+    return rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        _stats, batch_format="pyarrow"
+    )
+
+
+def fingerprint_text(text: str) -> str:
+    """md5 of the whitespace-collapsed, lowercased text — deterministic
+    document identity for exact dedup across storage systems. Mirrors
+    DuckDB `md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))`."""
+    norm = _WS_RE.sub(" ", text.lower())
+    return hashlib.md5(norm.encode("utf-8")).hexdigest()
+
+
+def doc_fingerprints(docs_path: str) -> rd.Dataset:
+    """doc_id, fp (md5 hex of normalized text)."""
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        fps = [fingerprint_text(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "fp": pa.array(fps, pa.string())}
+        )
+
+    return rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        _fp, batch_format="pyarrow"
+    )
+
+
+def doc_language(docs_path: str) -> rd.Dataset:
+    """doc_id, detected_lang — the M17 language-id stage over the documents
+    table (heuristic detector; compare against the table's own `lang`
+    column for accuracy measurement, not equality)."""
+    from ..functions.langdetect import detect_language
+
+    def _lang(batch: pa.Table) -> pa.Table:
+        langs = [detect_language(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "detected_lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    return rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        _lang, batch_format="pyarrow"
+    )
+
+
+def lang_distribution(docs_path: str) -> rd.Dataset:
+    """lang, n — grouped count (the A4-style aggregate as a shuffle)."""
+    return (
+        rd.read_parquet(docs_path, columns=["lang"])
+        .groupby("lang")
+        .count()
+        .rename_columns(["lang", "n"])
+    )

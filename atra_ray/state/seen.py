@@ -1,0 +1,153 @@
+"""URL-seen shards (SURVEY.md A1/J1/T6) — the bloom/cuckoo layer of the
+north rule.
+
+The reference keeps a RocksDB column family of 44-byte ``RawLinkState``
+records keyed by URL, upserted through a merge operator
+(atra/src/link_state/db.rs:84-97, link_state/state/raw.rs:30-54). We shard
+that state across a FIXED number of Ray actors keyed by
+``stable_hash64(canonical_url) % num_shards`` (shard count independent of
+cluster size, so membership never migrates). Each shard holds:
+
+- a bloom filter (numpy bit array, double hashing from one blake2b-128
+  digest) sized for its share of the frontier — at the 10^10-URL design
+  point, 64 shards × ~2.1 GiB bits gives ~1e-6 FPR and the filter is the
+  ONLY per-URL memory; the authoritative record set lives in the Parquet
+  checkpoint and bloom positives are resolved by an exact anti-join
+  against it.
+- at sandbox scale additionally an exact in-memory dict (url -> link
+  state), which doubles as the authoritative store and makes the
+  false-positive rate exactly 0 for conformance tests. The dict is the
+  same record the reference stores: (kind, is_seed, depth, age-of-record).
+
+``check_and_add`` is the atomic "only enqueue if never seen" guard of
+contexts/local/context.rs:239-259: actors serialize concurrent batches, so
+global exactly-once admission holds without locks.
+
+Link-state kinds (atra/src/link_state/kind.rs:41-57):
+0=discovered 1=reserved 2=crawled 3=processed_and_stored 32=internal_error.
+Upserts keep the MAX kind per url (monotone lifecycle), matching the
+reference's merge semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+KIND_DISCOVERED = 0
+KIND_RESERVED = 1
+KIND_CRAWLED = 2
+KIND_PROCESSED = 3
+KIND_ERROR = 32
+
+
+class SeenShardState:
+    """Plain-python core (actor-free) so the simulator and unit tests can
+    reuse identical semantics."""
+
+    def __init__(self, shard_id: int, num_bits: int = 1 << 22, num_hashes: int = 7):
+        self.shard_id = shard_id
+        self.num_bits = num_bits
+        self.num_hashes = num_hashes
+        self.bits = np.zeros(num_bits, dtype=bool)
+        # url -> [kind, is_seed, dow, dts, tds]
+        self.exact: dict[str, list] = {}
+
+    def _positions(self, url: str) -> np.ndarray:
+        d = hashlib.blake2b(url.encode("utf-8", "surrogatepass"), digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:], "big") | 1
+        return (h1 + h2 * np.arange(self.num_hashes, dtype=np.uint64)) % self.num_bits
+
+    def _bloom_maybe(self, url: str) -> bool:
+        return bool(self.bits[self._positions(url)].all())
+
+    def _bloom_add(self, url: str) -> None:
+        self.bits[self._positions(url)] = True
+
+    def check_and_add(self, urls, is_seed, depths) -> list[bool]:
+        """For each url: True iff it was NOT seen before (and is now
+        registered as kind=discovered). Bloom negatives skip the exact
+        lookup entirely (the hot path at scale)."""
+        out = []
+        for url, seed, (dow, dts, tds) in zip(urls, is_seed, depths):
+            if self._bloom_maybe(url) and url in self.exact:
+                out.append(False)
+                continue
+            self._bloom_add(url)
+            self.exact[url] = [KIND_DISCOVERED, bool(seed), dow, dts, tds]
+            out.append(True)
+        return out
+
+    def mark(self, urls, kind: int) -> int:
+        """Monotone upsert of the lifecycle kind (merge-operator analog)."""
+        n = 0
+        for url in urls:
+            rec = self.exact.get(url)
+            if rec is None:
+                self._bloom_add(url)
+                self.exact[url] = [kind, False, 0, 0, 0]
+                n += 1
+            elif kind > rec[0] or rec[0] == KIND_ERROR:
+                rec[0] = kind
+                n += 1
+        return n
+
+    def counts_by_kind(self) -> dict[int, int]:
+        out: dict[int, int] = {}
+        for rec in self.exact.values():
+            out[rec[0]] = out.get(rec[0], 0) + 1
+        return out
+
+    def snapshot_table(self) -> pa.Table:
+        urls = list(self.exact.keys())
+        cols = list(zip(*self.exact.values())) if urls else [[], [], [], [], []]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "kind": pa.array(cols[0], pa.uint8()),
+                "is_seed": pa.array([bool(x) for x in cols[1]], pa.bool_()),
+                "dow": pa.array(cols[2], pa.uint64()),
+                "dts": pa.array(cols[3], pa.uint64()),
+                "tds": pa.array(cols[4], pa.uint64()),
+            }
+        )
+
+    # ---- checkpoint (T6 / §3.2 recover) --------------------------------
+    def checkpoint(self, dir_path: str) -> None:
+        p = Path(dir_path)
+        p.mkdir(parents=True, exist_ok=True)
+        pq.write_table(self.snapshot_table(), p / f"seen_shard_{self.shard_id}.parquet")
+        meta = {"num_bits": self.num_bits, "num_hashes": self.num_hashes}
+        (p / f"seen_shard_{self.shard_id}.json").write_text(json.dumps(meta))
+
+    def restore(self, dir_path: str) -> int:
+        """Rebuild exact set + bloom from the authoritative Parquet
+        (recover-mode semantics, app/atra.rs:179-199)."""
+        p = Path(dir_path) / f"seen_shard_{self.shard_id}.parquet"
+        t = pq.read_table(p)
+        self.exact.clear()
+        self.bits[:] = False
+        for url, kind, seed, dow, dts, tds in zip(
+            *[t.column(c).to_pylist() for c in ["url", "kind", "is_seed", "dow", "dts", "tds"]]
+        ):
+            self.exact[url] = [kind, seed, dow, dts, tds]
+            self._bloom_add(url)
+        return len(self.exact)
+
+
+def make_seen_actor_cls():
+    """Wrap the state in a Ray actor lazily (keeps this module importable
+    without Ray for the simulator)."""
+    import ray
+
+    @ray.remote(num_cpus=0.25)
+    class SeenShard(SeenShardState):
+        pass
+
+    return SeenShard

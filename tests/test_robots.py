@@ -1,0 +1,46 @@
+"""robots.txt semantics (atra/src/robots/* contract)."""
+
+from atra_ray.functions.robots import ALLOW_ALL, parse_robots
+
+
+def test_missing_robots_allows_all():
+    assert parse_robots(None).is_allowed("https://x.example/anything")
+    assert ALLOW_ALL.is_allowed("/x")
+
+
+def test_disallow_prefix():
+    r = parse_robots(b"User-agent: *\nDisallow: /blocked/\n")
+    assert not r.is_allowed("https://h.example/blocked/p5")
+    assert r.is_allowed("https://h.example/p5")
+    assert r.is_allowed("https://h.example/")
+
+
+def test_allow_overrides_longer_match():
+    r = parse_robots(b"User-agent: *\nDisallow: /a/\nAllow: /a/ok/\n")
+    assert not r.is_allowed("/a/x")
+    assert r.is_allowed("/a/ok/x")
+
+
+def test_allow_wins_ties():
+    r = parse_robots(b"User-agent: *\nDisallow: /dir/\nAllow: /dir/\n")
+    assert r.is_allowed("/dir/x")
+
+
+def test_crawl_delay():
+    r = parse_robots(b"User-agent: *\nCrawl-delay: 2\n")
+    assert r.crawl_delay == 2.0
+    assert r.is_allowed("/x")
+
+
+def test_specific_agent_group_wins():
+    body = b"User-agent: atra-ray\nDisallow: /private/\n\nUser-agent: *\nDisallow: /\n"
+    r = parse_robots(body, "atra-ray/0.1")
+    assert not r.is_allowed("/private/x")
+    assert r.is_allowed("/public")
+    other = parse_robots(body, "otherbot/1.0")
+    assert not other.is_allowed("/anything")
+
+
+def test_empty_disallow_means_allow():
+    r = parse_robots(b"User-agent: *\nDisallow:\n")
+    assert r.is_allowed("/x")

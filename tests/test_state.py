@@ -1,0 +1,113 @@
+"""Seen-shard + frontier-shard unit semantics (no Ray — pure state classes;
+the actors wrap these 1:1)."""
+
+import pyarrow as pa
+
+from atra_ray.state.frontier import FrontierShardState
+from atra_ray.state.seen import (
+    KIND_DISCOVERED,
+    KIND_ERROR,
+    KIND_PROCESSED,
+    SeenShardState,
+)
+
+
+def test_seen_exactly_once():
+    s = SeenShardState(0, num_bits=1 << 12)
+    urls = ["https://a/1", "https://a/2", "https://a/1"]
+    got = s.check_and_add(urls, [True, False, False], [(0, 0, 0), (1, 0, 1), (2, 0, 2)])
+    assert got == [True, True, False]
+    # second call: nothing new
+    assert s.check_and_add(urls, [False] * 3, [(9, 9, 9)] * 3) == [False] * 3
+    # first registration's depth is kept
+    assert s.exact["https://a/1"] == [KIND_DISCOVERED, True, 0, 0, 0]
+
+
+def test_seen_mark_is_monotone():
+    s = SeenShardState(0, num_bits=1 << 12)
+    s.check_and_add(["u"], [False], [(0, 0, 0)])
+    s.mark(["u"], KIND_PROCESSED)
+    s.mark(["u"], KIND_DISCOVERED)  # downgrade ignored
+    assert s.exact["u"][0] == KIND_PROCESSED
+    s2 = SeenShardState(1, num_bits=1 << 12)
+    s2.mark(["v"], KIND_ERROR)  # mark on unknown url registers it
+    assert s2.exact["v"][0] == KIND_ERROR
+
+
+def test_seen_checkpoint_restore(tmp_path):
+    s = SeenShardState(3, num_bits=1 << 12)
+    s.check_and_add(["a", "b"], [True, False], [(0, 0, 0), (1, 0, 1)])
+    s.mark(["a"], KIND_PROCESSED)
+    s.checkpoint(str(tmp_path))
+    r = SeenShardState(3, num_bits=1 << 12)
+    assert r.restore(str(tmp_path)) == 2
+    assert r.exact == s.exact
+    # bloom rebuilt: duplicates still rejected
+    assert r.check_and_add(["a"], [False], [(5, 5, 5)]) == [False]
+
+
+def test_frontier_priority_and_politeness():
+    f = FrontierShardState(0, delay_s=1.0, wave_seconds=4.0, max_per_host_per_wave=4)
+    f.push(
+        ["https://h/p3", "https://h/p1", "https://h/deep", "https://i/x"],
+        ["h", "h", "h", "i"],
+        [1, 1, 2, 0],
+        [0, 0, 0, 0],
+        [1, 1, 2, 0],
+        [False, False, False, True],
+        [0, 0, 0, 0],
+    )
+    t = f.pop_wave(0)
+    # per-origin order: lower tds first, then url; origins sorted
+    rows = t.to_pylist()
+    h_rows = [r for r in rows if r["origin"] == "h"]
+    assert [r["url"] for r in h_rows] == ["https://h/p1", "https://h/p3", "https://h/deep"]
+    assert [r["host_seq"] for r in h_rows] == [0, 1, 2]
+    assert all(r["wave"] == 0 for r in rows)
+    assert f.count() == 0
+
+
+def test_frontier_capacity_and_aging():
+    # delay 2 s in a 4 s wave -> capacity 2 per origin per wave
+    f = FrontierShardState(0, delay_s=1.0, wave_seconds=4.0, max_per_host_per_wave=64, max_queue_age=1)
+    f.set_delays({"h": 2.0})
+    urls = [f"https://h/p{i}" for i in range(5)]
+    f.push(urls, ["h"] * 5, [1] * 5, [0] * 5, [1] * 5, [False] * 5, [0] * 5)
+    w0 = f.pop_wave(0)
+    assert w0.num_rows == 2
+    assert f.count() == 3  # leftovers aged to 1 (== max_queue_age, kept)
+    w1 = f.pop_wave(1)
+    assert w1.num_rows == 2
+    # last survivor aged to 2 > max_queue_age=1 -> dropped
+    assert f.count() == 0
+    assert f.dropped_by_age == 1
+    assert [r["host_seq"] for r in w1.to_pylist()] == [2, 3]
+
+
+def test_frontier_checkpoint_restore(tmp_path):
+    f = FrontierShardState(2, delay_s=1.0, max_per_host_per_wave=2)
+    f.push(
+        ["https://h/a", "https://h/b", "https://h/c"],
+        ["h"] * 3,
+        [1, 1, 1],
+        [0, 0, 0],
+        [1, 1, 1],
+        [False] * 3,
+        [0, 0, 0],
+    )
+    f.pop_wave(0)  # emits 2, ages 1
+    f.checkpoint(str(tmp_path))
+    r = FrontierShardState(2, delay_s=1.0, max_per_host_per_wave=2)
+    assert r.restore(str(tmp_path)) == 1
+    t = r.pop_wave(1)
+    assert t.num_rows == 1
+    # host_seq continues from the checkpointed counter
+    assert t.to_pylist()[0]["host_seq"] == 2
+
+
+def test_frontier_emits_arrow_schema():
+    f = FrontierShardState(0)
+    t = f.pop_wave(0)
+    assert isinstance(t, pa.Table)
+    assert t.num_rows == 0
+    assert "host_seq" in t.column_names
