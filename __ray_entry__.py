@@ -1,44 +1,322 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing in
+here (or in atra_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Three groups of queries:
+
+1. Crawl-engine queries over the deterministic fixture corpus
+   (atra_ray/sources/fixtures.py — pure function of (seed=42, sf); the
+   BASELINE.json input_hint pages table). Their oracles are parquet files
+   whose contents are known BY CONSTRUCTION (generator oracles) or produced
+   by the single-threaded reference simulator (atra_ray/simulator.py), read
+   by DuckDB via read_parquet(). Generated idempotently at import.
+2. Training-data-pipeline operators over the driver's own testdata tables
+   (documents/embeddings/events) with ANSI-SQL oracles over the registered
+   views.
+3. Approximate operators (MinHash/SimHash/LSH) — no SQL equivalent; the
+   driver records rows-only checks for them.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+SF_TEST_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+_FX_TEST = "/tmp/atra_fixtures/sf0.01"  # fixture mirror used by oracle SQL
+_ORACLE_DIR = "/tmp/atra_oracles/sf0.01"
+_CRAWL_DIR = "/tmp/atra_crawl"
+
+
+def _crawl_cfg():
+    from atra_ray.config import BudgetSetting, CrawlConfig
+
+    return CrawlConfig(budget=BudgetSetting(kind="absolute", depth=3))
+
+
+def _ensure_oracles() -> None:
+    """Fixture corpus + simulator oracle parquet for sf0.01 (idempotent,
+    no Ray involved)."""
+    from atra_ray.sources.fixtures import generate
+
+    fx = generate(_FX_TEST, 0.01)
+    odir = Path(_ORACLE_DIR)
+    marker = odir / "_SUCCESS"
+    fx_version = (fx / "_SUCCESS").read_text()
+    if marker.exists() and marker.read_text() == fx_version:
+        return
+    odir.mkdir(parents=True, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    from atra_ray.simulator import simulate_crawl
+
+    seeds = (fx / "seeds.txt").read_text().split()
+    sim = simulate_crawl(
+        str(fx / "pages.parquet"), str(fx / "robots.parquet"), seeds, _crawl_cfg()
+    )
+    pq.write_table(sim["seen"], odir / "crawl_seen.parquet")
+    pq.write_table(sim["order"], odir / "crawl_order.parquet")
+    marker.write_text(fx_version)
+
+
+_ensure_oracles()
+
+_crawl_cache: dict[str, str] = {}
+
+
+def _fixture_dir(sf_dir: str) -> Path:
+    from atra_ray.sources.fixtures import fixture_dir_for
+
+    return fixture_dir_for(sf_dir)
+
+
+def _crawl_out(sf_dir: str) -> str:
+    """Run (once per process per sf_dir) the engine crawl over the fixture
+    corpus; returns the output dir with link_state.parquet + results/."""
+    if sf_dir in _crawl_cache:
+        return _crawl_cache[sf_dir]
+    import shutil
+
+    from atra_ray.pipelines.crawl import run_crawl
+
+    fx = _fixture_dir(sf_dir)
+    out = str(Path(_CRAWL_DIR) / Path(sf_dir).name)
+    shutil.rmtree(out, ignore_errors=True)
+    seeds = (fx / "seeds.txt").read_text().split()
+    run_crawl(
+        str(fx / "pages.parquet"),
+        str(fx / "robots.parquet"),
+        seeds,
+        _crawl_cfg(),
+        out,
+        fetch_concurrency=4,
+    )
+    _crawl_cache[sf_dir] = out
+    return out
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: the §7.1 slice (read pages → decode/extract map_batches)
+    over the sf0.001 fixture corpus."""
+    from atra_ray.pipelines.slice import extract_pages
+
+    fx = _fixture_dir("/root/testdata/sf0.001")
+    return extract_pages(str(fx / "pages.parquet")).select_columns(
+        ["url", "format", "encoding", "text", "lang"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def extract_text(sf_dir):
+        from atra_ray.pipelines.slice import extract_pages
+
+        fx = _fixture_dir(sf_dir)
+        return extract_pages(str(fx / "pages.parquet")).select_columns(["url", "text"])
+
+    def extract_links(sf_dir):
+        from atra_ray.pipelines.slice import exploded_links, extract_pages
+
+        fx = _fixture_dir(sf_dir)
+        return exploded_links(extract_pages(str(fx / "pages.parquet")))
+
+    def detect_language_pages(sf_dir):
+        from atra_ray.pipelines.slice import extract_pages
+
+        fx = _fixture_dir(sf_dir)
+        return extract_pages(str(fx / "pages.parquet")).select_columns(["url", "lang"])
+
+    def crawl_seen(sf_dir):
+        out = _crawl_out(sf_dir)
+        return pq.read_table(Path(out) / "link_state.parquet")
+
+    def crawl_order(sf_dir):
+        out = _crawl_out(sf_dir)
+        files = [str(p) for p in Path(out, "results").rglob("*.parquet")]
+        return pads.dataset(files).to_table(columns=["url", "wave", "origin", "host_seq"])
+
+    def doc_quality(sf_dir):
+        from atra_ray.stages.text_analysis import doc_quality as _dq
+
+        return _dq(f"{sf_dir}/documents.parquet")
+
+    def doc_fingerprints(sf_dir):
+        from atra_ray.stages.text_analysis import doc_fingerprints as _df
+
+        return _df(f"{sf_dir}/documents.parquet")
+
+    def lang_distribution(sf_dir):
+        from atra_ray.stages.text_analysis import lang_distribution as _ld
+
+        return _ld(f"{sf_dir}/documents.parquet")
+
+    def dedup_exact(sf_dir):
+        from atra_ray.stages.dedup import dedup_exact as _de
+
+        return _de(f"{sf_dir}/documents.parquet")
+
+    def ann_cosine_topk(sf_dir):
+        from atra_ray.stages.similarity import ann_bruteforce_topk
+
+        return ann_bruteforce_topk(f"{sf_dir}/embeddings.parquet", num_queries=10, k=10)
+
+    def ann_lsh_topk(sf_dir):
+        from atra_ray.stages.similarity import ann_lsh_topk as _lsh
+
+        return _lsh(f"{sf_dir}/embeddings.parquet", num_queries=10, k=10)
+
+    def minhash_dup_pairs(sf_dir):
+        from atra_ray.stages.dedup import minhash_dup_pairs as _mh
+
+        return _mh(f"{sf_dir}/documents.parquet", threshold=0.5)
+
+    def simhash_dup_pairs(sf_dir):
+        from atra_ray.stages.dedup import simhash_dup_pairs as _sh
+
+        return _sh(f"{sf_dir}/documents.parquet", max_hamming=10)
+
+    def dedup_minhash(sf_dir):
+        from atra_ray.stages.dedup import dedup_minhash as _dm
+
+        return _dm(f"{sf_dir}/documents.parquet", threshold=0.5)
+
+    def doc_language(sf_dir):
+        from atra_ray.stages.text_analysis import doc_language as _dl
+
+        return _dl(f"{sf_dir}/documents.parquet")
+
+    def events_windowed(sf_dir):
+        import pandas as pd
+        import ray.data as rd
+        from ray.data.aggregate import Count, Max, Min
+
+        def _win(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["window_start"] = df["ts"].dt.floor("h")
+            return df[["event_type", "window_start", "value"]]
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        ).map_batches(_win, batch_format="pandas")
+        return ds.groupby(["event_type", "window_start"]).aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+
+    return {
+        "extract_text": extract_text,
+        "extract_links": extract_links,
+        "detect_language_pages": detect_language_pages,
+        "crawl_seen": crawl_seen,
+        "crawl_order": crawl_order,
+        "doc_quality": doc_quality,
+        "doc_fingerprints": doc_fingerprints,
+        "lang_distribution": lang_distribution,
+        "dedup_exact": dedup_exact,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "minhash_dup_pairs": minhash_dup_pairs,
+        "simhash_dup_pairs": simhash_dup_pairs,
+        "dedup_minhash": dedup_minhash,
+        "doc_language": doc_language,
+        "events_windowed": events_windowed,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered for the testdata tables; fixture
+# and simulator oracles read via read_parquet)
+# ---------------------------------------------------------------------------
+
+_STOPWORD_SQL_RE = r"\b(the|and|of|to|in|is|that|for|on|with|as|a)\b"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fx = _FX_TEST
+    od = _ORACLE_DIR
+    return {
+        # generator-oracle columns: the pages table carries the exact text
+        # the engine must extract (byte-identical) and the expected links
+        "extract_text": f"SELECT url, text FROM read_parquet('{fx}/pages.parquet')",
+        "extract_links": (
+            f"SELECT url, target, origin, kind FROM read_parquet('{fx}/links_oracle.parquet')"
+        ),
+        "detect_language_pages": f"SELECT url, lang FROM read_parquet('{fx}/pages.parquet')",
+        # simulator oracles (single-threaded reference implementation)
+        "crawl_seen": (
+            f"SELECT url, kind, is_seed, dow, dts, tds FROM read_parquet('{od}/crawl_seen.parquet')"
+        ),
+        "crawl_order": (
+            f"SELECT url, wave, origin, host_seq FROM read_parquet('{od}/crawl_order.parquet')"
+        ),
+        # documents-table operators (RE2 regex semantics on both sides)
+        "doc_quality": f"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   length(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens,
+                   length(regexp_extract_all(lower(text), '{_STOPWORD_SQL_RE}'))::BIGINT AS n_stopwords,
+                   length(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS n_punct,
+                   length(regexp_extract_all(lower(text), '{_STOPWORD_SQL_RE}'))::DOUBLE
+                     / GREATEST(length(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)::DOUBLE
+                     AS stop_ratio
+            FROM documents
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "lang_distribution": "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang",
+        "dedup_exact": """
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (
+                           PARTITION BY md5(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'))
+                           ORDER BY doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+            ), s AS (
+                SELECT q.qid, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS sim
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.qid
+            )
+            SELECT qid AS query_id, vec_id, rank FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+                FROM s
+            ) WHERE rank <= 10
+        """,
+        "events_windowed": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   count(*)::BIGINT AS n,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events
+            GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        # ann_lsh_topk / minhash / simhash / dedup_minhash / doc_language:
+        # intentionally no SQL (approximate or heuristic operators) —
+        # rows-only checks.
+    }

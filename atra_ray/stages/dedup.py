@@ -129,13 +129,27 @@ def minhash_dup_pairs(
     two candidate texts — at web scale this verify joins back to the text
     store; here texts ride along in the bucket rows).
     """
+    import ray
+
     rows_per_band = num_perm // bands
+    # broadcast the doc_id -> shingle-set lookup ONCE (ray.put; read in the
+    # verify stage) instead of shipping text through the band shuffle. At
+    # web scale this becomes a join back to the text store keyed by doc_id;
+    # the band rows stay (band, band_hash, doc_id) either way.
+    import pyarrow.parquet as pq
+
+    _t = pq.read_table(docs_path, columns=["doc_id", "text"])
+    shingle_sets = {
+        d: frozenset(_shingles(t, ngram))
+        for d, t in zip(_t.column("doc_id").to_pylist(), _t.column("text").to_pylist())
+    }
+    sh_ref = ray.put(shingle_sets)
 
     def _sig(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         ids = batch.column("doc_id").to_pylist()
         sigs = minhash_signatures(texts, num_perm, ngram)
-        out = {"band": [], "band_hash": [], "doc_id": [], "text": []}
+        out = {"band": [], "band_hash": [], "doc_id": []}
         for i, doc in enumerate(ids):
             for bi in range(bands):
                 chunk = sigs[i, bi * rows_per_band : (bi + 1) * rows_per_band]
@@ -143,24 +157,26 @@ def minhash_dup_pairs(
                 out["band"].append(bi)
                 out["band_hash"].append(h)
                 out["doc_id"].append(doc)
-                out["text"].append(texts[i])
         return pa.table(
             {
                 "band": pa.array(out["band"], pa.int32()),
                 "band_hash": pa.array(out["band_hash"], pa.string()),
                 "doc_id": pa.array(out["doc_id"], pa.int64()),
-                "text": pa.array(out["text"], pa.string()),
             }
         )
 
     def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").head(max_bucket)
-        ids = g["doc_id"].tolist()
-        texts = g["text"].tolist()
+        ids = sorted(g["doc_id"].tolist())[:max_bucket]
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        sets = ray.get(sh_ref)
         a_out, b_out, j_out = [], [], []
         for i in range(len(ids)):
+            sa = sets[ids[i]]
             for j in range(i + 1, len(ids)):
-                jac = jaccard(texts[i], texts[j], ngram)
+                sb = sets[ids[j]]
+                union = len(sa | sb)
+                jac = (len(sa & sb) / union) if union else 1.0
                 if jac >= threshold:
                     a_out.append(ids[i])
                     b_out.append(ids[j])
@@ -170,9 +186,27 @@ def minhash_dup_pairs(
     def _dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)
 
+    sig_ds = rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        _sig, batch_format="pyarrow", batch_size=512
+    )
+    # nearly all band buckets are singletons; per-group map_groups overhead
+    # on them dwarfs the real work. Semi-join first: a cheap native count
+    # aggregate finds buckets with >=2 members, their keys broadcast via
+    # ray.put, and only colliding rows enter the expensive pairing groupby.
+    counts = sig_ds.groupby(["band", "band_hash"]).count().to_pandas()
+    hot = counts[counts["count()"] >= 2]
+    hot_keys = ray.put(set(zip(hot["band"].tolist(), hot["band_hash"].tolist())))
+
+    def _only_hot(batch: pa.Table) -> pa.Table:
+        keys = ray.get(hot_keys)
+        mask = [
+            (b, h) in keys
+            for b, h in zip(batch.column("band").to_pylist(), batch.column("band_hash").to_pylist())
+        ]
+        return batch.filter(pa.array(mask))
+
     pairs = (
-        rd.read_parquet(docs_path, columns=["doc_id", "text"])
-        .map_batches(_sig, batch_format="pyarrow", batch_size=512)
+        sig_ds.map_batches(_only_hot, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
         .map_groups(_bucket_pairs, batch_format="pandas")
     )
@@ -205,10 +239,14 @@ def dedup_minhash(docs_path: str, **kwargs) -> rd.Dataset:
 def simhash64(text: str) -> int:
     """Classic 64-bit SimHash over whitespace tokens."""
     acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
     for tok in text.lower().split():
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-        bits = (h >> np.arange(64)) & 1
-        acc += np.where(bits == 1, 1, -1)
+        h = np.uint64(
+            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        )
+        bits = (h >> shifts) & one
+        acc += np.where(bits == one, 1, -1)
     out = 0
     for i in range(64):
         if acc[i] > 0:
@@ -253,9 +291,26 @@ def simhash_dup_pairs(docs_path: str, max_hamming: int = 3) -> rd.Dataset:
                     h_out.append(ham)
         return pd.DataFrame({"a": a_out, "b": b_out, "hamming": h_out})
 
+    import ray
+
+    sig_ds = rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        _sig, batch_format="pyarrow", batch_size=512
+    )
+    # same singleton-bucket semi-join as the MinHash path
+    counts = sig_ds.groupby(["chunk", "chunk_val"]).count().to_pandas()
+    hot = counts[counts["count()"] >= 2]
+    hot_keys = ray.put(set(zip(hot["chunk"].tolist(), hot["chunk_val"].tolist())))
+
+    def _only_hot(batch: pa.Table) -> pa.Table:
+        keys = ray.get(hot_keys)
+        mask = [
+            (c, v) in keys
+            for c, v in zip(batch.column("chunk").to_pylist(), batch.column("chunk_val").to_pylist())
+        ]
+        return batch.filter(pa.array(mask))
+
     pairs = (
-        rd.read_parquet(docs_path, columns=["doc_id", "text"])
-        .map_batches(_sig, batch_format="pyarrow", batch_size=512)
+        sig_ds.map_batches(_only_hot, batch_format="pyarrow")
         .groupby(["chunk", "chunk_val"])
         .map_groups(_bucket_pairs, batch_format="pandas")
     )

@@ -1,0 +1,198 @@
+"""Training-data-pipeline operators: dedup (exact/minhash/simhash),
+similarity search, text analysis — small-table semantics + DuckDB parity
+for SQL-mirrored kernels."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from atra_ray.stages.dedup import (
+    jaccard,
+    minhash_signatures,
+    simhash64,
+)
+from atra_ray.stages.text_analysis import fingerprint_text
+
+
+@pytest.fixture(scope="module")
+def docs_parquet(tmp_path_factory):
+    p = tmp_path_factory.mktemp("docs") / "documents.parquet"
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",      # exact dup of 0
+        "the quick brown fox jumps over the lazy cat",      # near dup of 0
+        "completely different content about ray data engines",
+        "another unrelated document with words and text inside",
+        "The  Quick   Brown fox jumps over the lazy dog",   # dup of 0 after normalize? (case+ws)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, p)
+    return str(p)
+
+
+def test_fingerprint_normalizes_ws_and_case():
+    assert fingerprint_text("A  b\tc") == fingerprint_text("a b c")
+    assert fingerprint_text("a b") != fingerprint_text("a c")
+
+
+def test_fingerprint_matches_duckdb():
+    import duckdb
+
+    text = "The  Quick   Brown\tfox\n jumps"
+    got = duckdb.sql(
+        "SELECT md5(regexp_replace(lower($1), '[ \t\n\r\f]+', ' ', 'g'))",
+        params=[text],
+    ).fetchone()[0]
+    assert got == fingerprint_text(text)
+
+
+def test_minhash_estimates_jaccard():
+    a = "the quick brown fox jumps over the lazy dog and runs away fast"
+    b = "the quick brown fox jumps over the lazy cat and runs away fast"
+    c = "totally different words appear in this entirely other sentence here"
+    sigs = minhash_signatures([a, b, c], num_perm=256)
+    est_ab = (sigs[0] == sigs[1]).mean()
+    est_ac = (sigs[0] == sigs[2]).mean()
+    true_ab = jaccard(a, b)
+    assert abs(est_ab - true_ab) < 0.15
+    assert est_ac < 0.1
+    # identical text -> identical signature
+    sigs2 = minhash_signatures([a, a], num_perm=64)
+    assert (sigs2[0] == sigs2[1]).all()
+
+
+def test_simhash_properties():
+    a = simhash64("the quick brown fox jumps over the lazy dog " * 5)
+    b = simhash64("the quick brown fox jumps over the lazy dog " * 5)
+    c = simhash64("completely unrelated text with other tokens entirely " * 5)
+    assert a == b
+    assert bin(a ^ c).count("1") > 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_exact(docs_parquet):
+    from atra_ray.stages.dedup import dedup_exact
+
+    kept = sorted(dedup_exact(docs_parquet).to_pandas()["doc_id"].tolist())
+    # doc 1 (exact dup) and doc 5 (dup after normalize) collapse into doc 0
+    assert kept == [0, 2, 3, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_dedup_finds_near_dups(docs_parquet):
+    from atra_ray.stages.dedup import dedup_minhash, minhash_dup_pairs
+
+    pairs = minhash_dup_pairs(docs_parquet, threshold=0.5).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 1) in got          # exact dup
+    assert (0, 2) in got          # near dup (1 word differs)
+    assert not any(3 in p or 4 in p for p in got)
+    kept = sorted(dedup_minhash(docs_parquet, threshold=0.5).to_pandas()["doc_id"])
+    assert 0 in kept and 1 not in kept and 2 not in kept
+    assert 3 in kept and 4 in kept
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_pairs(docs_parquet):
+    from atra_ray.stages.dedup import simhash_dup_pairs
+
+    pairs = simhash_dup_pairs(docs_parquet, max_hamming=3).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 1) in got
+    assert (0, 5) in got or (1, 5) in got  # normalization-insensitive tokens
+
+
+@pytest.fixture(scope="module")
+def emb_parquet(tmp_path_factory):
+    rng = np.random.RandomState(7)
+    n, d = 200, 16
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    m[1] = m[0] + 0.01 * rng.normal(size=d).astype(np.float32)  # near-dup of 0
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in m], pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    p = tmp_path_factory.mktemp("emb") / "embeddings.parquet"
+    pq.write_table(t, p)
+    return str(p), m
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_bruteforce_matches_numpy(emb_parquet):
+    from atra_ray.stages.similarity import ann_bruteforce_topk
+
+    path, m = emb_parquet
+    got = ann_bruteforce_topk(path, num_queries=5, k=10).to_pandas()
+    x = m.astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    for q in range(5):
+        sims = x @ x[q]
+        expect = [
+            v for _, v in sorted(((-s, v) for v, s in enumerate(sims) if v != q))
+        ][:10]
+        mine = got[got["query_id"] == q].sort_values("rank")["vec_id"].tolist()
+        assert mine == expect, q
+    # vector 1 is a near-copy of 0 -> rank-1 neighbor both ways
+    assert got[(got["query_id"] == 0) & (got["rank"] == 1)]["vec_id"].iloc[0] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_lsh_recall(emb_parquet):
+    from atra_ray.stages.similarity import ann_bruteforce_topk, ann_lsh_topk
+
+    path, _ = emb_parquet
+    exact = ann_bruteforce_topk(path, num_queries=5, k=5).to_pandas()
+    approx = ann_lsh_topk(path, num_queries=5, k=5, num_planes=4).to_pandas()
+    # multiprobe LSH with 4 planes on 200 vectors: expect decent recall
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    assert len(e & a) / len(e) >= 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_quality_counts(docs_parquet):
+    from atra_ray.stages.text_analysis import doc_quality
+
+    df = doc_quality(docs_parquet).to_pandas().set_index("doc_id")
+    assert df.loc[0, "n_tokens"] == 9
+    assert df.loc[0, "n_stopwords"] == 2  # "the" twice
+    assert df.loc[0, "n_chars"] == len("the quick brown fox jumps over the lazy dog")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multimodal_stub_pipeline(ray_session, tmp_path):
+    import ray.data as rd
+
+    from atra_ray.stages.multimodal import DecodeImageStage
+
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "mime": pa.array(["image/png", "image/png"], pa.string()),
+            "data": pa.array([b"\x89PNGfake1", b"\x89PNGfake2"], pa.binary()),
+        }
+    )
+    p = tmp_path / "media.parquet"
+    pq.write_table(t, p)
+    out = (
+        rd.read_parquet(str(p))
+        .map_batches(DecodeImageStage, fn_constructor_kwargs={"feat_dim": 8},
+                     batch_format="pyarrow", batch_size=1, concurrency=1)
+        .to_pandas()
+    )
+    assert len(out) == 2
+    assert all(len(f) == 8 for f in out["features"])
+    # deterministic
+    s = DecodeImageStage(feat_dim=8)
+    assert np.allclose(s._features(b"\x89PNGfake1"), s._features(b"\x89PNGfake1"))
+    with pytest.raises(NotImplementedError):
+        DecodeImageStage(fake=False)._features(b"x")
