@@ -48,7 +48,11 @@ import pyarrow.parquet as pq
 
 from ..config import CrawlConfig
 from ..functions.urlkit import Depth, canonicalize, origin_of, stable_hash64
-from ..stages.fetch import FetchExtract, build_page_store
+from ..stages.fetch import (
+    build_page_store,
+    make_fetch_task,
+    make_pagestore_actor_cls,
+)
 from ..state.frontier import make_frontier_actor_cls
 from ..state.seen import (
     KIND_ERROR,
@@ -60,9 +64,21 @@ __all__ = ["run_crawl", "CrawlHandles"]
 
 
 class CrawlHandles:
-    """The crawl's distributed state: fixed-count named shard actors."""
+    """The crawl's distributed state: fixed-count shard actors, all created
+    ONCE per crawl and reused across every wave (pool restarts per wave
+    would dominate the wall clock — the page/robots state must outlive each
+    Dataset execution)."""
 
-    def __init__(self, num_frontier: int, num_seen: int, cfg: CrawlConfig, seen_bits: int):
+    def __init__(
+        self,
+        num_frontier: int,
+        num_seen: int,
+        cfg: CrawlConfig,
+        seen_bits: int,
+        store_dir: str | None = None,
+        num_partitions: int = 8,
+        num_store_actors: int = 4,
+    ):
         import ray  # noqa: F401
 
         FrontierShard = make_frontier_actor_cls()
@@ -77,11 +93,18 @@ class CrawlHandles:
             for i in range(num_frontier)
         ]
         self.seen = [SeenShard.remote(j, num_bits=seen_bits) for j in range(num_seen)]
+        self.stores = []
+        if store_dir is not None:
+            PageStoreShard = make_pagestore_actor_cls()
+            self.stores = [
+                PageStoreShard.remote(i, store_dir, num_partitions)
+                for i in range(num_store_actors)
+            ]
 
     def kill(self):
         import ray
 
-        for a in self.frontier + self.seen:
+        for a in self.frontier + self.seen + self.stores:
             ray.kill(a)
 
 
@@ -174,21 +197,39 @@ def run_crawl(
         pages_path, str(out / "page_store"), page_store_partitions
     )
 
-    handles = CrawlHandles(num_frontier_shards, num_seen_shards, cfg, seen_bits)
+    handles = CrawlHandles(
+        num_frontier_shards,
+        num_seen_shards,
+        cfg,
+        seen_bits,
+        store_dir=store_dir,
+        num_partitions=page_store_partitions,
+        num_store_actors=min(page_store_partitions, max(2, fetch_concurrency // 4)),
+    )
     frontier, seen = handles.frontier, handles.seen
 
-    # robots crawl-delays feed the frontier politeness clocks (T1)
+    # robots parsed ONCE driver-side: crawl-delays feed the frontier
+    # politeness clocks (T1); the parsed rule set is broadcast (ray.put)
+    # to the stateless fetch tasks (T3's cache analog)
+    robots_ref = None
     if robots_path and cfg.respect_robots_txt:
         from ..functions.robots import parse_robots
 
         t = pq.read_table(robots_path)
+        robots_rules = {}
         delays = {}
         for host, body in zip(t.column("host").to_pylist(), t.column("robots_txt").to_pylist()):
             rules = parse_robots(body, cfg.user_agent)
+            robots_rules[host] = rules
             if rules.crawl_delay:
                 delays[host] = rules.crawl_delay
+        robots_ref = ray.put(robots_rules)
         if delays:
             ray.get([f.set_delays.remote(delays) for f in frontier])
+
+    fetch_fn = make_fetch_task(
+        handles.stores, robots_ref, cfg, page_store_partitions
+    )
 
     start_wave = 0
     lineage: list[dict] = []
@@ -231,10 +272,21 @@ def run_crawl(
     seen_handles = seen
     frontier_handles = frontier
 
+    # lexicographic (tds, dow, dts) packed into one int64 so the per-wave
+    # min-depth dedup (A1) is a NATIVE vectorized groupby().min() — a
+    # per-group pandas map_groups pays ~ms per target and dominates wall
+    # time on large waves. Depth components are tiny (≤ budget caps), 21
+    # bits each is beyond safe.
+    _SHIFT1, _SHIFT2 = 1 << 42, 1 << 21
+
     def _link_stage(batch: pa.Table) -> pa.Table:
         """Explode + filter links inside the map task (combiner before the
-        groupby shuffle): budget (M4), blacklist (M5), data-link drop."""
-        out_rows = {"target": [], "origin": [], "dow": [], "dts": [], "tds": []}
+        groupby shuffle): budget (M4), blacklist (M5), data-link drop.
+        Budget runs PRE-dedup (a deeper duplicate may pass budget while the
+        min-depth one fails under seed_only — the simulator filters before
+        min too)."""
+        has_overrides = bool(cfg_ref.budgets_per_origin)
+        targets, keys = [], []
         for links in batch.column("links").to_pylist():
             if not links:
                 continue
@@ -244,33 +296,24 @@ def run_crawl(
                 t = l["target"]
                 if not t.startswith(("http://", "https://")):
                     continue
-                torigin = origin_of(t)
-                if torigin is None:
-                    continue
                 d = Depth(l["dow"], l["dts"], l["tds"])
-                if not cfg_ref.budget_for(torigin).is_in_budget(d):
+                budget = (
+                    cfg_ref.budget_for(origin_of(t))
+                    if has_overrides
+                    else cfg_ref.budget
+                )
+                if not budget.is_in_budget(d):
                     continue
                 if any(p.search(t) for p in blacklist):
                     continue
-                out_rows["target"].append(t)
-                out_rows["origin"].append(torigin)
-                out_rows["dow"].append(d.dow)
-                out_rows["dts"].append(d.dts)
-                out_rows["tds"].append(d.tds)
+                targets.append(t)
+                keys.append(d.tds * _SHIFT1 + d.dow * _SHIFT2 + d.dts)
         return pa.table(
             {
-                "target": pa.array(out_rows["target"], pa.string()),
-                "origin": pa.array(out_rows["origin"], pa.string()),
-                "dow": pa.array(out_rows["dow"], pa.uint64()),
-                "dts": pa.array(out_rows["dts"], pa.uint64()),
-                "tds": pa.array(out_rows["tds"], pa.uint64()),
+                "target": pa.array(targets, pa.string()),
+                "depth_key": pa.array(keys, pa.int64()),
             }
         )
-
-    def _dedup_group(g):
-        """Keep the minimum-depth discovery per target (A1:
-        groupby(canonical_url).min(depth-tuple))."""
-        return g.sort_values(["tds", "dow", "dts"], kind="mergesort").head(1)
 
     def _admit_stage(batch) -> pa.Table:
         """Seen-filter (J1) then route to frontier shards (routing by
@@ -279,16 +322,24 @@ def run_crawl(
         urls = batch.column("target").to_pylist()
         if not urls:
             return pa.table({"admitted": pa.array([0], pa.int64()), "checked": pa.array([0], pa.int64())})
-        origins = batch.column("origin").to_pylist()
-        dows = batch.column("dow").to_pylist()
-        dtss = batch.column("dts").to_pylist()
-        tdss = batch.column("tds").to_pylist()
-        depths = list(zip(dows, dtss, tdss))
-        fresh = _seen_check(seen_handles, urls, [False] * len(urls), depths)
+        keys = batch.column("depth_key").to_pylist()
+        depths = [
+            (k // _SHIFT1, k % _SHIFT2, (k % _SHIFT1) // _SHIFT2) for k in keys
+        ]  # (tds, dts, dow) decode -> reorder below
+        rows_meta = []
+        for u, (tds, dts, dow) in zip(urls, depths):
+            rows_meta.append((u, origin_of(u), dow, dts, tds))
+        fresh = _seen_check(
+            seen_handles,
+            urls,
+            [False] * len(urls),
+            [(dow, dts, tds) for (_, _, dow, dts, tds) in rows_meta],
+        )
         rows = [
-            {"url": u, "origin": o, "dow": a, "dts": b, "tds": c, "is_seed": False, "age": 0}
-            for u, o, a, b, c, f in zip(urls, origins, dows, dtss, tdss, fresh)
-            if f
+            {"url": u, "origin": o, "dow": dow, "dts": dts, "tds": tds,
+             "is_seed": False, "age": 0}
+            for (u, o, dow, dts, tds), f in zip(rows_meta, fresh)
+            if f and o is not None
         ]
         import ray as _ray
 
@@ -300,14 +351,17 @@ def run_crawl(
 
     def _mark_stage(batch: pa.Table) -> pa.Table:
         """Lifecycle upsert after the wave (T6): ok → ProcessedAndStored,
-        miss → InternalError; robots_denied stays Discovered."""
+        miss → InternalError; robots_denied stays Discovered. Also emits
+        the wave's status counts (saves a separate groupby pass)."""
         import ray as _ray
 
         urls = batch.column("url").to_pylist()
         statuses = batch.column("status").to_pylist()
         ns = len(seen_handles)
         by: dict[tuple[int, int], list[str]] = {}
+        counts = {"ok": 0, "miss": 0, "robots_denied": 0}
         for u, s in zip(urls, statuses):
+            counts[s] = counts.get(s, 0) + 1
             if s == "ok":
                 kind = KIND_PROCESSED
             elif s == "miss":
@@ -318,7 +372,13 @@ def run_crawl(
         refs = [seen_handles[s].mark.remote(us, kind) for (s, kind), us in by.items()]
         if refs:
             _ray.get(refs)
-        return pa.table({"marked": pa.array([len(urls)], pa.int64())})
+        return pa.table(
+            {
+                "n_ok": pa.array([counts["ok"]], pa.int64()),
+                "n_miss": pa.array([counts["miss"]], pa.int64()),
+                "n_denied": pa.array([counts["robots_denied"]], pa.int64()),
+            }
+        )
 
     t0 = time.monotonic()
     total_fetched = 0
@@ -327,19 +387,13 @@ def run_crawl(
         if max_waves is not None and wave >= start_wave + max_waves:
             break
         pop_refs = [f.pop_wave.remote(wave) for f in frontier]
-        wave_ds = rd.from_arrow_refs(pop_refs)
-        wave_results = wave_ds.map_batches(
-            FetchExtract,
-            fn_constructor_kwargs={
-                "store_dir": store_dir,
-                "robots_path": robots_path,
-                "cfg": cfg,
-                "num_partitions": page_store_partitions,
-            },
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=fetch_concurrency,
-        ).materialize()  # ONE wave pinned (politeness-bounded), reused 3×
+        # stateless fetch tasks (warm worker reuse across waves); page
+        # bodies come from the persistent PageStoreShard actors
+        wave_results = (
+            rd.from_arrow_refs(pop_refs)
+            .map_batches(fetch_fn, batch_format="pyarrow", batch_size=batch_size)
+            .materialize()  # ONE wave pinned (politeness-bounded), reused 3×
+        )
 
         emitted = wave_results.count()
         if emitted == 0:
@@ -350,10 +404,20 @@ def run_crawl(
             continue
 
         wave_results.write_parquet(str(out / "results" / f"round={wave}"))
-        wave_results.map_batches(_mark_stage, batch_format="pyarrow").sum("marked")
+        marks = wave_results.map_batches(_mark_stage, batch_format="pyarrow").to_pandas()
+        status_counts = {
+            "ok": int(marks["n_ok"].sum()),
+            "miss": int(marks["n_miss"].sum()),
+            "robots_denied": int(marks["n_denied"].sum()),
+        }
+        status_counts = {k: v for k, v in status_counts.items() if v}
+
+        from ray.data.aggregate import Min
 
         links_ds = wave_results.map_batches(_link_stage, batch_format="pyarrow")
-        deduped = links_ds.groupby("target").map_groups(_dedup_group, batch_format="pandas")
+        deduped = links_ds.groupby("target").aggregate(
+            Min("depth_key", alias_name="depth_key")
+        )
         admit = deduped.map_batches(_admit_stage, batch_format="pyarrow")
         admit_tbl = admit.to_pandas()
         if "admitted" in admit_tbl.columns:
@@ -362,10 +426,6 @@ def run_crawl(
         else:  # empty wave: no link batches flowed at all
             admitted = checked = 0
 
-        status_counts = {
-            r["status"]: r["count()"]
-            for r in wave_results.groupby("status").count().take_all()
-        }
         total_fetched += status_counts.get("ok", 0)
         lineage.append(
             {

@@ -28,10 +28,16 @@ def extract_pages(
     pages_path: str,
     cfg: ExtractionConfig | None = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
+    parallelism: int | None = None,
 ) -> rd.Dataset:
-    """pages.parquet → extraction Dataset (EXTRACT_SCHEMA rows)."""
+    """pages.parquet → extraction Dataset (EXTRACT_SCHEMA rows).
+
+    ``parallelism`` forces the read into that many blocks (map tasks track
+    blocks 1:1, so a single-row-group file would otherwise serialize the
+    whole stage); pass ~3-4× the CPU count for benchmarking."""
     cfg = cfg or ExtractionConfig()
-    ds = rd.read_parquet(pages_path, columns=["url", "html"])
+    kwargs = {"override_num_blocks": parallelism} if parallelism else {}
+    ds = rd.read_parquet(pages_path, columns=["url", "html"], **kwargs)
 
     def _extract(batch):
         return extract_batch(batch, cfg)

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from ..functions.langdetect import LANG_STOPWORDS
 
 GLOBAL_SEED = 42
-GENERATOR_VERSION = "2"  # bump when generation rules change (invalidates caches)
+GENERATOR_VERSION = "3"  # bump when generation rules change (invalidates caches)
 EPOCH_US = 1_729_036_800_000_000  # 2024-10-16T00:00:00Z in microseconds
 
 _LANGS = ("eng", "deu", "fra", "spa")
@@ -398,7 +398,9 @@ def generate(out_dir: str | os.PathLike, sf: float, force: bool = False) -> Path
             "lang": pa.array(langs, pa.string()),
         }
     )
-    pq.write_table(pages, out / "pages.parquet")
+    # small row groups so ray.data.read_parquet can split one file into
+    # many read tasks (a single row group caps read parallelism at 1)
+    pq.write_table(pages, out / "pages.parquet", row_group_size=4096)
     pq.write_table(pa.table({k: pa.array(v, pa.string()) for k, v in link_rows.items()}), out / "links_oracle.parquet")
 
     # seeds: every 3rd host, path /p0 (always exists: k=0 never /blocked/),

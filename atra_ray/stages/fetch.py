@@ -80,6 +80,151 @@ def build_page_store(pages_path: str, store_dir: str, num_partitions: int = 8) -
     return str(store)
 
 
+class PageStoreShardState:
+    """Persistent page-store shard: owns a subset of the host-hash
+    partitions (``part % num_shards == shard_id``) and serves body lookups.
+    Created ONCE per crawl (not per wave) so the partition cache survives
+    the BSP loop — the J5 hash-join's build side. At web scale each shard
+    holds its partitions' url->offset index and streams bodies from shared
+    storage; here partitions are small enough to hold decoded."""
+
+    def __init__(self, shard_id: int, store_dir: str, num_partitions: int):
+        self.shard_id = shard_id
+        self.store_dir = Path(store_dir)
+        self.num_partitions = num_partitions
+        self._parts: dict[int, dict[str, bytes]] = {}
+
+    def _load(self, part: int) -> dict[str, bytes]:
+        hit = self._parts.get(part)
+        if hit is not None:
+            return hit
+        lookup: dict[str, bytes] = {}
+        pdir = self.store_dir / f"part={part}"
+        if pdir.exists():
+            for f in sorted(pdir.glob("*.parquet")):
+                t = pq.read_table(f, columns=["url", "html"])
+                lookup.update(
+                    zip(t.column("url").to_pylist(), t.column("html").to_pylist())
+                )
+        self._parts[part] = lookup
+        return lookup
+
+    def get_bodies(self, part: int, urls: list[str]) -> list[bytes | None]:
+        lookup = self._load(part)
+        return [lookup.get(u) for u in urls]
+
+
+def make_pagestore_actor_cls():
+    import ray
+
+    # num_cpus=0: state shards are lightweight lookup/scheduling state
+    # that must never crowd out the 1-CPU data-plane map tasks; their
+    # work is O(batch) dict/heap ops, overlapped with fetch compute.
+    @ray.remote(num_cpus=0)
+    class PageStoreShard(PageStoreShardState):
+        pass
+
+    return PageStoreShard
+
+
+def make_fetch_task(store_handles, robots_ref, cfg: CrawlConfig, num_partitions: int):
+    """Build the STATELESS fetch+extract map_batches function for one crawl.
+
+    Stateless tasks reuse warm Ray worker processes across waves (unlike an
+    actor pool, which restarts per Dataset execution) — the stateful pieces
+    live elsewhere: page bodies in the persistent PageStoreShard actors,
+    parsed robots rules in ONE broadcast object (``ray.put``, fetched once
+    per worker process and cached in a module-level slot)."""
+    import ray
+
+    nstores = len(store_handles)
+    _cache: dict = {}
+
+    def _robots():
+        if "robots" not in _cache:
+            _cache["robots"] = ray.get(robots_ref) if robots_ref is not None else {}
+        return _cache["robots"]
+
+    def fetch_extract(batch: pa.Table) -> pa.Table:
+        robots = _robots()
+        urls = batch.column("url").to_pylist()
+        dows = batch.column("dow").to_pylist()
+        dtss = batch.column("dts").to_pylist()
+        tdss = batch.column("tds").to_pylist()
+        n = len(urls)
+        hosts = [u.split("/")[2] if "://" in u else "" for u in urls]
+
+        allowed = [True] * n
+        if cfg.respect_robots_txt:
+            for i, (u, h) in enumerate(zip(urls, hosts)):
+                r = robots.get(h)
+                if r is not None and not r.is_allowed(u):
+                    allowed[i] = False
+
+        # body lookup: group rows by page-store partition, one actor call
+        # per partition touched (the probe side of the hash join)
+        by_part: dict[int, list[int]] = {}
+        for i, h in enumerate(hosts):
+            if allowed[i]:
+                by_part.setdefault(stable_hash64(h) % num_partitions, []).append(i)
+        bodies: list[bytes | None] = [None] * n
+        refs, keys = [], []
+        for part, idxs in by_part.items():
+            refs.append(
+                store_handles[part % nstores].get_bodies.remote(
+                    part, [urls[i] for i in idxs]
+                )
+            )
+            keys.append(idxs)
+        for idxs, got in zip(keys, ray.get(refs)):
+            for i, b in zip(idxs, got):
+                bodies[i] = b
+
+        statuses, fmts, encs, errs, texts, langs, links_col = [], [], [], [], [], [], []
+        ecfg = cfg.extraction
+        for i in range(n):
+            if not allowed[i]:
+                statuses.append("robots_denied")
+            elif bodies[i] is None:
+                statuses.append("miss")
+            else:
+                statuses.append("ok")
+            if statuses[-1] != "ok":
+                fmts.append("unknown")
+                encs.append("none")
+                errs.append(False)
+                texts.append(None)
+                langs.append("und")
+                links_col.append([])
+                continue
+            fmt, enc, had_err, text, lang, links = extract_one(
+                urls[i], bodies[i], Depth(dows[i], dtss[i], tdss[i]), ecfg
+            )
+            fmts.append(fmt)
+            encs.append(enc)
+            errs.append(had_err)
+            texts.append(text)
+            langs.append(lang)
+            links_col.append(
+                [
+                    {"target": t, "origin": o, "kind": k, "dow": a, "dts": b, "tds": c}
+                    for t, o, k, a, b, c in links
+                ]
+            )
+
+        out = {name: batch.column(name) for name in batch.column_names}
+        out["status"] = pa.array(statuses, pa.string())
+        out["format"] = pa.array(fmts, pa.string())
+        out["encoding"] = pa.array(encs, pa.string())
+        out["had_decode_errors"] = pa.array(errs, pa.bool_())
+        out["text"] = pa.array(texts, pa.string())
+        out["lang"] = pa.array(langs, pa.string())
+        out["links"] = pa.array(links_col, pa.list_(LINK_STRUCT))
+        return pa.table(out)
+
+    return fetch_extract
+
+
 class FetchExtract:
     """Callable class for ``map_batches(FetchExtract, concurrency=N,
     batch_format="pyarrow", fn_constructor_kwargs=...)``. All state —

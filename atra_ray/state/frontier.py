@@ -199,7 +199,10 @@ class FrontierShardState:
 def make_frontier_actor_cls():
     import ray
 
-    @ray.remote(num_cpus=0.25)
+    # num_cpus=0: state shards are lightweight lookup/scheduling state
+    # that must never crowd out the 1-CPU data-plane map tasks; their
+    # work is O(batch) dict/heap ops, overlapped with fetch compute.
+    @ray.remote(num_cpus=0)
     class FrontierShard(FrontierShardState):
         pass
 

@@ -146,7 +146,10 @@ def make_seen_actor_cls():
     without Ray for the simulator)."""
     import ray
 
-    @ray.remote(num_cpus=0.25)
+    # num_cpus=0: state shards are lightweight lookup/scheduling state
+    # that must never crowd out the 1-CPU data-plane map tasks; their
+    # work is O(batch) dict/heap ops, overlapped with fetch compute.
+    @ray.remote(num_cpus=0)
     class SeenShard(SeenShardState):
         pass
 

@@ -1,0 +1,285 @@
+#!/usr/bin/env python
+"""Headline benchmark for the Ray-Data atra engine (BASELINE.md protocol).
+
+Default mode: one Ray session (``num_cpus=$RAY_GRAFT_CPUS``, default 32),
+runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) plus the crawl-engine pipelines over the
+deterministic fixture corpus at the matching scale, and prints ONE JSON
+line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "pages_per_s": ...}
+
+Scaling mode (``--scaling``): runs the headline fetch+extract pipeline in
+TWO FRESH processes (``--single-run`` workers) at N and 4N CPUs (default
+8 → 32) on the SAME input and reports both throughputs plus
+
+    efficiency = (T_4N / T_N) / 4        # T = pages/sec
+
+per the BASELINE.json north rule (≥ 0.8 required). Politeness runs on
+simulated clocks (atra_ray/state/frontier.py) so wall time measures
+compute, not sleeps. Results are appended to BENCH/BASELINE.md.
+
+This script OWNS its Ray session (the driver contract forbids ray.init only
+inside __ray_entry__ / the library).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = Path("/tmp/atra_bench")
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = Path(sf_dir).name  # e.g. "sf0.1"
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _fixture_dir(sf_dir: str) -> Path:
+    from atra_ray.sources.fixtures import fixture_dir_for
+
+    return fixture_dir_for(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# headline pipeline: fetch+extract (the BASELINE.json metric)
+# ---------------------------------------------------------------------------
+
+
+def run_extract(pages_path: str, out_dir: str, parallelism: int) -> int:
+    """§7.1 slice: read pages → decode/format/extract/langdetect
+    map_batches → write_parquet. Returns pages processed."""
+    from atra_ray.pipelines.slice import extract_pages
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = extract_pages(pages_path, parallelism=parallelism)
+    ds = ds.drop_columns(["links"])  # results sink keeps scalar cols
+    ds.write_parquet(out_dir)
+    import pyarrow.dataset as pads
+
+    return pads.dataset(out_dir).count_rows()
+
+
+def run_crawl_bench(fx: Path, out_dir: str, concurrency: int) -> dict:
+    """Full BSP crawl (frontier shards + seen shards + fetch/extract waves)
+    over the fixture corpus; returns counters from lineage."""
+    from atra_ray.config import BudgetSetting, CrawlConfig
+    from atra_ray.pipelines.crawl import run_crawl
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    seeds = (fx / "seeds.txt").read_text().split()
+    cfg = CrawlConfig(budget=BudgetSetting(kind="absolute", depth=3))
+    res = run_crawl(
+        str(fx / "pages.parquet"),
+        str(fx / "robots.parquet"),
+        seeds,
+        cfg,
+        out_dir,
+        fetch_concurrency=concurrency,
+    )
+    return {
+        "waves": res["waves"],
+        "fetched_ok": res["fetched_ok"],
+        "seen_urls": res["seen_urls"],
+        "crawl_wall_s": round(res["wall_s"], 3),
+        "pages_per_s": round(res["fetched_ok"] / max(res["wall_s"], 1e-9), 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# default mode: per-query timing suite
+# ---------------------------------------------------------------------------
+
+
+def _consume(res) -> int:
+    """Fully execute a query result; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return res.count()  # ray.data.Dataset
+
+
+def bench_suite(sf_dir: str, num_cpus: int) -> dict:
+    fx = _fixture_dir(sf_dir)
+    pages = str(fx / "pages.parquet")
+    par = num_cpus * 3
+
+    from atra_ray.stages.dedup import dedup_exact, minhash_dup_pairs
+    from atra_ray.stages.similarity import ann_bruteforce_topk
+    from atra_ray.stages.text_analysis import doc_quality
+
+    docs = f"{sf_dir}/documents.parquet"
+    embs = f"{sf_dir}/embeddings.parquet"
+
+    suite = {
+        "fetch_extract": lambda: run_extract(pages, str(SCRATCH / "extract"), par),
+        "crawl": lambda: run_crawl_bench(fx, str(SCRATCH / "crawl"), num_cpus),
+        "doc_quality": lambda: _consume(doc_quality(docs)),
+        "dedup_exact": lambda: _consume(dedup_exact(docs)),
+        "minhash_dup_pairs": lambda: _consume(minhash_dup_pairs(docs, threshold=0.5)),
+        "ann_cosine_topk": lambda: _consume(
+            ann_bruteforce_topk(embs, num_queries=10, k=10)
+        ),
+    }
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+    for name, fn in suite.items():
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        if name == "crawl":
+            extras["crawl_counters"] = out
+        elif name == "fetch_extract":
+            extras["pages"] = out
+    return {"timings": timings, **extras}
+
+
+# ---------------------------------------------------------------------------
+# scaling mode
+# ---------------------------------------------------------------------------
+
+
+def single_run(sf_dir: str, num_cpus: int) -> dict:
+    """One fresh-process measurement of the headline fetch+extract pipeline
+    (+ the crawl) at the given parallelism. Prints JSON to stdout."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    try:
+        fx = _fixture_dir(sf_dir)
+        pages = str(fx / "pages.parquet")
+        out = str(SCRATCH / f"extract_cpus{num_cpus}")
+        # warm-up (JIT imports, worker spawn) on a prefix, then measure
+        run_extract(pages, str(SCRATCH / "warmup"), num_cpus)
+        t0 = time.perf_counter()
+        n = run_extract(pages, out, num_cpus * 3)
+        wall = time.perf_counter() - t0
+        return {
+            "num_cpus": num_cpus,
+            "rows": n,
+            "wall_s": round(wall, 3),
+            "pages_per_s": round(n / wall, 1),
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling(sf_dir: str, low: int, high: int) -> dict:
+    results = []
+    for cpus in (low, high):
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--single-run", str(cpus),
+             "--sf-dir", sf_dir],
+            capture_output=True,
+            text=True,
+            cwd=str(REPO),
+        )
+        if proc.returncode != 0:
+            print(proc.stdout, file=sys.stderr)
+            print(proc.stderr, file=sys.stderr)
+            raise SystemExit(f"single-run at {cpus} cpus failed")
+        results.append(json.loads(proc.stdout.splitlines()[-1]))
+    t_low, t_high = results[0]["pages_per_s"], results[1]["pages_per_s"]
+    eff = (t_high / t_low) / (high / low)
+    report = {
+        "metric": "scaling efficiency (pages/s, fetch+extract)",
+        "sf": _sf_of(sf_dir),
+        "low": results[0],
+        "high": results[1],
+        "efficiency": round(eff, 3),
+        "required": 0.8,
+        "pass": eff >= 0.8,
+    }
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    with open(bench_dir / "BASELINE.md", "a") as f:
+        f.write(
+            f"\n| {time.strftime('%Y-%m-%d %H:%M')} | sf={report['sf']} "
+            f"| {low}cpu: {t_low} p/s | {high}cpu: {t_high} p/s "
+            f"| eff={report['efficiency']} |"
+        )
+    return report
+
+
+# ---------------------------------------------------------------------------
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--single-run", type=int, default=None, metavar="CPUS")
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    SCRATCH.mkdir(parents=True, exist_ok=True)
+
+    if args.single_run is not None:
+        print(json.dumps(single_run(args.sf_dir, args.single_run)))
+        return
+
+    if args.scaling:
+        print(json.dumps(run_scaling(args.sf_dir, args.low, args.high)))
+        return
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    try:
+        out = bench_suite(args.sf_dir, num_cpus)
+    finally:
+        ray.shutdown()
+    timings = out["timings"]
+    total = round(sum(timings.values()), 3)
+    pages = out.get("pages", 0)
+    line = {
+        "metric": "pages fetched+extracted/sec (headline) + operator suite wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(args.sf_dir),
+        "num_cpus": num_cpus,
+        "pages": pages,
+        "pages_per_s": round(pages / timings["fetch_extract"], 1)
+        if timings.get("fetch_extract")
+        else None,
+        "crawl": out.get("crawl_counters"),
+    }
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()
