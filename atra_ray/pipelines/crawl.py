@@ -412,11 +412,18 @@ def run_crawl(
         }
         status_counts = {k: v for k, v in status_counts.items() if v}
 
-        from ray.data.aggregate import Min
+        from ..stages.shuffle import partitioned_map_groups
 
         links_ds = wave_results.map_batches(_link_stage, batch_format="pyarrow")
-        deduped = links_ds.groupby("target").aggregate(
-            Min("depth_key", alias_name="depth_key")
+        # A1 min-depth dedup: hash-partitioned exchange keyed by target-url
+        # hash (low-cardinality partition ids for Ray, vectorized pandas
+        # min inside each partition — native groupby pays per-distinct-key
+        # Python cost, ruinous for URL-cardinality keys)
+        deduped = partitioned_map_groups(
+            links_ds,
+            ["target"],
+            lambda df: df.groupby("target", as_index=False)["depth_key"].min(),
+            num_partitions=16,
         )
         admit = deduped.map_batches(_admit_stage, batch_format="pyarrow")
         admit_tbl = admit.to_pandas()

@@ -53,14 +53,17 @@ def dedup_exact(docs_path: str) -> rd.Dataset:
             {"doc_id": batch.column("doc_id"), "fp": pa.array(fps, pa.string())}
         )
 
-    def _keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id").head(1)[["doc_id"]]
+    def _min_per_fp(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("fp", as_index=False)["doc_id"].min()[["doc_id"]]
 
-    return (
-        rd.read_parquet(docs_path, columns=["doc_id", "text"])
-        .map_batches(_fp, batch_format="pyarrow")
-        .groupby("fp")
-        .map_groups(_keep_first, batch_format="pandas")
+    from .shuffle import partitioned_map_groups
+
+    return partitioned_map_groups(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+            _fp, batch_format="pyarrow"
+        ),
+        ["fp"],
+        _min_per_fp,
     )
 
 
@@ -69,17 +72,46 @@ def dedup_exact(docs_path: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_POLY = np.uint64(1099511628211)  # FNV-ish odd multiplier (uint64 wraparound)
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    """uint64 hash per token; blake2b runs once per UNIQUE token (documents
+    repeat words heavily — this is the difference between O(tokens) and
+    O(unique) digest calls)."""
+    uniq: dict[str, int] = {}
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = uniq.get(t)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+            )
+            uniq[t] = h
+        out[i] = h
+    return out
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """uint64 hash per word-n-gram shingle, vectorized: hash tokens once,
+    then combine each window by a rolling polynomial (wraparound uint64) —
+    no per-gram string building or digest calls."""
+    toks = text.lower().split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = _token_hashes(toks)
+    if len(toks) < n:
+        n = len(toks)
+    with np.errstate(over="ignore"):
+        acc = th[: len(th) - n + 1].copy()
+        for k in range(1, n):
+            acc = acc * _POLY + th[k : len(th) - n + 1 + k]
+    return acc
 
 
 def _shingles(text: str, n: int = 3) -> Iterable[int]:
     """Word n-gram shingles hashed to 64-bit ints."""
-    toks = text.lower().split()
-    if len(toks) < n:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    for g in grams:
-        yield int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+    return _shingle_hashes(text, n)
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -94,19 +126,33 @@ def minhash_signatures(texts: list[str], num_perm: int = 128, ngram: int = 3) ->
     sig[p] = min over shingles s of (a_p * s + b_p mod M)."""
     a, b = _perm_params(num_perm)
     out = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        sh = np.fromiter(_shingles(t, ngram), dtype=np.uint64)
-        if len(sh) == 0:
-            continue
-        # (S, P) broadcast; modular arithmetic via python ints is slow, use
-        # float-free uint64 wraparound then mod the Mersenne prime
-        v = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-        out[i] = v.min(axis=0)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts):
+            sh = np.unique(_shingle_hashes(t, ngram))
+            if len(sh) == 0:
+                continue
+            # (S, P) broadcast; uint64 wraparound then mod the Mersenne prime
+            v = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+            out[i] = v.min(axis=0)
     return out
 
 
+def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(docs, bands) uint64: polynomial combine of each band's rows —
+    vectorized over the whole batch (no per-doc digest calls)."""
+    n, p = sigs.shape
+    r = p // bands
+    v = sigs.reshape(n, bands, r)
+    with np.errstate(over="ignore"):
+        acc = v[:, :, 0].copy()
+        for k in range(1, r):
+            acc = acc * _POLY + v[:, :, k]
+    return acc
+
+
 def jaccard(a: str, b: str, ngram: int = 3) -> float:
-    sa, sb = set(_shingles(a, ngram)), set(_shingles(b, ngram))
+    sa = set(_shingle_hashes(a, ngram).tolist())
+    sb = set(_shingle_hashes(b, ngram).tolist())
     if not sa and not sb:
         return 1.0
     if not sa or not sb:
@@ -124,94 +170,103 @@ def minhash_dup_pairs(
 ) -> rd.Dataset:
     """Verified near-duplicate pairs (a < b, jaccard >= threshold).
 
-    shingle→minhash per batch → explode to (band, band_hash, doc_id) →
-    groupby band bucket → pairs → exact Jaccard verify (re-shingling the
-    two candidate texts — at web scale this verify joins back to the text
-    store; here texts ride along in the bucket rows).
+    shingle→minhash per batch (vectorized numpy) → explode to
+    (band, band_hash:int64, doc_id) → semi-join to colliding buckets →
+    groupby bucket → candidate pairs → native groupby(a,b) dedup →
+    vectorized verify: signature-estimated Jaccard (mean per-perm equality)
+    against the broadcast signature matrix (``ray.put`` of a numpy array —
+    zero-copy reads in every verify task). At web scale the matrix is
+    sharded and the verify becomes a hash join on doc_id; the band shuffle
+    and bucket shapes are unchanged.
     """
     import ray
 
-    rows_per_band = num_perm // bands
-    # broadcast the doc_id -> shingle-set lookup ONCE (ray.put; read in the
-    # verify stage) instead of shipping text through the band shuffle. At
-    # web scale this becomes a join back to the text store keyed by doc_id;
-    # the band rows stay (band, band_hash, doc_id) either way.
-    import pyarrow.parquet as pq
+    # pass 1 (distributed): signatures per doc, collected as ONE numpy
+    # matrix (n_docs × num_perm × 8 bytes; 1 GB per million docs — the
+    # small side of the verify join at sandbox scale)
+    sig_tbl = (
+        rd.read_parquet(docs_path, columns=["doc_id", "text"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "sig": pa.array(
+                        list(
+                            minhash_signatures(
+                                b.column("text").to_pylist(), num_perm, ngram
+                            )
+                        )
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=512,
+        )
+        .to_pandas()
+    )
+    all_ids = np.asarray(sig_tbl["doc_id"], dtype=np.int64)
+    order = np.argsort(all_ids)
+    all_ids = all_ids[order]
+    sig_matrix = np.stack(sig_tbl["sig"].to_numpy()[order]).astype(np.uint64)
+    ids_ref = ray.put(all_ids)
+    sig_ref = ray.put(sig_matrix)
 
-    _t = pq.read_table(docs_path, columns=["doc_id", "text"])
-    shingle_sets = {
-        d: frozenset(_shingles(t, ngram))
-        for d, t in zip(_t.column("doc_id").to_pylist(), _t.column("text").to_pylist())
-    }
-    sh_ref = ray.put(shingle_sets)
+    band_of = _band_hashes(sig_matrix, bands)
+    n = len(all_ids)
+    band_tbl = pa.table(
+        {
+            "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(band_of.T.reshape(-1).view(np.int64)),  # int64 view: uint64 > 2^63-1 breaks pandas->Arrow in map_groups
+            "doc_id": pa.array(np.tile(all_ids, bands)),
+        }
+    )
+    sig_ds = rd.from_arrow(band_tbl).repartition(8)
 
-    def _sig(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        ids = batch.column("doc_id").to_pylist()
-        sigs = minhash_signatures(texts, num_perm, ngram)
-        out = {"band": [], "band_hash": [], "doc_id": []}
-        for i, doc in enumerate(ids):
-            for bi in range(bands):
-                chunk = sigs[i, bi * rows_per_band : (bi + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                out["band"].append(bi)
-                out["band_hash"].append(h)
-                out["doc_id"].append(doc)
+    from .shuffle import partitioned_map_groups
+
+    def _partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """All rows of any (band, band_hash) bucket are co-located here.
+        Vectorized singleton drop (duplicated mask), then a Python loop over
+        only the COLLIDING buckets (rare by construction)."""
+        d = df[df.duplicated(["band", "band_hash"], keep=False)]
+        if d.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        a_out, b_out = [], []
+        for _, g in d.groupby(["band", "band_hash"], sort=False):
+            ids = np.sort(g["doc_id"].to_numpy())[:max_bucket]
+            i, j = np.triu_indices(len(ids), k=1)
+            a_out.append(ids[i])
+            b_out.append(ids[j])
+        return pd.DataFrame(
+            {"a": np.concatenate(a_out), "b": np.concatenate(b_out)}
+        ).drop_duplicates()
+
+    def _dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["a", "b"])
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        sigs = ray.get(sig_ref)
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        ai = np.searchsorted(ids, a)
+        bi = np.searchsorted(ids, b)
+        est = (sigs[ai] == sigs[bi]).mean(axis=1)
+        keep = est >= threshold
         return pa.table(
             {
-                "band": pa.array(out["band"], pa.int32()),
-                "band_hash": pa.array(out["band_hash"], pa.string()),
-                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "jaccard": pa.array(est[keep], pa.float64()),
             }
         )
 
-    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())[:max_bucket]
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-        sets = ray.get(sh_ref)
-        a_out, b_out, j_out = [], [], []
-        for i in range(len(ids)):
-            sa = sets[ids[i]]
-            for j in range(i + 1, len(ids)):
-                sb = sets[ids[j]]
-                union = len(sa | sb)
-                jac = (len(sa & sb) / union) if union else 1.0
-                if jac >= threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    j_out.append(jac)
-        return pd.DataFrame({"a": a_out, "b": b_out, "jaccard": j_out})
-
-    def _dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    sig_ds = rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
-        _sig, batch_format="pyarrow", batch_size=512
+    pairs = partitioned_map_groups(sig_ds, ["band", "band_hash"], _partition_pairs)
+    # the same pair surfaces from several bands — hash-partitioned dedup on
+    # (a, b), then one vectorized verify pass over unique candidates
+    return partitioned_map_groups(pairs, ["a", "b"], _dedup_pairs).map_batches(
+        _verify, batch_format="pyarrow"
     )
-    # nearly all band buckets are singletons; per-group map_groups overhead
-    # on them dwarfs the real work. Semi-join first: a cheap native count
-    # aggregate finds buckets with >=2 members, their keys broadcast via
-    # ray.put, and only colliding rows enter the expensive pairing groupby.
-    counts = sig_ds.groupby(["band", "band_hash"]).count().to_pandas()
-    hot = counts[counts["count()"] >= 2]
-    hot_keys = ray.put(set(zip(hot["band"].tolist(), hot["band_hash"].tolist())))
-
-    def _only_hot(batch: pa.Table) -> pa.Table:
-        keys = ray.get(hot_keys)
-        mask = [
-            (b, h) in keys
-            for b, h in zip(batch.column("band").to_pylist(), batch.column("band_hash").to_pylist())
-        ]
-        return batch.filter(pa.array(mask))
-
-    pairs = (
-        sig_ds.map_batches(_only_hot, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
-    )
-    # the same pair can surface from several bands — dedup on (a, b)
-    return pairs.groupby(["a", "b"]).map_groups(_dedup_pairs, batch_format="pandas")
 
 
 def dedup_minhash(docs_path: str, **kwargs) -> rd.Dataset:
@@ -237,21 +292,20 @@ def dedup_minhash(docs_path: str, **kwargs) -> rd.Dataset:
 
 
 def simhash64(text: str) -> int:
-    """Classic 64-bit SimHash over whitespace tokens."""
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    one = np.uint64(1)
-    for tok in text.lower().split():
-        h = np.uint64(
-            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-        )
-        bits = (h >> shifts) & one
-        acc += np.where(bits == one, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    """Classic 64-bit SimHash over whitespace tokens — vectorized: hash
+    unique tokens once, unpack all bits at once, weighted column sums."""
+    toks = text.lower().split()
+    if not toks:
+        return 0
+    th = _token_hashes(toks)
+    # (T, 64) bit matrix via byte view + unpackbits (little-endian bit 0
+    # first to match 1 << i)
+    bits = np.unpackbits(
+        th.view(np.uint8).reshape(len(th), 8), axis=1, bitorder="little"
+    ).astype(np.int32)
+    acc = (2 * bits - 1).sum(axis=0)
+    out = np.packbits((acc > 0).astype(np.uint8), bitorder="little")
+    return int(out.view(np.uint64)[0])
 
 
 def simhash_dup_pairs(docs_path: str, max_hamming: int = 3) -> rd.Dataset:
@@ -259,61 +313,66 @@ def simhash_dup_pairs(docs_path: str, max_hamming: int = 3) -> rd.Dataset:
     Hamming distance 3 shares at least one exact chunk) + Hamming verify."""
 
     def _sig(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        sigs = [simhash64(t) for t in batch.column("text").to_pylist()]
-        out = {"chunk": [], "chunk_val": [], "doc_id": [], "sig": []}
-        for d, s in zip(ids, sigs):
-            for c in range(4):
-                out["chunk"].append(c)
-                out["chunk_val"].append((s >> (16 * c)) & 0xFFFF)
-                out["doc_id"].append(d)
-                out["sig"].append(s)
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        sigs = np.array(
+            [simhash64(t) for t in batch.column("text").to_pylist()], dtype=np.uint64
+        )
+        n = len(ids)
+        chunks = np.repeat(np.arange(4, dtype=np.int32), n)
+        shift = (chunks.astype(np.uint64)) * np.uint64(16)
+        tiled = np.tile(sigs, 4)
         return pa.table(
             {
-                "chunk": pa.array(out["chunk"], pa.int32()),
-                "chunk_val": pa.array(out["chunk_val"], pa.int64()),
-                "doc_id": pa.array(out["doc_id"], pa.int64()),
-                "sig": pa.array(out["sig"], pa.uint64()),
+                "chunk": pa.array(chunks),
+                "chunk_val": pa.array(
+                    ((tiled >> shift) & np.uint64(0xFFFF)).astype(np.int64)
+                ),
+                "doc_id": pa.array(np.tile(ids, 4)),
+                # int64 view: uint64 > 2^63-1 breaks pandas->Arrow round-trips
+                "sig": pa.array(tiled.view(np.int64)),
             }
         )
 
-    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        sigs = g["sig"].tolist()
-        a_out, b_out, h_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ham = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
-                if ham <= max_hamming:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    h_out.append(ham)
-        return pd.DataFrame({"a": a_out, "b": b_out, "hamming": h_out})
+    def _partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized singleton drop, then per-colliding-bucket pair
+        generation with numpy Hamming (XOR + unpackbits)."""
+        d = df[df.duplicated(["chunk", "chunk_val"], keep=False)]
+        if d.empty:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "hamming": pd.Series(dtype="int64"),
+                }
+            )
+        frames = []
+        for _, g in d.groupby(["chunk", "chunk_val"], sort=False):
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            sigs = g["sig"].to_numpy().astype(np.int64).view(np.uint64)
+            i, j = np.triu_indices(len(ids), k=1)
+            x = (sigs[i] ^ sigs[j]).copy()
+            ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+            keep = ham <= max_hamming
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "a": ids[i][keep],
+                        "b": ids[j][keep],
+                        "hamming": ham[keep].astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True).drop_duplicates(["a", "b"])
 
-    import ray
+    from .shuffle import partitioned_map_groups
 
     sig_ds = rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
         _sig, batch_format="pyarrow", batch_size=512
     )
-    # same singleton-bucket semi-join as the MinHash path
-    counts = sig_ds.groupby(["chunk", "chunk_val"]).count().to_pandas()
-    hot = counts[counts["count()"] >= 2]
-    hot_keys = ray.put(set(zip(hot["chunk"].tolist(), hot["chunk_val"].tolist())))
-
-    def _only_hot(batch: pa.Table) -> pa.Table:
-        keys = ray.get(hot_keys)
-        mask = [
-            (c, v) in keys
-            for c, v in zip(batch.column("chunk").to_pylist(), batch.column("chunk_val").to_pylist())
-        ]
-        return batch.filter(pa.array(mask))
-
-    pairs = (
-        sig_ds.map_batches(_only_hot, batch_format="pyarrow")
-        .groupby(["chunk", "chunk_val"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
-    )
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    pairs = partitioned_map_groups(sig_ds, ["chunk", "chunk_val"], _partition_pairs)
+    # the same pair surfaces from several chunks (identical hamming) —
+    # hash-partitioned drop_duplicates
+    return partitioned_map_groups(
+        pairs, ["a", "b"], lambda df: df.drop_duplicates(["a", "b"])
     )

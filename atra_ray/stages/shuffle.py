@@ -1,0 +1,70 @@
+"""Partition-wise shuffle helpers.
+
+Ray Data's native ``groupby(...)`` aggregates pay a per-DISTINCT-KEY Python
+cost on the map side (sort_and_partition + per-key combine). For
+high-cardinality keys (URL dedup, content fingerprints, LSH buckets) that
+overhead dwarfs the real work: a 500k-row count() over 150k keys measures
+~6-25 s on 8 CPUs while the equivalent vectorized pandas/pyarrow groupby is
+milliseconds.
+
+``partitioned_map_groups`` keeps the SAME all-to-all shuffle semantics but
+keys the exchange by a LOW-cardinality partition id (``hash(key) % P``), so
+Ray's machinery only sees P groups; the per-key work happens inside each
+partition with vectorized pandas. This is exactly how the exchange looks on
+a real cluster too: P ∝ cluster size × a small factor, each partition a
+single reduce task, skew bounded by the hash. Rows move once; no
+driver-side collection.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+import ray.data as rd
+
+__all__ = ["partitioned_map_groups", "HASH_KEY_SEED"]
+
+HASH_KEY_SEED = "atra-ray-partition"
+
+
+def _part_id(df: pd.DataFrame, key_cols: list[str], num_partitions: int) -> pd.Series:
+    """Deterministic vectorized partition id over one or more key columns
+    (pd.util.hash_pandas_object: stable for a fixed hash_key)."""
+    h = pd.util.hash_pandas_object(
+        df[key_cols].set_index(pd.RangeIndex(len(df))),  # ignore caller index
+        index=False,
+        hash_key=HASH_KEY_SEED.ljust(16)[:16],
+    )
+    return (h % num_partitions).astype("int64")
+
+
+def partitioned_map_groups(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Hash-partition rows on ``key_cols`` into ``num_partitions`` buckets
+    and apply ``fn`` once per PARTITION (not per key).
+
+    ``fn`` receives every row of its partition (all rows of any given key
+    co-located) and must do its own per-key grouping — vectorized
+    (``df.groupby``, ``drop_duplicates``, ``duplicated`` masks), never a
+    Python loop over keys. The ``_part`` column is internal and dropped
+    before ``fn`` runs.
+    """
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_part"] = _part_id(df, key_cols, num_partitions)
+        return df
+
+    def _apply(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns=["_part"]))
+
+    return (
+        ds.map_batches(_tag, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(_apply, batch_format="pandas")
+    )
