@@ -252,11 +252,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         # generator-oracle columns: the pages table carries the exact text
         # the engine must extract (byte-identical) and the expected links
-        "extract_text": f"SELECT url, text FROM read_parquet('{fx}/pages.parquet')",
+        "extract_text": f"SELECT url, text FROM read_parquet('{fx}/pages.parquet/*.parquet')",
         "extract_links": (
             f"SELECT url, target, origin, kind FROM read_parquet('{fx}/links_oracle.parquet')"
         ),
-        "detect_language_pages": f"SELECT url, lang FROM read_parquet('{fx}/pages.parquet')",
+        "detect_language_pages": f"SELECT url, lang FROM read_parquet('{fx}/pages.parquet/*.parquet')",
         # simulator oracles (single-threaded reference implementation)
         "crawl_seen": (
             f"SELECT url, kind, is_seed, dow, dts, tds FROM read_parquet('{od}/crawl_seen.parquet')"

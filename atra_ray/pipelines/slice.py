@@ -17,7 +17,7 @@ import ray.data as rd
 from ..config import ExtractionConfig
 from ..stages.extract import extract_batch
 
-__all__ = ["extract_pages", "exploded_links"]
+__all__ = ["extract_pages", "extract_pages_fused", "exploded_links"]
 
 # rows are ~1-20 KB of html; 256 rows/batch keeps per-task memory in the
 # low MBs while amortizing task overhead
@@ -43,6 +43,40 @@ def extract_pages(
         return extract_batch(batch, cfg)
 
     return ds.map_batches(_extract, batch_format="pyarrow", batch_size=batch_size)
+
+
+def extract_pages_fused(
+    shard_paths: list[str],
+    cfg: ExtractionConfig | None = None,
+) -> rd.Dataset:
+    """Shard-level fused read+extract: one map task per parquet shard file,
+    reading (url, html) INSIDE the task.
+
+    Two scale effects vs the generic ``read_parquet`` path: (1) the html
+    binary column never crosses the object store — a read operator would
+    hand every page body to the extract operator via plasma; (2) per-task
+    arrow reads run single-threaded (``use_threads=False``), the correct
+    accounting for a 1-CPU task on a shared cluster (hidden reader threads
+    oversubscribe nodes and fake low-parallelism throughput). Shard files
+    are the natural work unit of the 100-TB layout; a skewed shard is
+    bounded by the writer's max shard size.
+    """
+    import pyarrow.parquet as pq
+
+    cfg = cfg or ExtractionConfig()
+
+    def _read_extract(batch):
+        import pyarrow as pa
+
+        out = []
+        for path in batch["path"].to_pylist():
+            t = pq.read_table(path, columns=["url", "html"], use_threads=False)
+            out.append(extract_batch(t, cfg))
+        return pa.concat_tables(out)
+
+    return rd.from_items([{"path": p} for p in shard_paths]).map_batches(
+        _read_extract, batch_format="pyarrow", batch_size=1
+    )
 
 
 def exploded_links(extracted: rd.Dataset) -> rd.Dataset:

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from ..functions.langdetect import LANG_STOPWORDS
 
 GLOBAL_SEED = 42
-GENERATOR_VERSION = "3"  # bump when generation rules change (invalidates caches)
+GENERATOR_VERSION = "5"  # bump when generation rules change (invalidates caches)
 EPOCH_US = 1_729_036_800_000_000  # 2024-10-16T00:00:00Z in microseconds
 
 _LANGS = ("eng", "deu", "fra", "spa")
@@ -398,9 +398,32 @@ def generate(out_dir: str | os.PathLike, sf: float, force: bool = False) -> Path
             "lang": pa.array(langs, pa.string()),
         }
     )
-    # small row groups so ray.data.read_parquet can split one file into
-    # many read tasks (a single row group caps read parallelism at 1)
-    pq.write_table(pages, out / "pages.parquet", row_group_size=4096)
+    # pages.parquet is a DIRECTORY of shard files: Ray Data parallelizes
+    # reads at file granularity (a single file = ONE serial read task +
+    # SplitBlocks, which caps scaling), and the 100-TB input this models is
+    # always many files. pyarrow/duckdb read the directory transparently.
+    pages_dir = out / "pages.parquet"
+    import shutil as _shutil
+
+    if pages_dir.is_file():
+        pages_dir.unlink()
+    _shutil.rmtree(pages_dir, ignore_errors=True)
+    pages_dir.mkdir(parents=True)
+    # ~1200 rows per shard, rows INTERLEAVED across shards: contiguous
+    # slices cluster hot hosts (Zipf skew) into heavy shards and the
+    # straggler tail eats the scaling efficiency; interleaving gives
+    # uniform task weights, which is what a real CC dump's randomized
+    # shard layout looks like too
+    n_shards = max(4, min(256, pages.num_rows // 1200 + 1))
+    import numpy as _np
+
+    for i in range(n_shards):
+        idx = _np.arange(i, pages.num_rows, n_shards)
+        if len(idx):
+            pq.write_table(
+                pages.take(idx), pages_dir / f"part-{i:05d}.parquet",
+                row_group_size=4096,
+            )
     pq.write_table(pa.table({k: pa.array(v, pa.string()) for k, v in link_rows.items()}), out / "links_oracle.parquet")
 
     # seeds: every 3rd host, path /p0 (always exists: k=0 never /blocked/),

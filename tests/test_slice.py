@@ -42,7 +42,7 @@ def test_slice_write_parquet_roundtrip(fixtures_small, tmp_path):
     ds = extract_pages(str(fixtures_small / "pages.parquet"))
     ds.write_parquet(str(out))
     back = pq.read_table(str(out))
-    n_pages = pq.read_metadata(fixtures_small / "pages.parquet").num_rows
+    n_pages = pq.read_table(fixtures_small / "pages.parquet", columns=["url"]).num_rows
     assert back.num_rows == n_pages
     # nested links survive the round trip
     assert pc.sum(pc.list_value_length(back["links"])).as_py() > 0
