@@ -58,6 +58,7 @@ def _ensure_oracles() -> None:
     )
     pq.write_table(sim["seen"], odir / "crawl_seen.parquet")
     pq.write_table(sim["order"], odir / "crawl_order.parquet")
+    pq.write_table(sim["edges"], odir / "crawl_edges.parquet")
     marker.write_text(fx_version)
 
 
@@ -149,6 +150,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         files = [str(p) for p in Path(out, "results").rglob("*.parquet")]
         return pads.dataset(files).to_table(columns=["url", "wave", "origin", "host_seq"])
 
+    def crawl_edges(sf_dir):
+        out = _crawl_out(sf_dir)
+        files = [str(p) for p in Path(out, "edges").rglob("*.parquet")]
+        return pads.dataset(files).to_table(columns=["src", "dst", "kind"])
+
+    def token_counts(sf_dir):
+        from atra_ray.stages.text_analysis import token_counts as _tc
+
+        return _tc(f"{sf_dir}/documents.parquet")
+
+    def embedding_dup_pairs(sf_dir):
+        from atra_ray.stages.similarity import embedding_dup_pairs as _ep
+
+        return _ep(f"{sf_dir}/embeddings.parquet", threshold=0.43).select_columns(
+            ["a", "b"]
+        )
+
+    def ann_ivf_topk(sf_dir):
+        from atra_ray.stages.similarity import ann_ivf_topk as _ivf
+
+        return _ivf(f"{sf_dir}/embeddings.parquet", num_queries=10, k=10)
+
     def doc_quality(sf_dir):
         from atra_ray.stages.text_analysis import doc_quality as _dq
 
@@ -224,6 +247,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "detect_language_pages": detect_language_pages,
         "crawl_seen": crawl_seen,
         "crawl_order": crawl_order,
+        "crawl_edges": crawl_edges,
+        "token_counts": token_counts,
+        "embedding_dup_pairs": embedding_dup_pairs,
+        "ann_ivf_topk": ann_ivf_topk,
         "doc_quality": doc_quality,
         "doc_fingerprints": doc_fingerprints,
         "lang_distribution": lang_distribution,
@@ -264,6 +291,21 @@ def oracle_sql() -> dict[str, str]:
         "crawl_order": (
             f"SELECT url, wave, origin, host_seq FROM read_parquet('{od}/crawl_order.parquet')"
         ),
+        "crawl_edges": (
+            f"SELECT src, dst, kind FROM read_parquet('{od}/crawl_edges.parquet')"
+        ),
+        # GPT-2-ish BPE pre-tokenizer classes; identical RE2 pattern both sides
+        "token_counts": r"""
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '[^ \t\n\r\f]+'))::BIGINT AS n_ws_tokens,
+                   length(regexp_extract_all(text, ' ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÿ0-9 \t\n\r\f]+'))::BIGINT AS n_bpe_tokens
+            FROM documents
+        """,
+        "embedding_dup_pairs": """
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.43
+        """,
         # documents-table operators (RE2 regex semantics on both sides)
         "doc_quality": f"""
             SELECT doc_id,

@@ -266,6 +266,19 @@ def run_crawl(
         )
         rows = [r for r, f in zip(rows, fresh) if f]
         ray.get(_push_routed(frontier, rows))
+        # web-graph seed edges (S6: web_graph.rs:36-44 Seed{origin, seed})
+        edir = out / "edges"
+        edir.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "src": pa.array([r["origin"] for r in rows], pa.string()),
+                    "dst": pa.array([r["url"] for r in rows], pa.string()),
+                    "kind": pa.array(["seed"] * len(rows), pa.string()),
+                }
+            ),
+            edir / "seeds.parquet",
+        )
 
     blacklist = [re.compile(p) for p in cfg.blacklist]
     cfg_ref = cfg  # closure capture (tiny)
@@ -404,6 +417,33 @@ def run_crawl(
             continue
 
         wave_results.write_parquet(str(out / "results" / f"round={wave}"))
+
+        def _edge_stage(batch: pa.Table) -> pa.Table:
+            """Web-graph link edges (S6: web_graph.rs Link{from,to}) —
+            every extracted on_seed/outgoing link, PRE budget/blacklist
+            (the graph records discovery, not admission)."""
+            import pyarrow.compute as pc
+
+            counts = pc.list_value_length(batch["links"]).fill_null(0)
+            src = batch["url"].take(
+                pa.array(
+                    [i for i, c in enumerate(counts.to_pylist()) for _ in range(c)],
+                    pa.int64(),
+                )
+            )
+            flat = pc.list_flatten(batch["links"])
+            t = pa.table(
+                {
+                    "src": src,
+                    "dst": pc.struct_field(flat, "target"),
+                    "kind": pc.struct_field(flat, "kind"),
+                }
+            )
+            return t.filter(pc.not_equal(t["kind"], "data"))
+
+        wave_results.map_batches(_edge_stage, batch_format="pyarrow").write_parquet(
+            str(out / "edges" / f"round={wave}")
+        )
         marks = wave_results.map_batches(_mark_stage, batch_format="pyarrow").to_pandas()
         status_counts = {
             "ok": int(marks["n_ok"].sum()),

@@ -72,7 +72,8 @@ def simulate_crawl(
     def frontier_shard(origin: str) -> FrontierShardState:
         return frontier[stable_hash64(origin) % num_frontier_shards]
 
-    # seeds
+    # seeds (+ web-graph Seed edges, S6)
+    edge_rows = {"src": [], "dst": [], "kind": []}
     for s in seeds:
         canon = canonicalize(s)
         if canon is None:
@@ -82,6 +83,9 @@ def simulate_crawl(
             continue
         if seen_shard(canon).check_and_add([canon], [True], [(0, 0, 0)])[0]:
             frontier_shard(origin).push([canon], [origin], [0], [0], [0], [True], [0])
+            edge_rows["src"].append(origin)
+            edge_rows["dst"].append(canon)
+            edge_rows["kind"].append("seed")
 
     order_rows = {"url": [], "wave": [], "origin": [], "host_seq": []}
     statuses = {"ok": 0, "miss": 0, "robots_denied": 0}
@@ -118,6 +122,12 @@ def simulate_crawl(
                 url, body, Depth(r["dow"], r["dts"], r["tds"]), cfg.extraction
             )
             for t_, o_, kind, dow, dts, tds in links:
+                if kind != "data":
+                    # web-graph Link edge: pre budget/blacklist (discovery,
+                    # not admission) — mirrors the engine's _edge_stage
+                    edge_rows["src"].append(url)
+                    edge_rows["dst"].append(t_)
+                    edge_rows["kind"].append(kind)
                 if kind == "data" or not t_.startswith(("http://", "https://")):
                     continue
                 torigin = origin_of(t_)
@@ -149,9 +159,17 @@ def simulate_crawl(
             "host_seq": pa.array(order_rows["host_seq"], pa.uint32()),
         }
     )
+    edges_table = pa.table(
+        {
+            "src": pa.array(edge_rows["src"], pa.string()),
+            "dst": pa.array(edge_rows["dst"], pa.string()),
+            "kind": pa.array(edge_rows["kind"], pa.string()),
+        }
+    )
     return {
         "seen": seen_table,
         "order": order_table,
+        "edges": edges_table,
         "fetched_ok": statuses["ok"],
         "statuses": statuses,
         "waves": wave,

@@ -23,7 +23,13 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-__all__ = ["ann_bruteforce_topk", "ann_lsh_topk", "load_query_matrix"]
+__all__ = [
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_dup_pairs",
+    "load_query_matrix",
+]
 
 
 def load_query_matrix(emb_path: str, num_queries: int) -> tuple[np.ndarray, np.ndarray]:
@@ -74,6 +80,126 @@ def ann_bruteforce_topk(emb_path: str, num_queries: int = 10, k: int = 10) -> rd
             out_q.extend([int(qid)] * len(cand_ids))
             out_v.extend(cand_ids.tolist())
             out_s.extend(cand_sims.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(_local_topk, batch_format="pyarrow", batch_size=4096)
+        .groupby("query_id")
+        .map_groups(_topk_merge(k), batch_format="pandas")
+    )
+
+
+def embedding_dup_pairs(
+    emb_path: str, threshold: float = 0.95
+) -> rd.Dataset:
+    """vec_id pairs (a < b) with cosine similarity >= threshold — the
+    embedding-cosine near-duplicate detector of a training-data pipeline.
+
+    Each map task computes a blocked matmul of its batch against the full
+    normalized matrix broadcast ONCE via ``ray.put`` (zero-copy numpy reads
+    per task; N·d floats — ~1 GB per 2M vectors at d=128). Emitting only
+    j > i halves the work and dedups structurally. At 10^9-vector scale the
+    broadcast side becomes LSH/IVF-bucketed (see ann_lsh_topk /
+    ann_ivf_topk) so each batch multiplies only against candidate buckets;
+    the per-batch blocked-matmul shape is unchanged.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    all_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(all_ids)
+    all_ids, m = all_ids[order], m[order]
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ref = ray.put((all_ids, m))
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        ids_, m_ = ray.get(ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        x = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sims = x @ m_.T  # (n, N)
+        # keep only partners with larger vec_id (a < b, no self, no dup)
+        larger = ids_[None, :] > ids[:, None]
+        hits = (sims >= threshold) & larger
+        ai, bj = np.nonzero(hits)
+        return pa.table(
+            {
+                "a": pa.array(ids[ai]),
+                "b": pa.array(ids_[bj]),
+                "cosine": pa.array(sims[ai, bj], pa.float64()),
+            }
+        )
+
+    return rd.read_parquet(emb_path, columns=["vec_id", "embedding"]).map_batches(
+        _pairs, batch_format="pyarrow", batch_size=2048
+    )
+
+
+def ann_ivf_topk(
+    emb_path: str,
+    num_queries: int = 10,
+    k: int = 10,
+    num_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> rd.Dataset:
+    """IVF-style approximate top-k: coarse centroids trained driver-side on
+    a deterministic sample (seeded k-means, few Lloyd steps), then each map
+    task scores only vectors whose nearest centroid is among the query's
+    ``n_probe`` closest centroids. The centroid table is the broadcast
+    small side; at scale the assignment becomes the partition key so probes
+    touch ~n_probe/num_centroids of the data."""
+    import pyarrow.parquet as pq
+
+    qids, qmat = load_query_matrix(emb_path, num_queries)
+
+    t = pq.read_table(emb_path, columns=["embedding"])
+    sample = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[:4096]
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=num_centroids, replace=False)]
+    for _ in range(5):  # Lloyd iterations (cosine ~ dot on normalized rows)
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(num_centroids):
+            rows = sample[assign == c]
+            if len(rows):
+                v = rows.mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    q_probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]  # (Q, n_probe)
+    probe_of: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in q_probe[qi]:
+            probe_of.setdefault(int(c), []).append(qi)
+    ref = ray.put((qids, qmat, cent, probe_of))
+
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        qids_, qmat_, cent_, probe_ = ray.get(ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist())
+        x = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        assign = np.argmax(x @ cent_.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for c in np.unique(assign):
+            q_idx = probe_.get(int(c))
+            if not q_idx:
+                continue
+            rows = assign == c
+            sub_ids, sub = ids[rows], x[rows]
+            sims = sub @ qmat_[q_idx].T
+            for ci, qi in enumerate(q_idx):
+                qid = int(qids_[qi])
+                mask = sub_ids != qid
+                out_q.extend([qid] * int(mask.sum()))
+                out_v.extend(sub_ids[mask].tolist())
+                out_s.extend(sims[mask, ci].tolist())
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),

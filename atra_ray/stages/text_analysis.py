@@ -21,8 +21,10 @@ __all__ = [
     "doc_fingerprints",
     "doc_language",
     "lang_distribution",
+    "token_counts",
     "TOKEN_RE",
     "STOPWORD_RE",
+    "BPE_TOKEN_RE",
 ]
 
 TOKEN_RE = r"[A-Za-z0-9]+"
@@ -84,6 +86,36 @@ def doc_fingerprints(docs_path: str) -> rd.Dataset:
 
     return rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
         _fp, batch_format="pyarrow"
+    )
+
+
+# GPT-2-style pre-tokenizer classes, RE2-compatible (no \p{L} shorthand
+# differences between pyarrow and DuckDB): word pieces with leading space,
+# digit runs, punctuation runs — the unit a BPE tokenizer would split on
+BPE_TOKEN_RE = r" ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÿ0-9 \t\n\r\f]+"
+
+
+def token_counts(docs_path: str) -> rd.Dataset:
+    """doc_id, n_ws_tokens (whitespace split), n_bpe_tokens (BPE-ish
+    pre-token count) — the token-budget accounting stage of a training-data
+    pipeline. Vectorized RE2 kernels; no shuffle."""
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_ws_tokens": pc.cast(
+                    pc.count_substring_regex(text, r"[^ \t\n\r\f]+"), pa.int64()
+                ),
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(text, BPE_TOKEN_RE), pa.int64()
+                ),
+            }
+        )
+
+    return rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        _counts, batch_format="pyarrow"
     )
 
 

@@ -78,6 +78,19 @@ def test_crawl_order_matches_simulator(crawl_pair):
     assert engine_order == _order_map(sim["order"])
 
 
+def test_web_graph_edges_match_simulator(crawl_pair):
+    """S6 web-graph sink: seed edges + per-wave link edges (pre
+    budget/blacklist) equal the simulator's edge multiset."""
+    sim, eng, out = crawl_pair
+    files = [str(p) for p in Path(out, "edges").rglob("*.parquet")]
+    t = pads.dataset(files).to_table(columns=["src", "dst", "kind"])
+    eng_edges = sorted(zip(*[t.column(c).to_pylist() for c in ("src", "dst", "kind")]))
+    st = sim["edges"]
+    sim_edges = sorted(zip(*[st.column(c).to_pylist() for c in ("src", "dst", "kind")]))
+    assert eng_edges == sim_edges
+    assert any(k == "seed" for _, _, k in eng_edges)
+
+
 def test_statuses_match(crawl_pair):
     sim, eng, out = crawl_pair
     t = _results_table(out, ["status"])

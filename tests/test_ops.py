@@ -196,3 +196,51 @@ def test_multimodal_stub_pipeline(ray_session, tmp_path):
     assert np.allclose(s._features(b"\x89PNGfake1"), s._features(b"\x89PNGfake1"))
     with pytest.raises(NotImplementedError):
         DecodeImageStage(fake=False)._features(b"x")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_counts():
+    import pyarrow.parquet as pq_
+    from atra_ray.stages.text_analysis import token_counts
+
+    got = token_counts("/root/testdata/sf0.001/documents.parquet").to_pandas()
+    src = pq_.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    assert len(got) == len(src)
+    row = got.set_index("doc_id").loc[src["doc_id"].iloc[0]]
+    text = src["text"].iloc[0]
+    assert row["n_ws_tokens"] == len(text.split())
+    assert row["n_bpe_tokens"] >= row["n_ws_tokens"]  # punctuation splits off
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_dup_pairs_matches_bruteforce():
+    import numpy as np_
+    import pyarrow.parquet as pq_
+    from atra_ray.stages.similarity import embedding_dup_pairs
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    got = embedding_dup_pairs(emb, threshold=0.4).to_pandas()
+    t = pq_.read_table(emb, columns=["vec_id", "embedding"])
+    ids = np_.asarray(t.column("vec_id").to_pylist())
+    m = np_.asarray(t.column("embedding").to_pylist(), dtype=np_.float64)
+    m = m / np_.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    i, j = np_.nonzero(np_.triu(sims >= 0.4, k=1))
+    want = {(int(ids[a]), int(ids[b])) for a, b in zip(i, j)}
+    assert {(int(a), int(b)) for a, b in zip(got["a"], got["b"])} == want
+    assert (got["a"] < got["b"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_ivf_recall():
+    from atra_ray.stages.similarity import ann_bruteforce_topk, ann_ivf_topk
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    exact = ann_bruteforce_topk(emb, num_queries=5, k=10).to_pandas()
+    approx = ann_ivf_topk(emb, num_queries=5, k=10).to_pandas()
+    # IVF probes 4/16 centroids: require decent recall, not equality
+    e = {(q, v) for q, v in zip(exact["query_id"], exact["vec_id"])}
+    a = {(q, v) for q, v in zip(approx["query_id"], approx["vec_id"])}
+    assert len(a & e) / len(e) >= 0.5
