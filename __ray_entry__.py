@@ -286,7 +286,8 @@ def oracle_sql() -> dict[str, str]:
         "detect_language_pages": f"SELECT url, lang FROM read_parquet('{fx}/pages.parquet/*.parquet')",
         # simulator oracles (single-threaded reference implementation)
         "crawl_seen": (
-            f"SELECT url, kind, is_seed, dow, dts, tds FROM read_parquet('{od}/crawl_seen.parquet')"
+            f"SELECT url, kind, is_seed, dow, dts, tds, crawled_wave "
+            f"FROM read_parquet('{od}/crawl_seen.parquet')"
         ),
         "crawl_order": (
             f"SELECT url, wave, origin, host_seq FROM read_parquet('{od}/crawl_order.parquet')"

@@ -362,36 +362,73 @@ def run_crawl(
              "checked": pa.array([len(urls)], pa.int64())}
         )
 
-    def _mark_stage(batch: pa.Table) -> pa.Table:
-        """Lifecycle upsert after the wave (T6): ok → ProcessedAndStored,
-        miss → InternalError; robots_denied stays Discovered. Also emits
-        the wave's status counts (saves a separate groupby pass)."""
-        import ray as _ray
+    def _make_mark_stage(mark_wave: int):
+        def _mark_stage(batch: pa.Table) -> pa.Table:
+            """Lifecycle upsert after the wave (T6): ok → ProcessedAndStored
+            (stamping the recrawl clock with the wave), miss → InternalError;
+            robots_denied stays Discovered. Also emits the wave's status
+            counts (saves a separate groupby pass)."""
+            import ray as _ray
 
-        urls = batch.column("url").to_pylist()
-        statuses = batch.column("status").to_pylist()
-        ns = len(seen_handles)
-        by: dict[tuple[int, int], list[str]] = {}
-        counts = {"ok": 0, "miss": 0, "robots_denied": 0}
-        for u, s in zip(urls, statuses):
-            counts[s] = counts.get(s, 0) + 1
-            if s == "ok":
-                kind = KIND_PROCESSED
-            elif s == "miss":
-                kind = KIND_ERROR
-            else:
-                continue
-            by.setdefault((stable_hash64(u) % ns, kind), []).append(u)
-        refs = [seen_handles[s].mark.remote(us, kind) for (s, kind), us in by.items()]
-        if refs:
-            _ray.get(refs)
-        return pa.table(
-            {
-                "n_ok": pa.array([counts["ok"]], pa.int64()),
-                "n_miss": pa.array([counts["miss"]], pa.int64()),
-                "n_denied": pa.array([counts["robots_denied"]], pa.int64()),
-            }
+            urls = batch.column("url").to_pylist()
+            statuses = batch.column("status").to_pylist()
+            ns = len(seen_handles)
+            by: dict[tuple[int, int], list[str]] = {}
+            counts = {"ok": 0, "miss": 0, "robots_denied": 0}
+            for u, s in zip(urls, statuses):
+                counts[s] = counts.get(s, 0) + 1
+                if s == "ok":
+                    kind = KIND_PROCESSED
+                elif s == "miss":
+                    kind = KIND_ERROR
+                else:
+                    continue
+                by.setdefault((stable_hash64(u) % ns, kind), []).append(u)
+            refs = [
+                seen_handles[s].mark.remote(us, kind, mark_wave)
+                for (s, kind), us in by.items()
+            ]
+            if refs:
+                _ray.get(refs)
+            return pa.table(
+                {
+                    "n_ok": pa.array([counts["ok"]], pa.int64()),
+                    "n_miss": pa.array([counts["miss"]], pa.int64()),
+                    "n_denied": pa.array([counts["robots_denied"]], pa.int64()),
+                }
+            )
+
+        return _mark_stage
+
+    def _recrawl_refill(at_wave: int) -> int:
+        """A5 recrawl scan: re-frontier every PROCESSED url whose cooldown
+        elapsed (simulated time = wave × wave_seconds). Bypasses the seen
+        check — recrawl is a deliberate re-visit, state stays PROCESSED
+        until the re-fetch re-stamps it."""
+        wave_seconds = cfg.delay_s * cfg.max_pages_per_host_per_wave
+        interval = cfg.budget.recrawl_interval_s
+        tables = ray.get(
+            [
+                s.recrawlable.remote(at_wave, interval, wave_seconds)
+                for s in seen_handles
+            ]
         )
+        rows = []
+        for t in tables:
+            for r in t.to_pylist():
+                origin = origin_of(r["url"])
+                if origin is None:
+                    continue
+                rows.append(
+                    {
+                        "url": r["url"], "origin": origin, "dow": r["dow"],
+                        "dts": r["dts"], "tds": r["tds"],
+                        "is_seed": r["is_seed"], "age": 0,
+                    }
+                )
+        if rows:
+            ray.get(_push_routed(frontier_handles, rows))
+        return len(rows)
 
     t0 = time.monotonic()
     total_fetched = 0
@@ -412,6 +449,14 @@ def run_crawl(
         if emitted == 0:
             pending = sum(ray.get([f.count.remote() for f in frontier]))
             if pending == 0:
+                if cfg.use_recrawl and cfg.budget.recrawl_interval_s is not None:
+                    refilled = _recrawl_refill(wave)
+                    if refilled:
+                        lineage.append(
+                            {"wave": wave, "recrawl_refill": refilled}
+                        )
+                        wave += 1
+                        continue
                 break
             wave += 1
             continue
@@ -444,7 +489,9 @@ def run_crawl(
         wave_results.map_batches(_edge_stage, batch_format="pyarrow").write_parquet(
             str(out / "edges" / f"round={wave}")
         )
-        marks = wave_results.map_batches(_mark_stage, batch_format="pyarrow").to_pandas()
+        marks = wave_results.map_batches(
+            _make_mark_stage(wave), batch_format="pyarrow"
+        ).to_pandas()
         status_counts = {
             "ok": int(marks["n_ok"].sum()),
             "miss": int(marks["n_miss"].sum()),

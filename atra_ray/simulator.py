@@ -98,6 +98,30 @@ def simulate_crawl(
         for t in batch_tables:
             rows.extend(t.to_pylist())
         if not rows:
+            pending = sum(f.count() for f in frontier)
+            if pending:
+                wave += 1
+                continue
+            # A5 recrawl refill (mirrors crawl.py's _recrawl_refill)
+            if cfg.use_recrawl and cfg.budget.recrawl_interval_s is not None:
+                wave_seconds = cfg.delay_s * cfg.max_pages_per_host_per_wave
+                refilled = 0
+                for s_ in seen:
+                    t = s_.recrawlable(
+                        wave, cfg.budget.recrawl_interval_s, wave_seconds
+                    )
+                    for r in t.to_pylist():
+                        torigin = origin_of(r["url"])
+                        if torigin is None:
+                            continue
+                        frontier_shard(torigin).push(
+                            [r["url"]], [torigin], [r["dow"]], [r["dts"]],
+                            [r["tds"]], [r["is_seed"]], [0],
+                        )
+                        refilled += 1
+                if refilled:
+                    wave += 1
+                    continue
             break
 
         wave_links: dict[str, tuple] = {}  # target -> (depth tuple, origin)
@@ -117,7 +141,7 @@ def simulate_crawl(
                 seen_shard(url).mark([url], KIND_ERROR)
                 continue
             statuses["ok"] += 1
-            seen_shard(url).mark([url], KIND_PROCESSED)
+            seen_shard(url).mark([url], KIND_PROCESSED, wave)
             _, _, _, _, _, links = extract_one(
                 url, body, Depth(r["dow"], r["dts"], r["tds"]), cfg.extraction
             )

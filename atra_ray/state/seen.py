@@ -55,7 +55,10 @@ class SeenShardState:
         self.num_bits = num_bits
         self.num_hashes = num_hashes
         self.bits = np.zeros(num_bits, dtype=bool)
-        # url -> [kind, is_seed, dow, dts, tds]
+        # url -> [kind, is_seed, dow, dts, tds, crawled_wave]
+        # crawled_wave: BSP wave of the last PROCESSED mark (-1 = never) —
+        # the recrawl-cooldown clock (T7, recrawl_management/mod.rs:49-70;
+        # simulated time = wave * wave_seconds)
         self.exact: dict[str, list] = {}
 
     def _positions(self, url: str) -> np.ndarray:
@@ -80,23 +83,50 @@ class SeenShardState:
                 out.append(False)
                 continue
             self._bloom_add(url)
-            self.exact[url] = [KIND_DISCOVERED, bool(seed), dow, dts, tds]
+            self.exact[url] = [KIND_DISCOVERED, bool(seed), dow, dts, tds, -1]
             out.append(True)
         return out
 
-    def mark(self, urls, kind: int) -> int:
-        """Monotone upsert of the lifecycle kind (merge-operator analog)."""
+    def mark(self, urls, kind: int, wave: int = -1) -> int:
+        """Monotone upsert of the lifecycle kind (merge-operator analog).
+        ``wave`` stamps the recrawl clock on PROCESSED marks."""
         n = 0
         for url in urls:
             rec = self.exact.get(url)
             if rec is None:
                 self._bloom_add(url)
-                self.exact[url] = [kind, False, 0, 0, 0]
+                self.exact[url] = [kind, False, 0, 0, 0, -1]
+                rec = self.exact[url]
                 n += 1
             elif kind > rec[0] or rec[0] == KIND_ERROR:
                 rec[0] = kind
                 n += 1
+            if kind == KIND_PROCESSED:
+                rec[0] = KIND_PROCESSED  # recrawl re-mark (kind already max)
+                rec[5] = wave
         return n
+
+    def recrawlable(self, wave: int, interval_s: float, wave_seconds: float) -> pa.Table:
+        """PROCESSED urls whose recrawl cooldown elapsed by ``wave`` (A5:
+        link_state/db.rs:99-137 scan + crawler.rs:264-300 cooldown)."""
+        urls, seeds, dows, dtss, tdss = [], [], [], [], []
+        for url, rec in self.exact.items():
+            if rec[0] == KIND_PROCESSED and rec[5] >= 0:
+                if (wave - rec[5]) * wave_seconds >= interval_s:
+                    urls.append(url)
+                    seeds.append(bool(rec[1]))
+                    dows.append(rec[2])
+                    dtss.append(rec[3])
+                    tdss.append(rec[4])
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "is_seed": pa.array(seeds, pa.bool_()),
+                "dow": pa.array(dows, pa.uint64()),
+                "dts": pa.array(dtss, pa.uint64()),
+                "tds": pa.array(tdss, pa.uint64()),
+            }
+        )
 
     def counts_by_kind(self) -> dict[int, int]:
         out: dict[int, int] = {}
@@ -106,7 +136,7 @@ class SeenShardState:
 
     def snapshot_table(self) -> pa.Table:
         urls = list(self.exact.keys())
-        cols = list(zip(*self.exact.values())) if urls else [[], [], [], [], []]
+        cols = list(zip(*self.exact.values())) if urls else [[]] * 6
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
@@ -115,6 +145,7 @@ class SeenShardState:
                 "dow": pa.array(cols[2], pa.uint64()),
                 "dts": pa.array(cols[3], pa.uint64()),
                 "tds": pa.array(cols[4], pa.uint64()),
+                "crawled_wave": pa.array(cols[5], pa.int32()),
             }
         )
 
@@ -133,10 +164,13 @@ class SeenShardState:
         t = pq.read_table(p)
         self.exact.clear()
         self.bits[:] = False
-        for url, kind, seed, dow, dts, tds in zip(
-            *[t.column(c).to_pylist() for c in ["url", "kind", "is_seed", "dow", "dts", "tds"]]
+        for url, kind, seed, dow, dts, tds, cw in zip(
+            *[
+                t.column(c).to_pylist()
+                for c in ["url", "kind", "is_seed", "dow", "dts", "tds", "crawled_wave"]
+            ]
         ):
-            self.exact[url] = [kind, seed, dow, dts, tds]
+            self.exact[url] = [kind, seed, dow, dts, tds, cw]
             self._bloom_add(url)
         return len(self.exact)
 

@@ -162,3 +162,36 @@ def test_resume_equals_uninterrupted(ray_session, fixtures_small, tmp_path):
     b = _seen_map(pq.read_table(Path(part_out) / "link_state.parquet"))
     assert a == b
     assert resumed["last_wave"] == full["last_wave"]
+
+
+def test_recrawl_refill(ray_session, fixtures_small, tmp_path_factory):
+    """A5: with use_recrawl + a short interval, drained frontiers refill
+    from PROCESSED link states and pages are re-fetched in later waves —
+    engine and simulator agree on the re-fetch trace."""
+    cfg = CrawlConfig(
+        budget=BudgetSetting(kind="absolute", depth=2, recrawl_interval_s=1.0),
+        use_recrawl=True,
+    )
+    out = str(tmp_path_factory.mktemp("recrawl") / "run")
+    seeds = (fixtures_small / "seeds.txt").read_text().split()[:2]
+    sim = simulate_crawl(
+        str(fixtures_small / "pages.parquet"),
+        str(fixtures_small / "robots.parquet"),
+        seeds, cfg, max_waves=6,
+    )
+    eng = run_crawl(
+        str(fixtures_small / "pages.parquet"),
+        str(fixtures_small / "robots.parquet"),
+        seeds, cfg, out, max_waves=6,
+    )
+    t = _results_table(out, ["url", "wave"])
+    eng_trace = sorted(zip(t.column("url").to_pylist(), t.column("wave").to_pylist()))
+    sim_trace = sorted(
+        zip(sim["order"].column("url").to_pylist(), sim["order"].column("wave").to_pylist())
+    )
+    assert eng_trace == sim_trace
+    # at least one url fetched in more than one wave
+    from collections import Counter
+
+    counts = Counter(u for u, _ in eng_trace)
+    assert max(counts.values()) >= 2

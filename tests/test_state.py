@@ -20,7 +20,7 @@ def test_seen_exactly_once():
     # second call: nothing new
     assert s.check_and_add(urls, [False] * 3, [(9, 9, 9)] * 3) == [False] * 3
     # first registration's depth is kept
-    assert s.exact["https://a/1"] == [KIND_DISCOVERED, True, 0, 0, 0]
+    assert s.exact["https://a/1"] == [KIND_DISCOVERED, True, 0, 0, 0, -1]
 
 
 def test_seen_mark_is_monotone():
