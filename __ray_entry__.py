@@ -167,6 +167,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["a", "b"]
         )
 
+    def gdbr_clean_pages(sf_dir):
+        from atra_ray.pipelines.slice import extract_pages
+        from atra_ray.stages.gdbr import gdbr_clean
+
+        fx = _fixture_dir(sf_dir)
+        ds = extract_pages(str(fx / "pages.parquet")).select_columns(
+            ["url", "text", "lang"]
+        )
+        return gdbr_clean(ds, concurrency=2).select_columns(
+            ["url", "gdbr_score"]
+        )
+
     def ann_ivf_topk(sf_dir):
         from atra_ray.stages.similarity import ann_ivf_topk as _ivf
 
@@ -251,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": token_counts,
         "embedding_dup_pairs": embedding_dup_pairs,
         "ann_ivf_topk": ann_ivf_topk,
+        "gdbr_clean_pages": gdbr_clean_pages,
         "doc_quality": doc_quality,
         "doc_fingerprints": doc_fingerprints,
         "lang_distribution": lang_distribution,

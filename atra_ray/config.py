@@ -54,6 +54,10 @@ class ExtractionConfig:
     crawl_forms: bool = True
     crawl_javascript: bool = True
     crawl_onclick_by_heuristic: bool = True
+    # M15: recurse into ZIP members re-running the extractor chain, capped
+    # (extraction/deflate.rs; depth cap extractor/mod.rs:116-129)
+    max_extraction_depth: int = 10
+    max_zip_members: int = 64
 
 
 @dataclass(frozen=True)

@@ -60,10 +60,66 @@ EXTRACT_SCHEMA = pa.schema(
 )
 
 
-def extract_one(url: str, body: bytes | None, depth: Depth, cfg: ExtractionConfig):
+def _extract_zip_links(
+    url: str, body: bytes, depth: Depth, cfg: ExtractionConfig, level: int
+) -> list:
+    """M15: unzip and re-run the extractor chain per member (bounded by
+    max_extraction_depth levels / max_zip_members entries); collect links.
+    Member links resolve against the ARCHIVE's url (the reference passes the
+    response url through, extraction/extractor_method.rs:172-270)."""
+    import io
+    import zipfile
+
+    links: list = []
+    try:
+        with zipfile.ZipFile(io.BytesIO(body)) as zf:
+            for info in zf.infolist()[: cfg.max_zip_members]:
+                if info.is_dir():
+                    continue
+                try:
+                    data = zf.read(info)
+                except Exception:
+                    continue
+                member_fmt = detect_format(info.filename, data)
+                if member_fmt == Format.ZIP:
+                    if level + 1 < cfg.max_extraction_depth:
+                        links.extend(
+                            _extract_zip_links(url, data, depth, cfg, level + 1)
+                        )
+                    continue
+                _, _, _, _, _, member_links = extract_one(
+                    url, data, depth, cfg, _zip_level=level + 1,
+                    _fmt_override=member_fmt,
+                )
+                links.extend(member_links)
+    except Exception:
+        return links  # corrupt archive: extract nothing, never poison
+    return links
+
+
+def extract_one(
+    url: str,
+    body: bytes | None,
+    depth: Depth,
+    cfg: ExtractionConfig,
+    *,
+    _zip_level: int = 0,
+    _fmt_override: str | None = None,
+):
     """Process one page -> (format, encoding, had_errors, text, lang, links).
     links = list[(target, origin, kind, dow, dts, tds)]."""
-    fmt = detect_format(url, body)
+    fmt = _fmt_override or detect_format(url, body)
+    if fmt == Format.ZIP and body is not None and _zip_level < cfg.max_extraction_depth:
+        zlinks = _extract_zip_links(url, bytes(body), depth, cfg, _zip_level)
+        # per-page dedup (A2) over the merged member links
+        seen_z = set()
+        uniq = []
+        for lk in zlinks:
+            key = (lk[0], lk[1])
+            if key not in seen_z:
+                seen_z.add(key)
+                uniq.append(lk)
+        return fmt, "none", False, None, "und", uniq
     if fmt not in DECODEABLE_FORMATS or body is None:
         return fmt, "none", False, None, "und", []
 
@@ -86,8 +142,14 @@ def extract_one(url: str, body: bytes | None, depth: Depth, cfg: ExtractionConfi
         from ..functions.extract_js import extract_js_links
 
         raw_links = sorted(("javascript_embedded", t) for t in extract_js_links(text_decoded))
+    elif fmt in (Format.XML, Format.SVG):
+        from ..functions.extract_xml import extract_xml_links
+
+        raw_links = sorted(("xml", t) for t in extract_xml_links(text_decoded))
+        if not raw_links:  # ApplyWhen::Fallback pass
+            raw_links = sorted(("raw", t) for t in extract_raw_links(bytes(body)))
     else:
-        # XML/JSON/SVG/…: raw fallback scan (ApplyWhen::Fallback)
+        # JSON/…: raw fallback scan (ApplyWhen::Fallback)
         raw_links = sorted(("raw", t) for t in extract_raw_links(bytes(body)))
 
     lang = detect_language(page_text)
