@@ -167,6 +167,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["a", "b"]
         )
 
+    def crawl_host_stats(sf_dir):
+        """Per-origin crawl stats (the 'per-host stats' shuffle of
+        SURVEY.md §4): fetched/denied/missed counts + max depth per origin,
+        hash-partitioned exchange (hot hosts bounded by the partition
+        hash, not a per-origin reducer)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from atra_ray.stages.shuffle import partitioned_map_groups
+
+        out = _crawl_out(sf_dir)
+        files = [str(p) for p in Path(out, "results").rglob("*.parquet")]
+        ds = rd.read_parquet(files, columns=["origin", "status", "tds"])
+
+        def _agg(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("origin")
+            return pd.DataFrame(
+                {
+                    "origin": g.size().index,
+                    "n_fetched": g.apply(lambda x: int((x["status"] == "ok").sum()), include_groups=False).values,
+                    "n_denied": g.apply(lambda x: int((x["status"] == "robots_denied").sum()), include_groups=False).values,
+                    "n_missed": g.apply(lambda x: int((x["status"] == "miss").sum()), include_groups=False).values,
+                    "max_tds": g["tds"].max().astype("int64").values,
+                }
+            )
+
+        return partitioned_map_groups(ds, ["origin"], _agg, num_partitions=8)
+
     def gdbr_clean_pages(sf_dir):
         from atra_ray.pipelines.slice import extract_pages
         from atra_ray.stages.gdbr import gdbr_clean
@@ -264,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": embedding_dup_pairs,
         "ann_ivf_topk": ann_ivf_topk,
         "gdbr_clean_pages": gdbr_clean_pages,
+        "crawl_host_stats": crawl_host_stats,
         "doc_quality": doc_quality,
         "doc_fingerprints": doc_fingerprints,
         "lang_distribution": lang_distribution,
@@ -308,6 +337,21 @@ def oracle_sql() -> dict[str, str]:
         "crawl_edges": (
             f"SELECT src, dst, kind FROM read_parquet('{od}/crawl_edges.parquet')"
         ),
+        # statuses live only in the engine's results; the simulator's order
+        # table carries (url, origin) and the robots/miss classification is
+        # derivable from seen kinds — simplest faithful oracle: recompute
+        # from the simulator's seen + order parquet
+        "crawl_host_stats": f"""
+            WITH o AS (SELECT url, origin FROM read_parquet('{od}/crawl_order.parquet')),
+                 s AS (SELECT url, kind, tds FROM read_parquet('{od}/crawl_seen.parquet'))
+            SELECT o.origin,
+                   sum(CASE WHEN s.kind = 3 THEN 1 ELSE 0 END)::BIGINT AS n_fetched,
+                   sum(CASE WHEN s.kind = 0 THEN 1 ELSE 0 END)::BIGINT AS n_denied,
+                   sum(CASE WHEN s.kind = 32 THEN 1 ELSE 0 END)::BIGINT AS n_missed,
+                   max(s.tds)::BIGINT AS max_tds
+            FROM o JOIN s USING (url)
+            GROUP BY o.origin
+        """,
         # GPT-2-ish BPE pre-tokenizer classes; identical RE2 pattern both sides
         "token_counts": r"""
             SELECT doc_id,

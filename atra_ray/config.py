@@ -73,6 +73,7 @@ class CrawlConfig:
     respect_robots_txt: bool = True
     blacklist: tuple[str, ...] = ()  # regex strings (blacklist/lists.rs:112-160)
     use_recrawl: bool = False
+    use_sitemaps: bool = False  # seed-origin sitemap expansion (crawler.rs:234-260)
     max_pages_per_host_per_wave: int = 64   # wave-level politeness budget
     user_agent: str = "atra-ray/0.1"
 

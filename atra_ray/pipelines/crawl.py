@@ -176,6 +176,7 @@ def run_crawl(
     cfg: CrawlConfig,
     out_dir: str,
     *,
+    sitemaps_path: str | None = None,
     num_frontier_shards: int = 4,
     num_seen_shards: int = 8,
     fetch_concurrency: int = 4,
@@ -266,6 +267,26 @@ def run_crawl(
         )
         rows = [r for r, f in zip(rows, fresh) if f]
         ray.get(_push_routed(frontier, rows))
+        if cfg.use_sitemaps and sitemaps_path:
+            from ..functions.sitemaps import sitemap_candidates
+
+            smt = pq.read_table(sitemaps_path)
+            sm_map = dict(
+                zip(
+                    smt.column("host").to_pylist(),
+                    smt.column("sitemap_xml").to_pylist(),
+                )
+            )
+            cand = sitemap_candidates(rows, sm_map, cfg)
+            sm_fresh = _seen_check(
+                seen,
+                [c["url"] for c in cand],
+                [False] * len(cand),
+                [(c["dow"], c["dts"], c["tds"]) for c in cand],
+            )
+            cand = [c for c, f in zip(cand, sm_fresh) if f]
+            if cand:
+                ray.get(_push_routed(frontier, cand))
         # web-graph seed edges (S6: web_graph.rs:36-44 Seed{origin, seed})
         edir = out / "edges"
         edir.mkdir(parents=True, exist_ok=True)

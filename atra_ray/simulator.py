@@ -35,6 +35,7 @@ def simulate_crawl(
     seeds: list[str],
     cfg: CrawlConfig,
     *,
+    sitemaps_path: str | None = None,
     num_frontier_shards: int = 4,
     num_seen_shards: int = 8,
     max_waves: int | None = None,
@@ -74,6 +75,7 @@ def simulate_crawl(
 
     # seeds (+ web-graph Seed edges, S6)
     edge_rows = {"src": [], "dst": [], "kind": []}
+    seed_rows = []
     for s in seeds:
         canon = canonicalize(s)
         if canon is None:
@@ -83,9 +85,26 @@ def simulate_crawl(
             continue
         if seen_shard(canon).check_and_add([canon], [True], [(0, 0, 0)])[0]:
             frontier_shard(origin).push([canon], [origin], [0], [0], [0], [True], [0])
+            seed_rows.append({"url": canon, "origin": origin})
             edge_rows["src"].append(origin)
             edge_rows["dst"].append(canon)
             edge_rows["kind"].append("seed")
+
+    if cfg.use_sitemaps and sitemaps_path:
+        from .functions.sitemaps import sitemap_candidates
+
+        smt = pq.read_table(sitemaps_path)
+        sm_map = dict(
+            zip(smt.column("host").to_pylist(), smt.column("sitemap_xml").to_pylist())
+        )
+        for c in sitemap_candidates(seed_rows, sm_map, cfg):
+            if seen_shard(c["url"]).check_and_add(
+                [c["url"]], [False], [(c["dow"], c["dts"], c["tds"])]
+            )[0]:
+                frontier_shard(c["origin"]).push(
+                    [c["url"]], [c["origin"]], [c["dow"]], [c["dts"]],
+                    [c["tds"]], [False], [0],
+                )
 
     order_rows = {"url": [], "wave": [], "origin": [], "host_seq": []}
     statuses = {"ok": 0, "miss": 0, "robots_denied": 0}

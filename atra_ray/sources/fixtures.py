@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from ..functions.langdetect import LANG_STOPWORDS
 
 GLOBAL_SEED = 42
-GENERATOR_VERSION = "5"  # bump when generation rules change (invalidates caches)
+GENERATOR_VERSION = "6"  # bump when generation rules change (invalidates caches)
 EPOCH_US = 1_729_036_800_000_000  # 2024-10-16T00:00:00Z in microseconds
 
 _LANGS = ("eng", "deu", "fra", "spa")
@@ -453,6 +453,32 @@ def generate(out_dir: str | os.PathLike, sf: float, force: bool = False) -> Path
         pa.table({"host": pa.array(rh, pa.string()),
                   "robots_txt": pa.array(rb, pa.binary())}),
         out / "robots.parquet",
+    )
+
+    # sitemaps.parquet: hosts h%6==0 publish a sitemap listing up to 10 of
+    # their pages — including ones unreachable via links (the value of
+    # sitemap expansion); served as a side table like robots (the sandbox
+    # fetches from tables, not HTTP)
+    sm_h, sm_b = [], []
+    for h in range(hosts):
+        if h % 6 != 0:
+            continue
+        locs = [
+            f"https://{host_name(h)}{_page_path(h, k)}"
+            for k in range(min(counts[h], 10))
+        ]
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            + "\n".join(f"  <url><loc>{u}</loc></url>" for u in locs)
+            + "\n</urlset>\n"
+        )
+        sm_h.append(host_name(h))
+        sm_b.append(xml.encode())
+    pq.write_table(
+        pa.table({"host": pa.array(sm_h, pa.string()),
+                  "sitemap_xml": pa.array(sm_b, pa.binary())}),
+        out / "sitemaps.parquet",
     )
 
     (out / "meta.json").write_text(json.dumps({"sf": sf, "seed": GLOBAL_SEED, "rows": row_idx, "hosts": hosts}))

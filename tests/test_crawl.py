@@ -195,3 +195,23 @@ def test_recrawl_refill(ray_session, fixtures_small, tmp_path_factory):
 
     counts = Counter(u for u, _ in eng_trace)
     assert max(counts.values()) >= 2
+
+
+def test_sitemap_expansion(ray_session, fixtures_small, tmp_path):
+    """Sitemap-listed pages (including link-unreachable ones) enter the
+    frontier as children of the seed; engine equals simulator."""
+    cfg = CrawlConfig(
+        budget=BudgetSetting(kind="absolute", depth=3), use_sitemaps=True
+    )
+    pages = str(fixtures_small / "pages.parquet")
+    robots = str(fixtures_small / "robots.parquet")
+    sitemaps = str(fixtures_small / "sitemaps.parquet")
+    seeds = (fixtures_small / "seeds.txt").read_text().split()
+    sim = simulate_crawl(pages, robots, seeds, cfg, sitemaps_path=sitemaps)
+    out = str(tmp_path / "sm")
+    run_crawl(pages, robots, seeds, cfg, out, sitemaps_path=sitemaps)
+    a = _seen_map(pq.read_table(Path(out) / "link_state.parquet"))
+    assert a == _seen_map(sim["seen"])
+    # without sitemaps, strictly fewer urls are discovered
+    base = simulate_crawl(pages, robots, seeds, CFG)
+    assert sim["seen"].num_rows > base["seen"].num_rows
