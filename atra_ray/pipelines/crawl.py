@@ -177,6 +177,7 @@ def run_crawl(
     out_dir: str,
     *,
     sitemaps_path: str | None = None,
+    redirects_path: str | None = None,
     num_frontier_shards: int = 4,
     num_seen_shards: int = 8,
     fetch_concurrency: int = 4,
@@ -228,8 +229,16 @@ def run_crawl(
         if delays:
             ray.get([f.set_delays.remote(delays) for f in frontier])
 
+    redirects_ref = None
+    if redirects_path:
+        rt = pq.read_table(redirects_path)
+        redirects_ref = ray.put(
+            dict(zip(rt.column("url").to_pylist(), rt.column("final_url").to_pylist()))
+        )
+
     fetch_fn = make_fetch_task(
-        handles.stores, robots_ref, cfg, page_store_partitions
+        handles.stores, robots_ref, cfg, page_store_partitions,
+        redirects_ref=redirects_ref,
     )
 
     start_wave = 0
@@ -491,7 +500,13 @@ def run_crawl(
             import pyarrow.compute as pc
 
             counts = pc.list_value_length(batch["links"]).fill_null(0)
-            src = batch["url"].take(
+            # src = the RESPONSE url (final redirect destination when set)
+            src_col = (
+                pc.coalesce(batch["final_url"], batch["url"])
+                if "final_url" in batch.column_names
+                else batch["url"]
+            )
+            src = src_col.take(
                 pa.array(
                     [i for i, c in enumerate(counts.to_pylist()) for _ in range(c)],
                     pa.int64(),

@@ -36,6 +36,7 @@ def simulate_crawl(
     cfg: CrawlConfig,
     *,
     sitemaps_path: str | None = None,
+    redirects_path: str | None = None,
     num_frontier_shards: int = 4,
     num_seen_shards: int = 8,
     max_waves: int | None = None,
@@ -45,6 +46,13 @@ def simulate_crawl(
 
     pages_t = pq.read_table(pages_path, columns=["url", "html"])
     pages = dict(zip(pages_t.column("url").to_pylist(), pages_t.column("html").to_pylist()))
+
+    redirects = {}
+    if redirects_path:
+        rt = pq.read_table(redirects_path)
+        redirects = dict(
+            zip(rt.column("url").to_pylist(), rt.column("final_url").to_pylist())
+        )
 
     robots = {}
     if robots_path and cfg.respect_robots_txt:
@@ -154,7 +162,8 @@ def simulate_crawl(
             if cfg.respect_robots_txt and not robots.get(host, ALLOW_ALL).is_allowed(url):
                 statuses["robots_denied"] += 1
                 continue
-            body = pages.get(url)
+            eff = redirects.get(url, url)
+            body = pages.get(eff)
             if body is None:
                 statuses["miss"] += 1
                 seen_shard(url).mark([url], KIND_ERROR)
@@ -162,13 +171,13 @@ def simulate_crawl(
             statuses["ok"] += 1
             seen_shard(url).mark([url], KIND_PROCESSED, wave)
             _, _, _, _, _, links = extract_one(
-                url, body, Depth(r["dow"], r["dts"], r["tds"]), cfg.extraction
+                eff, body, Depth(r["dow"], r["dts"], r["tds"]), cfg.extraction
             )
             for t_, o_, kind, dow, dts, tds in links:
                 if kind != "data":
                     # web-graph Link edge: pre budget/blacklist (discovery,
                     # not admission) — mirrors the engine's _edge_stage
-                    edge_rows["src"].append(url)
+                    edge_rows["src"].append(eff)
                     edge_rows["dst"].append(t_)
                     edge_rows["kind"].append(kind)
                 if kind == "data" or not t_.startswith(("http://", "https://")):

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from ..functions.langdetect import LANG_STOPWORDS
 
 GLOBAL_SEED = 42
-GENERATOR_VERSION = "6"  # bump when generation rules change (invalidates caches)
+GENERATOR_VERSION = "8"  # bump when generation rules change (invalidates caches)
 EPOCH_US = 1_729_036_800_000_000  # 2024-10-16T00:00:00Z in microseconds
 
 _LANGS = ("eng", "deu", "fra", "spa")
@@ -195,6 +195,13 @@ def _gen_page(h: int, k: int, hosts: int, counts: list[int]):
     if rng.random() < 0.05:
         j = rng.randrange(counts[h])
         nofollow_anchor = f"https://{host}{_page_path(h, j)}"
+
+    # redirect-source link: /r{j} 302s to /p{j} (redirects.parquet row
+    # written by generate()); exercises the final_redirect_destination path
+    if h % 8 == 3 and k % 7 == 0 and _robots_class(h) != "disallow_blocked":
+        j = rng.randrange(counts[h])
+        r_url = f"https://{host}/r{j}"
+        links.append((r_url, r_url, "href"))
 
     link_css = None
     if rng.random() < 0.10:
@@ -479,6 +486,22 @@ def generate(out_dir: str | os.PathLike, sf: float, force: bool = False) -> Path
         pa.table({"host": pa.array(sm_h, pa.string()),
                   "sitemap_xml": pa.array(sm_b, pa.binary())}),
         out / "sitemaps.parquet",
+    )
+
+    # redirects.parquet: every /r{j} url of the h%8==3 hosts 302s to /p{j}
+    # (the fetch layer resolves through this map; extraction then uses the
+    # FINAL url as base, like the reference's final_redirect_destination)
+    r_src, r_dst = [], []
+    for h in range(hosts):
+        if h % 8 != 3 or _robots_class(h) == "disallow_blocked":
+            continue
+        for j in range(counts[h]):
+            r_src.append(f"https://{host_name(h)}/r{j}")
+            r_dst.append(f"https://{host_name(h)}{_page_path(h, j)}")
+    pq.write_table(
+        pa.table({"url": pa.array(r_src, pa.string()),
+                  "final_url": pa.array(r_dst, pa.string())}),
+        out / "redirects.parquet",
     )
 
     (out / "meta.json").write_text(json.dumps({"sf": sf, "seed": GLOBAL_SEED, "rows": row_idx, "hosts": hosts}))

@@ -127,7 +127,13 @@ def make_pagestore_actor_cls():
     return PageStoreShard
 
 
-def make_fetch_task(store_handles, robots_ref, cfg: CrawlConfig, num_partitions: int):
+def make_fetch_task(
+    store_handles,
+    robots_ref,
+    cfg: CrawlConfig,
+    num_partitions: int,
+    redirects_ref=None,
+):
     """Build the STATELESS fetch+extract map_batches function for one crawl.
 
     Stateless tasks reuse warm Ray worker processes across waves (unlike an
@@ -145,18 +151,33 @@ def make_fetch_task(store_handles, robots_ref, cfg: CrawlConfig, num_partitions:
             _cache["robots"] = ray.get(robots_ref) if robots_ref is not None else {}
         return _cache["robots"]
 
+    def _redirects():
+        if "redirects" not in _cache:
+            _cache["redirects"] = (
+                ray.get(redirects_ref) if redirects_ref is not None else {}
+            )
+        return _cache["redirects"]
+
     def fetch_extract(batch: pa.Table) -> pa.Table:
         robots = _robots()
+        redirects = _redirects()
         urls = batch.column("url").to_pylist()
         dows = batch.column("dow").to_pylist()
         dtss = batch.column("dts").to_pylist()
         tdss = batch.column("tds").to_pylist()
         n = len(urls)
-        hosts = [u.split("/")[2] if "://" in u else "" for u in urls]
+        # redirect resolution (final_redirect_destination): body fetch and
+        # link-base use the FINAL url; frontier identity stays the original
+        finals = [redirects.get(u) for u in urls]
+        eff = [f if f is not None else u for f, u in zip(finals, urls)]
+        hosts = [u.split("/")[2] if "://" in u else "" for u in eff]
 
         allowed = [True] * n
         if cfg.respect_robots_txt:
-            for i, (u, h) in enumerate(zip(urls, hosts)):
+            # robots checked on the ORIGINAL url (pre-redirect, like the
+            # reference's pre-fetch check) against its own host
+            for i, u in enumerate(urls):
+                h = u.split("/")[2] if "://" in u else ""
                 r = robots.get(h)
                 if r is not None and not r.is_allowed(u):
                     allowed[i] = False
@@ -172,7 +193,7 @@ def make_fetch_task(store_handles, robots_ref, cfg: CrawlConfig, num_partitions:
         for part, idxs in by_part.items():
             refs.append(
                 store_handles[part % nstores].get_bodies.remote(
-                    part, [urls[i] for i in idxs]
+                    part, [eff[i] for i in idxs]
                 )
             )
             keys.append(idxs)
@@ -198,7 +219,7 @@ def make_fetch_task(store_handles, robots_ref, cfg: CrawlConfig, num_partitions:
                 links_col.append([])
                 continue
             fmt, enc, had_err, text, lang, links = extract_one(
-                urls[i], bodies[i], Depth(dows[i], dtss[i], tdss[i]), ecfg
+                eff[i], bodies[i], Depth(dows[i], dtss[i], tdss[i]), ecfg
             )
             fmts.append(fmt)
             encs.append(enc)
@@ -213,6 +234,7 @@ def make_fetch_task(store_handles, robots_ref, cfg: CrawlConfig, num_partitions:
             )
 
         out = {name: batch.column(name) for name in batch.column_names}
+        out["final_url"] = pa.array(finals, pa.string())
         out["status"] = pa.array(statuses, pa.string())
         out["format"] = pa.array(fmts, pa.string())
         out["encoding"] = pa.array(encs, pa.string())
@@ -319,6 +341,7 @@ class FetchExtract:
             )
 
         out = {name: batch.column(name) for name in batch.column_names}
+        out["final_url"] = pa.array(finals, pa.string())
         out["status"] = pa.array(statuses, pa.string())
         out["format"] = pa.array(fmts, pa.string())
         out["encoding"] = pa.array(encs, pa.string())

@@ -215,3 +215,27 @@ def test_sitemap_expansion(ray_session, fixtures_small, tmp_path):
     # without sitemaps, strictly fewer urls are discovered
     base = simulate_crawl(pages, robots, seeds, CFG)
     assert sim["seen"].num_rows > base["seen"].num_rows
+
+
+def test_redirects_resolved(ray_session, fixtures_small, tmp_path):
+    """Fetch resolves /r{j} through redirects.parquet: body + link base are
+    the FINAL url, frontier identity stays the original; engine == sim."""
+    pages = str(fixtures_small / "pages.parquet")
+    robots = str(fixtures_small / "robots.parquet")
+    redirects = str(fixtures_small / "redirects.parquet")
+    seeds = (fixtures_small / "seeds.txt").read_text().split()
+    sim = simulate_crawl(pages, robots, seeds, CFG, redirects_path=redirects)
+    out = str(tmp_path / "rd")
+    run_crawl(pages, robots, seeds, CFG, out, redirects_path=redirects)
+    assert _seen_map(pq.read_table(Path(out) / "link_state.parquet")) == _seen_map(sim["seen"])
+    t = _results_table(out, ["url", "final_url", "status"])
+    redirected = [
+        (u, f) for u, f, s in zip(
+            t.column("url").to_pylist(),
+            t.column("final_url").to_pylist(),
+            t.column("status").to_pylist(),
+        )
+        if f is not None and s == "ok"
+    ]
+    assert redirected, "at least one /r{j} url crawled through a redirect"
+    assert all("/r" in u and f.split("/")[2] == u.split("/")[2] for u, f in redirected)
