@@ -63,6 +63,32 @@ from ..state.seen import (
 __all__ = ["run_crawl", "CrawlHandles"]
 
 
+def _stub_fsspec_http() -> None:
+    """Ray's write_parquet path-resolution retries
+    ``from fsspec.implementations.http import HTTPFileSystem`` on EVERY
+    call (failed imports aren't cached); without aiohttp in the container,
+    two concurrent writes race on the partial module and one gets a bare
+    ImportError that Ray's ``except ModuleNotFoundError`` doesn't catch.
+    Pre-seeding a stub makes the import deterministic; the isinstance
+    check it feeds can never match a local filesystem anyway."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class _UnavailableHTTPFileSystem:  # never instantiated
+            pass
+
+        stub.HTTPFileSystem = _UnavailableHTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = stub
+
+
+_stub_fsspec_http()
+
+
 class CrawlHandles:
     """The crawl's distributed state: fixed-count shard actors, all created
     ONCE per crawl and reused across every wave (pool restarts per wave
@@ -491,8 +517,6 @@ def run_crawl(
             wave += 1
             continue
 
-        wave_results.write_parquet(str(out / "results" / f"round={wave}"))
-
         def _edge_stage(batch: pa.Table) -> pa.Table:
             """Web-graph link edges (S6: web_graph.rs Link{from,to}) —
             every extracted on_seed/outgoing link, PRE budget/blacklist
@@ -522,34 +546,55 @@ def run_crawl(
             )
             return t.filter(pc.not_equal(t["kind"], "data"))
 
-        wave_results.map_batches(_edge_stage, batch_format="pyarrow").write_parquet(
-            str(out / "edges" / f"round={wave}")
-        )
-        marks = wave_results.map_batches(
-            _make_mark_stage(wave), batch_format="pyarrow"
-        ).to_pandas()
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..stages.shuffle import partitioned_map_groups
+
+        def _run_links():
+            links_ds = wave_results.map_batches(_link_stage, batch_format="pyarrow")
+            # A1 min-depth dedup: hash-partitioned exchange keyed by
+            # target-url hash (low-cardinality partition ids for Ray,
+            # vectorized pandas min inside each partition — native groupby
+            # pays per-distinct-key Python cost, ruinous for URL keys)
+            deduped = partitioned_map_groups(
+                links_ds,
+                ["target"],
+                lambda df: df.groupby("target", as_index=False)["depth_key"].min(),
+                num_partitions=16,
+            )
+            return deduped.map_batches(_admit_stage, batch_format="pyarrow").to_pandas()
+
+        # the four post-fetch passes over the materialized wave are
+        # independent Dataset executions (3 sinks + the link/admit chain) —
+        # run them concurrently so wave wall = max, not sum, of their
+        # overheads. Safe concurrency: admission dedup depends on seen-set
+        # PRESENCE (established in earlier waves), mark only bumps kinds.
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_res = pool.submit(
+                wave_results.write_parquet, str(out / "results" / f"round={wave}")
+            )
+            f_edges = pool.submit(
+                lambda: wave_results.map_batches(
+                    _edge_stage, batch_format="pyarrow"
+                ).write_parquet(str(out / "edges" / f"round={wave}"))
+            )
+            f_marks = pool.submit(
+                lambda: wave_results.map_batches(
+                    _make_mark_stage(wave), batch_format="pyarrow"
+                ).to_pandas()
+            )
+            f_links = pool.submit(_run_links)
+            f_res.result()
+            f_edges.result()
+            marks = f_marks.result()
+            admit_tbl = f_links.result()
+
         status_counts = {
             "ok": int(marks["n_ok"].sum()),
             "miss": int(marks["n_miss"].sum()),
             "robots_denied": int(marks["n_denied"].sum()),
         }
         status_counts = {k: v for k, v in status_counts.items() if v}
-
-        from ..stages.shuffle import partitioned_map_groups
-
-        links_ds = wave_results.map_batches(_link_stage, batch_format="pyarrow")
-        # A1 min-depth dedup: hash-partitioned exchange keyed by target-url
-        # hash (low-cardinality partition ids for Ray, vectorized pandas
-        # min inside each partition — native groupby pays per-distinct-key
-        # Python cost, ruinous for URL-cardinality keys)
-        deduped = partitioned_map_groups(
-            links_ds,
-            ["target"],
-            lambda df: df.groupby("target", as_index=False)["depth_key"].min(),
-            num_partitions=16,
-        )
-        admit = deduped.map_batches(_admit_stage, batch_format="pyarrow")
-        admit_tbl = admit.to_pandas()
         if "admitted" in admit_tbl.columns:
             admitted = int(admit_tbl["admitted"].sum())
             checked = int(admit_tbl["checked"].sum())
