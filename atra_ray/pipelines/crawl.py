@@ -213,6 +213,7 @@ def run_crawl(
     max_waves: int | None = None,
     resume: bool = False,
     checkpoint_every: int = 1,
+    page_store_dir: str | None = None,
 ) -> dict:
     """Run (or resume) a crawl; returns a summary dict. Ray must already be
     initialised by the caller (never initialised here)."""
@@ -221,8 +222,12 @@ def run_crawl(
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    # page store is INPUT-derived (pages table partitioned by host hash) —
+    # callers may point several runs at one cached layout
     store_dir = build_page_store(
-        pages_path, str(out / "page_store"), page_store_partitions
+        pages_path,
+        page_store_dir or str(out / "page_store"),
+        page_store_partitions,
     )
 
     handles = CrawlHandles(

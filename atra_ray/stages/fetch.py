@@ -71,8 +71,16 @@ def build_page_store(pages_path: str, store_dir: str, num_partitions: int = 8) -
         ]
         return batch.append_column("part", pa.array(parts, pa.int32()))
 
+    # coalesce the read into few blocks: `partition_cols` writes one file
+    # per (task, partition), and shard loads pay an open() per file — with
+    # ~2×P read blocks the store stays ≲2P files per partition without any
+    # shuffle of the html payload
     (
-        rd.read_parquet(pages_path, columns=["url", "html"])
+        rd.read_parquet(
+            pages_path,
+            columns=["url", "html"],
+            override_num_blocks=num_partitions * 2,
+        )
         .map_batches(_part, batch_format="pyarrow")
         .write_parquet(str(store), partition_cols=["part"])
     )
