@@ -151,9 +151,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pads.dataset(files).to_table(columns=["url", "wave", "origin", "host_seq"])
 
     def crawl_edges(sf_dir):
-        out = _crawl_out(sf_dir)
-        files = [str(p) for p in Path(out, "edges").rglob("*.parquet")]
-        return pads.dataset(files).to_table(columns=["src", "dst", "kind"])
+        from atra_ray.pipelines.dump import edges_of_crawl
+
+        return edges_of_crawl(_crawl_out(sf_dir))
 
     def token_counts(sf_dir):
         from atra_ray.stages.text_analysis import token_counts as _tc

@@ -230,15 +230,7 @@ def run_crawl(
         page_store_partitions,
     )
 
-    handles = CrawlHandles(
-        num_frontier_shards,
-        num_seen_shards,
-        cfg,
-        seen_bits,
-        store_dir=store_dir,
-        num_partitions=page_store_partitions,
-        num_store_actors=min(page_store_partitions, max(2, fetch_concurrency // 4)),
-    )
+    handles = CrawlHandles(num_frontier_shards, num_seen_shards, cfg, seen_bits)
     frontier, seen = handles.frontier, handles.seen
 
     # robots parsed ONCE driver-side: crawl-delays feed the frontier
@@ -267,10 +259,22 @@ def run_crawl(
             dict(zip(rt.column("url").to_pylist(), rt.column("final_url").to_pylist()))
         )
 
-    fetch_fn = make_fetch_task(
-        handles.stores, robots_ref, cfg, page_store_partitions,
-        redirects_ref=redirects_ref,
-    )
+    from ..state.metrics import make_counter_actor_cls
+
+    counter = make_counter_actor_cls().remote()
+
+    def make_wave_fetch(wave_no: int):
+        """Per-wave fetch closure: same worker-level caches (module
+        globals), but the wave's results dir + mark stamp baked in — the
+        whole wave is ONE Dataset execution with in-task side effects."""
+        return make_fetch_task(
+            store_dir, robots_ref, cfg, page_store_partitions,
+            redirects_ref=redirects_ref,
+            seen_handles=seen,
+            counter_handle=counter,
+            results_dir=str(out / "results" / f"round={wave_no}"),
+            wave=wave_no,
+        )
 
     start_wave = 0
     lineage: list[dict] = []
@@ -359,33 +363,73 @@ def run_crawl(
         Budget runs PRE-dedup (a deeper duplicate may pass budget while the
         min-depth one fails under seed_only — the simulator filters before
         min too)."""
-        has_overrides = bool(cfg_ref.budgets_per_origin)
-        targets, keys = [], []
-        for links in batch.column("links").to_pylist():
-            if not links:
-                continue
-            for l in links:
-                if l["kind"] == "data":  # not crawlable (context.rs:261-269)
-                    continue
-                t = l["target"]
-                if not t.startswith(("http://", "https://")):
-                    continue
-                d = Depth(l["dow"], l["dts"], l["tds"])
-                budget = (
-                    cfg_ref.budget_for(origin_of(t))
-                    if has_overrides
-                    else cfg_ref.budget
+        import numpy as np
+
+        flat = pc.list_flatten(batch["links"])
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "target": pa.array([], pa.string()),
+                    "depth_key": pa.array([], pa.int64()),
+                }
+            )
+        target = pc.struct_field(flat, "target")
+        kind = pc.struct_field(flat, "kind")
+        dow = np.asarray(pc.struct_field(flat, "dow"), dtype=np.int64)
+        dts = np.asarray(pc.struct_field(flat, "dts"), dtype=np.int64)
+        tds = np.asarray(pc.struct_field(flat, "tds"), dtype=np.int64)
+
+        # data links aren't crawlable (context.rs:261-269); scheme filter
+        mask = np.asarray(pc.not_equal(kind, "data"))
+        mask &= np.asarray(
+            pc.or_(
+                pc.starts_with(target, "http://"), pc.starts_with(target, "https://")
+            )
+        )
+
+        # budget (M4), vectorized for the common single-budget config;
+        # per-origin overrides fall back to the scalar checker
+        if cfg_ref.budgets_per_origin:
+            tl = target.to_pylist()
+            bmask = np.fromiter(
+                (
+                    cfg_ref.budget_for(origin_of(t)).is_in_budget(
+                        Depth(a, b, c)
+                    )
+                    for t, a, b, c in zip(tl, dow, dts, tds)
+                ),
+                dtype=bool,
+                count=len(tl),
+            )
+            mask &= bmask
+        else:
+            b = cfg_ref.budget
+            if b.kind == "absolute":
+                if b.depth:
+                    mask &= tds < b.depth
+            elif b.kind == "seed_only":
+                mask &= (dts == 0) & (
+                    (dow < b.depth_on_website)
+                    if b.depth_on_website
+                    else np.ones(len(dow), dtype=bool)
                 )
-                if not budget.is_in_budget(d):
-                    continue
-                if any(p.search(t) for p in blacklist):
-                    continue
-                targets.append(t)
-                keys.append(d.tds * _SHIFT1 + d.dow * _SHIFT2 + d.dts)
+            elif b.kind == "normal":
+                if b.depth_on_website:
+                    mask &= dow < b.depth_on_website
+                mask &= dts <= b.depth
+            else:  # single_page
+                mask &= (dow == 0) & (dts == 0) & (tds == 0)
+
+        for p in blacklist:  # M5: RE2 unanchored search per pattern
+            mask &= ~np.asarray(pc.match_substring_regex(target, p.pattern))
+
+        keep = pa.array(mask)
         return pa.table(
             {
-                "target": pa.array(targets, pa.string()),
-                "depth_key": pa.array(keys, pa.int64()),
+                "target": target.filter(keep),
+                "depth_key": pa.array(
+                    (tds * _SHIFT1 + dow * _SHIFT2 + dts)[mask], pa.int64()
+                ),
             }
         )
 
@@ -423,44 +467,6 @@ def run_crawl(
              "checked": pa.array([len(urls)], pa.int64())}
         )
 
-    def _make_mark_stage(mark_wave: int):
-        def _mark_stage(batch: pa.Table) -> pa.Table:
-            """Lifecycle upsert after the wave (T6): ok → ProcessedAndStored
-            (stamping the recrawl clock with the wave), miss → InternalError;
-            robots_denied stays Discovered. Also emits the wave's status
-            counts (saves a separate groupby pass)."""
-            import ray as _ray
-
-            urls = batch.column("url").to_pylist()
-            statuses = batch.column("status").to_pylist()
-            ns = len(seen_handles)
-            by: dict[tuple[int, int], list[str]] = {}
-            counts = {"ok": 0, "miss": 0, "robots_denied": 0}
-            for u, s in zip(urls, statuses):
-                counts[s] = counts.get(s, 0) + 1
-                if s == "ok":
-                    kind = KIND_PROCESSED
-                elif s == "miss":
-                    kind = KIND_ERROR
-                else:
-                    continue
-                by.setdefault((stable_hash64(u) % ns, kind), []).append(u)
-            refs = [
-                seen_handles[s].mark.remote(us, kind, mark_wave)
-                for (s, kind), us in by.items()
-            ]
-            if refs:
-                _ray.get(refs)
-            return pa.table(
-                {
-                    "n_ok": pa.array([counts["ok"]], pa.int64()),
-                    "n_miss": pa.array([counts["miss"]], pa.int64()),
-                    "n_denied": pa.array([counts["robots_denied"]], pa.int64()),
-                }
-            )
-
-        return _mark_stage
-
     def _recrawl_refill(at_wave: int) -> int:
         """A5 recrawl scan: re-frontier every PROCESSED url whose cooldown
         elapsed (simulated time = wave × wave_seconds). Bypasses the seen
@@ -497,16 +503,30 @@ def run_crawl(
     while True:
         if max_waves is not None and wave >= start_wave + max_waves:
             break
+        t_wave = time.monotonic()
+        import shutil as _shutil
+
+        round_dir = out / "results" / f"round={wave}"
+        _shutil.rmtree(round_dir, ignore_errors=True)  # partial-wave re-run
         pop_refs = [f.pop_wave.remote(wave) for f in frontier]
-        # stateless fetch tasks (warm worker reuse across waves); page
-        # bodies come from the persistent PageStoreShard actors
+        # ONE Dataset execution per wave: stateless fetch tasks (warm
+        # worker reuse; page bodies via the module-level partition cache)
+        # that also mark link states, report status counts and write the
+        # round's results Parquet in-task. The wave table arrives as ONE
+        # block per frontier shard — far fewer than the CPU count — so the
+        # (tiny, url+ints) rows are repartitioned to fan the fetch out to
+        # the full pool; politeness was already enforced at pop time.
         wave_results = (
             rd.from_arrow_refs(pop_refs)
-            .map_batches(fetch_fn, batch_format="pyarrow", batch_size=batch_size)
-            .materialize()  # ONE wave pinned (politeness-bounded), reused 3×
+            .repartition(fetch_concurrency * 2)
+            .map_batches(
+                make_wave_fetch(wave), batch_format="pyarrow", batch_size=batch_size
+            )
+            .materialize()  # pinned for the link pass
         )
 
         emitted = wave_results.count()
+        t_fetch = time.monotonic()
         if emitted == 0:
             pending = sum(ray.get([f.count.remote() for f in frontier]))
             if pending == 0:
@@ -522,90 +542,37 @@ def run_crawl(
             wave += 1
             continue
 
-        def _edge_stage(batch: pa.Table) -> pa.Table:
-            """Web-graph link edges (S6: web_graph.rs Link{from,to}) —
-            every extracted on_seed/outgoing link, PRE budget/blacklist
-            (the graph records discovery, not admission)."""
-            import pyarrow.compute as pc
-
-            counts = pc.list_value_length(batch["links"]).fill_null(0)
-            # src = the RESPONSE url (final redirect destination when set)
-            src_col = (
-                pc.coalesce(batch["final_url"], batch["url"])
-                if "final_url" in batch.column_names
-                else batch["url"]
-            )
-            src = src_col.take(
-                pa.array(
-                    [i for i, c in enumerate(counts.to_pylist()) for _ in range(c)],
-                    pa.int64(),
-                )
-            )
-            flat = pc.list_flatten(batch["links"])
-            t = pa.table(
-                {
-                    "src": src,
-                    "dst": pc.struct_field(flat, "target"),
-                    "kind": pc.struct_field(flat, "kind"),
-                }
-            )
-            return t.filter(pc.not_equal(t["kind"], "data"))
-
-        from concurrent.futures import ThreadPoolExecutor
-
         from ..stages.shuffle import partitioned_map_groups
 
-        def _run_links():
-            links_ds = wave_results.map_batches(_link_stage, batch_format="pyarrow")
-            # A1 min-depth dedup: hash-partitioned exchange keyed by
-            # target-url hash (low-cardinality partition ids for Ray,
-            # vectorized pandas min inside each partition — native groupby
-            # pays per-distinct-key Python cost, ruinous for URL keys)
-            deduped = partitioned_map_groups(
-                links_ds,
-                ["target"],
-                lambda df: df.groupby("target", as_index=False)["depth_key"].min(),
-                num_partitions=16,
-            )
-            return deduped.map_batches(_admit_stage, batch_format="pyarrow").to_pandas()
-
-        # the four post-fetch passes over the materialized wave are
-        # independent Dataset executions (3 sinks + the link/admit chain) —
-        # run them concurrently so wave wall = max, not sum, of their
-        # overheads. Safe concurrency: admission dedup depends on seen-set
-        # PRESENCE (established in earlier waves), mark only bumps kinds.
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            f_res = pool.submit(
-                wave_results.write_parquet, str(out / "results" / f"round={wave}")
-            )
-            f_edges = pool.submit(
-                lambda: wave_results.map_batches(
-                    _edge_stage, batch_format="pyarrow"
-                ).write_parquet(str(out / "edges" / f"round={wave}"))
-            )
-            f_marks = pool.submit(
-                lambda: wave_results.map_batches(
-                    _make_mark_stage(wave), batch_format="pyarrow"
-                ).to_pandas()
-            )
-            f_links = pool.submit(_run_links)
-            f_res.result()
-            f_edges.result()
-            marks = f_marks.result()
-            admit_tbl = f_links.result()
+        # results write + link-state mark + status counts already happened
+        # INSIDE the fetch tasks; the only remaining pass is the link
+        # chain. A1 min-depth dedup: hash-partitioned exchange keyed by
+        # target-url hash (low-cardinality partition ids for Ray,
+        # vectorized pandas min inside each partition — native groupby
+        # pays per-distinct-key Python cost, ruinous for URL keys).
+        # Web-graph edges are NOT a separate sink: they're a projection of
+        # the results' links column, derived on demand (dump.edges_of_crawl).
+        links_ds = wave_results.map_batches(_link_stage, batch_format="pyarrow")
+        deduped = partitioned_map_groups(
+            links_ds,
+            ["target"],
+            lambda df: df.groupby("target", as_index=False)["depth_key"].min(),
+            num_partitions=16,
+        )
+        admit_tbl = deduped.map_batches(
+            _admit_stage, batch_format="pyarrow"
+        ).to_pandas()
 
         status_counts = {
-            "ok": int(marks["n_ok"].sum()),
-            "miss": int(marks["n_miss"].sum()),
-            "robots_denied": int(marks["n_denied"].sum()),
+            k: v for k, v in ray.get(counter.get.remote(wave)).items() if v
         }
-        status_counts = {k: v for k, v in status_counts.items() if v}
         if "admitted" in admit_tbl.columns:
             admitted = int(admit_tbl["admitted"].sum())
             checked = int(admit_tbl["checked"].sum())
         else:  # empty wave: no link batches flowed at all
             admitted = checked = 0
 
+        t_passes = time.monotonic()
         total_fetched += status_counts.get("ok", 0)
         lineage.append(
             {
@@ -614,6 +581,8 @@ def run_crawl(
                 "status": status_counts,
                 "links_checked": checked,
                 "links_admitted": admitted,
+                "t_fetch_s": round(t_fetch - t_wave, 3),
+                "t_passes_s": round(t_passes - t_fetch, 3),
             }
         )
 
@@ -626,6 +595,7 @@ def run_crawl(
             )
             (chk_dir / "lineage.json").write_text(json.dumps(lineage))
             (chk_dir / "_SUCCESS").touch()
+            lineage[-1]["t_checkpoint_s"] = round(time.monotonic() - t_passes, 3)
         wave += 1
 
     wall = time.monotonic() - t0
@@ -645,4 +615,5 @@ def run_crawl(
     }
     (out / "summary.json").write_text(json.dumps(summary, indent=1))
     handles.kill()
+    ray.kill(counter)
     return summary

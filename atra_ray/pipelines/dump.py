@@ -39,3 +39,43 @@ def dump_crawl(
 
     files = [str(p) for p in Path(crawl_out_dir, "results").rglob("*.parquet")]
     return pads.dataset(files).count_rows()
+
+
+def edges_of_crawl(crawl_out_dir: str):
+    """Web-graph edges (S6) derived from the crawl output: the seed edges
+    written at seeding plus a projection of every result row's links column
+    (src = response url — final redirect destination when set; data links
+    excluded; pre budget/blacklist: the graph records discovery, not
+    admission). Returns a pyarrow Table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tabs = []
+    seeds = Path(crawl_out_dir, "edges", "seeds.parquet")
+    if seeds.exists():
+        tabs.append(pq.read_table(seeds))
+    files = [str(p) for p in Path(crawl_out_dir, "results").rglob("*.parquet")]
+    for f in files:
+        batch = pq.read_table(f, columns=["url", "final_url", "links"])
+        counts = pc.list_value_length(batch["links"]).fill_null(0)
+        src_col = pc.coalesce(batch["final_url"], batch["url"])
+        src = src_col.take(
+            pa.array(
+                [i for i, c in enumerate(counts.to_pylist()) for _ in range(c)],
+                pa.int64(),
+            )
+        )
+        flat = pc.list_flatten(batch["links"])
+        t = pa.table(
+            {
+                "src": src,
+                "dst": pc.struct_field(flat, "target"),
+                "kind": pc.struct_field(flat, "kind"),
+            }
+        )
+        tabs.append(t.filter(pc.not_equal(t["kind"], "data")))
+    return pa.concat_tables(tabs) if tabs else pa.table(
+        {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string()),
+         "kind": pa.array([], pa.string())}
+    )

@@ -36,6 +36,7 @@ from ..functions.robots import ALLOW_ALL, parse_robots
 from ..functions.urlkit import Depth, stable_hash64
 from ..stages.extract import LINK_STRUCT, extract_one
 from ..state.frontier import FRONTIER_SCHEMA
+from ..state.seen import KIND_ERROR, KIND_PROCESSED
 
 __all__ = ["FetchExtract", "build_page_store", "RESULT_SCHEMA"]
 
@@ -135,36 +136,85 @@ def make_pagestore_actor_cls():
     return PageStoreShard
 
 
+# Per-WORKER-PROCESS caches, module-level so they survive across the
+# per-wave fetch closures (a closure-level slot would reset every wave):
+# store_dir -> LRU of partition dicts; object-ref hex -> deserialized value.
+_WORKER_PART_CACHE: dict[str, OrderedDict] = {}
+_WORKER_REF_CACHE: dict[str, object] = {}
+
+
+def _cached_ref(ref):
+    import ray
+
+    if ref is None:
+        return {}
+    key = ref.hex()
+    if key not in _WORKER_REF_CACHE:
+        _WORKER_REF_CACHE[key] = ray.get(ref)
+    return _WORKER_REF_CACHE[key]
+
+
+def _cached_partition(
+    store_dir: str, part: int, max_cached: int = 16
+) -> dict[str, bytes]:
+    parts = _WORKER_PART_CACHE.setdefault(store_dir, OrderedDict())
+    hit = parts.get(part)
+    if hit is not None:
+        parts.move_to_end(part)
+        return hit
+    lookup: dict[str, bytes] = {}
+    pdir = Path(store_dir) / f"part={part}"
+    if pdir.exists():
+        for f in sorted(pdir.glob("*.parquet")):
+            t = pq.read_table(f, columns=["url", "html"], use_threads=False)
+            lookup.update(
+                zip(t.column("url").to_pylist(), t.column("html").to_pylist())
+            )
+    parts[part] = lookup
+    if len(parts) > max_cached:
+        parts.popitem(last=False)
+    return lookup
+
+
 def make_fetch_task(
-    store_handles,
+    store_dir: str,
     robots_ref,
     cfg: CrawlConfig,
     num_partitions: int,
     redirects_ref=None,
+    seen_handles=None,
+    counter_handle=None,
+    results_dir: str | None = None,
+    wave: int = -1,
 ):
-    """Build the STATELESS fetch+extract map_batches function for one crawl.
+    """Build the fetch+extract map_batches function for ONE WAVE.
 
     Stateless tasks reuse warm Ray worker processes across waves (unlike an
-    actor pool, which restarts per Dataset execution) — the stateful pieces
-    live elsewhere: page bodies in the persistent PageStoreShard actors,
-    parsed robots rules in ONE broadcast object (``ray.put``, fetched once
-    per worker process and cached in a module-level slot)."""
+    actor pool, which restarts per Dataset execution). Page bodies are read
+    DIRECTLY from the host-hash-partitioned page store through a
+    module-level per-worker LRU cache (frontier batches arrive routed by
+    origin hash, so a batch touches few partitions and warm workers serve
+    bodies from memory — no actor RPC copying megabytes of html per wave;
+    at web scale the cache holds an url→offset index per partition and
+    range-reads from shared storage). Parsed robots rules + the redirect
+    map are ONE broadcast object each (``ray.put``, fetched once per
+    worker process).
+
+    To keep the wave at ONE Dataset execution, the task also performs the
+    per-batch side effects the reference does inline in CrawlTask::run:
+    link-state marking (T6, via ``seen_handles``), status-count reporting
+    (A3, via ``counter_handle``) and the results-Parquet write (S3/S4, one
+    file per batch under ``results_dir``)."""
     import ray
 
-    nstores = len(store_handles)
-    _cache: dict = {}
-
     def _robots():
-        if "robots" not in _cache:
-            _cache["robots"] = ray.get(robots_ref) if robots_ref is not None else {}
-        return _cache["robots"]
+        return _cached_ref(robots_ref)
 
     def _redirects():
-        if "redirects" not in _cache:
-            _cache["redirects"] = (
-                ray.get(redirects_ref) if redirects_ref is not None else {}
-            )
-        return _cache["redirects"]
+        return _cached_ref(redirects_ref)
+
+    def _partition(part):
+        return _cached_partition(store_dir, part)
 
     def fetch_extract(batch: pa.Table) -> pa.Table:
         robots = _robots()
@@ -190,24 +240,18 @@ def make_fetch_task(
                 if r is not None and not r.is_allowed(u):
                     allowed[i] = False
 
-        # body lookup: group rows by page-store partition, one actor call
-        # per partition touched (the probe side of the hash join)
+        # body lookup: group rows by page-store partition, one (cached)
+        # partition load per partition touched (the probe side of the hash
+        # join; frontier routing makes batches partition-local)
         by_part: dict[int, list[int]] = {}
         for i, h in enumerate(hosts):
             if allowed[i]:
                 by_part.setdefault(stable_hash64(h) % num_partitions, []).append(i)
         bodies: list[bytes | None] = [None] * n
-        refs, keys = [], []
         for part, idxs in by_part.items():
-            refs.append(
-                store_handles[part % nstores].get_bodies.remote(
-                    part, [eff[i] for i in idxs]
-                )
-            )
-            keys.append(idxs)
-        for idxs, got in zip(keys, ray.get(refs)):
-            for i, b in zip(idxs, got):
-                bodies[i] = b
+            lookup = _partition(part)
+            for i in idxs:
+                bodies[i] = lookup.get(eff[i])
 
         statuses, fmts, encs, errs, texts, langs, links_col = [], [], [], [], [], [], []
         ecfg = cfg.extraction
@@ -250,7 +294,45 @@ def make_fetch_task(
         out["text"] = pa.array(texts, pa.string())
         out["lang"] = pa.array(langs, pa.string())
         out["links"] = pa.array(links_col, pa.list_(LINK_STRUCT))
-        return pa.table(out)
+        result = pa.table(out)
+
+        # ---- in-task side effects (one Dataset execution per wave) ----
+        refs = []
+        if seen_handles is not None:
+            ns = len(seen_handles)
+            by: dict[tuple[int, int], list[str]] = {}
+            for u, s in zip(urls, statuses):
+                if s == "ok":
+                    kind = KIND_PROCESSED
+                elif s == "miss":
+                    kind = KIND_ERROR
+                else:
+                    continue  # robots_denied stays Discovered
+                by.setdefault((stable_hash64(u) % ns, kind), []).append(u)
+            refs += [
+                seen_handles[sh].mark.remote(us, kind, wave)
+                for (sh, kind), us in by.items()
+            ]
+        if counter_handle is not None:
+            from collections import Counter as _C
+
+            c = _C(statuses)
+            refs.append(
+                counter_handle.add.remote(
+                    wave, c.get("ok", 0), c.get("miss", 0), c.get("robots_denied", 0)
+                )
+            )
+        if results_dir is not None:
+            import os
+            import uuid
+
+            os.makedirs(results_dir, exist_ok=True)
+            pq.write_table(
+                result, Path(results_dir) / f"batch-{uuid.uuid4().hex}.parquet"
+            )
+        if refs:
+            ray.get(refs)  # marks must land before the wave's admit/checkpoint
+        return result
 
     return fetch_extract
 

@@ -1,0 +1,36 @@
+"""Per-wave metrics accumulator (A3) — fetch tasks report their batch's
+status counts here (fire-and-forget actor calls), the driver reads the
+wave's totals after the fetch pass materializes. Replaces a whole extra
+Dataset execution per wave that existed only to count statuses."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+__all__ = ["CounterState", "make_counter_actor_cls"]
+
+
+class CounterState:
+    def __init__(self) -> None:
+        self.by_wave: dict[int, dict[str, int]] = defaultdict(
+            lambda: {"ok": 0, "miss": 0, "robots_denied": 0}
+        )
+
+    def add(self, wave: int, ok: int, miss: int, denied: int) -> None:
+        c = self.by_wave[wave]
+        c["ok"] += ok
+        c["miss"] += miss
+        c["robots_denied"] += denied
+
+    def get(self, wave: int) -> dict[str, int]:
+        return dict(self.by_wave[wave])
+
+
+def make_counter_actor_cls():
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class Counter(CounterState):
+        pass
+
+    return Counter

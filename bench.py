@@ -79,15 +79,30 @@ def run_extract(pages_path, out_dir: str, parallelism: int) -> int:
     return pads.dataset(out_dir).count_rows()
 
 
-def run_crawl_bench(fx: Path, out_dir: str, concurrency: int) -> dict:
-    """Full BSP crawl (frontier shards + seen shards + fetch/extract waves)
-    over the fixture corpus; returns counters from lineage."""
+def run_crawl_bench(
+    fx: Path, out_dir: str, concurrency: int, full: bool = False
+) -> dict:
+    """BSP crawl (frontier shards + seen shards + fetch/extract waves)
+    over the fixture corpus. ``full`` = seed every host with an unlimited
+    depth budget and a bigger per-host wave quota — the crawl-engine
+    headline (pages fetched+extracted/sec over the whole corpus);
+    otherwise the depth-3 BFS the correctness gate uses."""
     from atra_ray.config import BudgetSetting, CrawlConfig
     from atra_ray.pipelines.crawl import run_crawl
 
     shutil.rmtree(out_dir, ignore_errors=True)
-    seeds = (fx / "seeds.txt").read_text().split()
-    cfg = CrawlConfig(budget=BudgetSetting(kind="absolute", depth=3))
+    if full:
+        import json as _json
+
+        hosts = _json.loads((fx / "meta.json").read_text())["hosts"]
+        seeds = [f"https://host{h}.example/p0" for h in range(hosts)]
+        cfg = CrawlConfig(
+            budget=BudgetSetting(kind="absolute", depth=0),  # unlimited
+            max_pages_per_host_per_wave=512,
+        )
+    else:
+        seeds = (fx / "seeds.txt").read_text().split()
+        cfg = CrawlConfig(budget=BudgetSetting(kind="absolute", depth=3))
     res = run_crawl(
         str(fx / "pages.parquet"),
         str(fx / "robots.parquet"),
@@ -139,6 +154,9 @@ def bench_suite(sf_dir: str, num_cpus: int) -> dict:
     suite = {
         "fetch_extract": lambda: run_extract(pages, str(SCRATCH / "extract"), par),
         "crawl": lambda: run_crawl_bench(fx, str(SCRATCH / "crawl"), num_cpus),
+        "crawl_full": lambda: run_crawl_bench(
+            fx, str(SCRATCH / "crawl_full"), num_cpus, full=True
+        ),
         "doc_quality": lambda: _consume(doc_quality(docs)),
         "dedup_exact": lambda: _consume(dedup_exact(docs)),
         "minhash_dup_pairs": lambda: _consume(minhash_dup_pairs(docs, threshold=0.5)),
@@ -164,6 +182,8 @@ def bench_suite(sf_dir: str, num_cpus: int) -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         if name == "crawl":
             extras["crawl_counters"] = out
+        elif name == "crawl_full":
+            extras["crawl_full_counters"] = out
         elif name == "fetch_extract":
             extras["pages"] = out
     return {"timings": timings, **extras}
@@ -319,6 +339,7 @@ def main() -> None:
         if timings.get("fetch_extract")
         else None,
         "crawl": out.get("crawl_counters"),
+        "crawl_full": out.get("crawl_full_counters"),
     }
     print(json.dumps(line))
 

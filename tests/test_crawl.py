@@ -81,9 +81,10 @@ def test_crawl_order_matches_simulator(crawl_pair):
 def test_web_graph_edges_match_simulator(crawl_pair):
     """S6 web-graph sink: seed edges + per-wave link edges (pre
     budget/blacklist) equal the simulator's edge multiset."""
+    from atra_ray.pipelines.dump import edges_of_crawl
+
     sim, eng, out = crawl_pair
-    files = [str(p) for p in Path(out, "edges").rglob("*.parquet")]
-    t = pads.dataset(files).to_table(columns=["src", "dst", "kind"])
+    t = edges_of_crawl(out)
     eng_edges = sorted(zip(*[t.column(c).to_pylist() for c in ("src", "dst", "kind")]))
     st = sim["edges"]
     sim_edges = sorted(zip(*[st.column(c).to_pylist() for c in ("src", "dst", "kind")]))
