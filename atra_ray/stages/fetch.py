@@ -314,12 +314,22 @@ def make_fetch_task(
                 for (sh, kind), us in by.items()
             ]
         if counter_handle is not None:
+            import hashlib as _hl
             from collections import Counter as _C
 
             c = _C(statuses)
+            # deterministic batch id (urls are unique within a wave) so a
+            # retried task's re-report is deduplicated by the counter
+            bid = _hl.blake2b(
+                ("|".join(urls[:8]) + str(n) + str(wave)).encode(), digest_size=12
+            ).hexdigest()
             refs.append(
                 counter_handle.add.remote(
-                    wave, c.get("ok", 0), c.get("miss", 0), c.get("robots_denied", 0)
+                    wave,
+                    c.get("ok", 0),
+                    c.get("miss", 0),
+                    c.get("robots_denied", 0),
+                    bid,
                 )
             )
         if results_dir is not None:

@@ -15,8 +15,18 @@ class CounterState:
         self.by_wave: dict[int, dict[str, int]] = defaultdict(
             lambda: {"ok": 0, "miss": 0, "robots_denied": 0}
         )
+        self._seen_batches: set[str] = set()
 
-    def add(self, wave: int, ok: int, miss: int, denied: int) -> None:
+    def add(
+        self, wave: int, ok: int, miss: int, denied: int, batch_id: str | None = None
+    ) -> None:
+        # idempotent under Ray task retries: a re-executed fetch task
+        # re-reports its batch; the batch_id dedups it (marks are already
+        # monotone upserts, so only the counters needed this guard)
+        if batch_id is not None:
+            if batch_id in self._seen_batches:
+                return
+            self._seen_batches.add(batch_id)
         c = self.by_wave[wave]
         c["ok"] += ok
         c["miss"] += miss
