@@ -46,3 +46,28 @@ def test_slice_write_parquet_roundtrip(fixtures_small, tmp_path):
     assert back.num_rows == n_pages
     # nested links survive the round trip
     assert pc.sum(pc.list_value_length(back["links"])).as_py() > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fused_extract_equals_generic(fixtures_small):
+    """extract_pages_fused (per-shard in-task read, the scaling-bench path)
+    produces exactly the rows of the generic read_parquet path."""
+    from atra_ray.pipelines.slice import extract_pages, extract_pages_fused
+
+    shards = sorted(str(p) for p in (fixtures_small / "pages.parquet").glob("*.parquet"))
+    a = (
+        extract_pages_fused(shards)
+        .select_columns(["url", "format", "encoding", "text", "lang"])
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    b = (
+        extract_pages(str(fixtures_small / "pages.parquet"))
+        .select_columns(["url", "format", "encoding", "text", "lang"])
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(a) == 231
