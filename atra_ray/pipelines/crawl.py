@@ -357,12 +357,14 @@ def run_crawl(
     # bits each is beyond safe.
     _SHIFT1, _SHIFT2 = 1 << 42, 1 << 21
 
-    def _link_stage(batch: pa.Table) -> pa.Table:
+    def _make_link_stage(link_wave: int):
+      def _link_stage(batch: pa.Table) -> pa.Table:
         """Explode + filter links inside the map task (combiner before the
         groupby shuffle): budget (M4), blacklist (M5), data-link drop.
         Budget runs PRE-dedup (a deeper duplicate may pass budget while the
         min-depth one fails under seed_only — the simulator filters before
-        min too)."""
+        min too). Drop reasons are reported per batch to the metrics actor
+        (lineage's dropped{reason} accounting)."""
         import numpy as np
 
         flat = pc.list_flatten(batch["links"])
@@ -386,6 +388,7 @@ def run_crawl(
                 pc.starts_with(target, "http://"), pc.starts_with(target, "https://")
             )
         )
+        n_scheme = int((~mask).sum())
 
         # budget (M4), vectorized for the common single-budget config;
         # per-origin overrides fall back to the scalar checker
@@ -420,8 +423,25 @@ def run_crawl(
             else:  # single_page
                 mask &= (dow == 0) & (dts == 0) & (tds == 0)
 
+        n_budget = int((~mask).sum()) - n_scheme
+
         for p in blacklist:  # M5: RE2 unanchored search per pattern
             mask &= ~np.asarray(pc.match_substring_regex(target, p.pattern))
+        n_blacklist = int((~mask).sum()) - n_scheme - n_budget
+
+        if n_scheme or n_budget or n_blacklist:
+            import hashlib as _hl
+
+            bid = _hl.blake2b(
+                (str(len(flat)) + str(link_wave) + str(target[0])).encode(),
+                digest_size=12,
+            ).hexdigest()
+            counter.add_drops.remote(
+                link_wave,
+                {"scheme_or_data": n_scheme, "budget": n_budget,
+                 "blacklist": n_blacklist},
+                bid,
+            )
 
         keep = pa.array(mask)
         return pa.table(
@@ -432,6 +452,8 @@ def run_crawl(
                 ),
             }
         )
+
+      return _link_stage
 
     def _admit_stage(batch) -> pa.Table:
         """Seen-filter (J1) then route to frontier shards (routing by
@@ -552,7 +574,9 @@ def run_crawl(
         # pays per-distinct-key Python cost, ruinous for URL keys).
         # Web-graph edges are NOT a separate sink: they're a projection of
         # the results' links column, derived on demand (dump.edges_of_crawl).
-        links_ds = wave_results.map_batches(_link_stage, batch_format="pyarrow")
+        links_ds = wave_results.map_batches(
+            _make_link_stage(wave), batch_format="pyarrow"
+        )
         deduped = partitioned_map_groups(
             links_ds,
             ["target"],
@@ -581,6 +605,7 @@ def run_crawl(
                 "status": status_counts,
                 "links_checked": checked,
                 "links_admitted": admitted,
+                "links_dropped": ray.get(counter.get_drops.remote(wave)),
                 "t_fetch_s": round(t_fetch - t_wave, 3),
                 "t_passes_s": round(t_passes - t_fetch, 3),
             }

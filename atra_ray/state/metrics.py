@@ -16,6 +16,7 @@ class CounterState:
             lambda: {"ok": 0, "miss": 0, "robots_denied": 0}
         )
         self._seen_batches: set[str] = set()
+        self.drops_by_wave: dict[int, dict[str, int]] = {}
 
     def add(
         self, wave: int, ok: int, miss: int, denied: int, batch_id: str | None = None
@@ -32,8 +33,21 @@ class CounterState:
         c["miss"] += miss
         c["robots_denied"] += denied
 
+    def add_drops(self, wave: int, drops: dict, batch_id: str | None = None) -> None:
+        """Link-filter drop accounting per wave ({reason: n})."""
+        if batch_id is not None:
+            if batch_id in self._seen_batches:
+                return
+            self._seen_batches.add(batch_id)
+        d = self.drops_by_wave.setdefault(wave, {})
+        for k, v in drops.items():
+            d[k] = d.get(k, 0) + int(v)
+
     def get(self, wave: int) -> dict[str, int]:
         return dict(self.by_wave[wave])
+
+    def get_drops(self, wave: int) -> dict[str, int]:
+        return dict(self.drops_by_wave.get(wave, {}))
 
 
 def make_counter_actor_cls():
