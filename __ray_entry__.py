@@ -252,6 +252,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _sh(f"{sf_dir}/documents.parquet", max_hamming=10)
 
+    def ngram_jaccard_dup_pairs(sf_dir):
+        from atra_ray.stages.dedup import ngram_jaccard_dup_pairs as _nj
+
+        return _nj(f"{sf_dir}/documents.parquet", threshold=0.5)
+
     def dedup_minhash(sf_dir):
         from atra_ray.stages.dedup import dedup_minhash as _dm
 
@@ -302,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_pairs": minhash_dup_pairs,
         "simhash_dup_pairs": simhash_dup_pairs,
         "dedup_minhash": dedup_minhash,
+        "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
         "doc_language": doc_language,
         "events_windowed": events_windowed,
     }

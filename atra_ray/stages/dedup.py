@@ -31,6 +31,7 @@ from .text_analysis import fingerprint_text
 
 __all__ = [
     "dedup_exact",
+    "ngram_jaccard_dup_pairs",
     "minhash_signatures",
     "minhash_dup_pairs",
     "dedup_minhash",
@@ -266,6 +267,81 @@ def minhash_dup_pairs(
     # (a, b), then one vectorized verify pass over unique candidates
     return partitioned_map_groups(pairs, ["a", "b"], _dedup_pairs).map_batches(
         _verify, batch_format="pyarrow"
+    )
+
+
+def ngram_jaccard_dup_pairs(
+    docs_path: str,
+    threshold: float = 0.7,
+    ngram: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    max_bucket: int = 64,
+) -> rd.Dataset:
+    """Near-duplicate pairs with EXACT word-n-gram Jaccard (a < b,
+    jaccard >= threshold).
+
+    Same MinHash-LSH candidate generation as ``minhash_dup_pairs`` (recall
+    governed by the band scheme), but the verify recomputes the true
+    shingle-set Jaccard of each candidate pair from the broadcast text
+    column — the variant to use when the downstream decision needs the
+    exact statistic, at the cost of re-shingling candidates. At web scale
+    the text side becomes a doc_id-keyed join against the document store;
+    the candidate volume (post-LSH) is what makes exact verify affordable.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    candidates = minhash_dup_pairs(
+        docs_path,
+        num_perm=num_perm,
+        bands=bands,
+        # estimate-threshold relaxed: exact verify makes the final call
+        threshold=max(0.0, threshold - 0.2),
+        ngram=ngram,
+        max_bucket=max_bucket,
+    )
+    t = pq.read_table(docs_path, columns=["doc_id", "text"])
+    ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    texts_ref = ray.put(
+        (ids[order], [t.column("text").to_pylist()[i] for i in order])
+    )
+
+    def _exact(batch: pa.Table) -> pa.Table:
+        ids_, texts_ = ray.get(texts_ref)
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        sets: dict[int, set] = {}
+
+        def _set(doc):
+            s = sets.get(doc)
+            if s is None:
+                idx = int(np.searchsorted(ids_, doc))
+                s = set(_shingle_hashes(texts_[idx], ngram).tolist())
+                sets[doc] = s
+            return s
+
+        out_a, out_b, out_j = [], [], []
+        for x, y in zip(a, b):
+            sa, sb = _set(int(x)), _set(int(y))
+            union = len(sa | sb)
+            jac = (len(sa & sb) / union) if union else 1.0
+            if jac >= threshold:
+                out_a.append(int(x))
+                out_b.append(int(y))
+                out_j.append(jac)
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return candidates.select_columns(["a", "b"]).map_batches(
+        _exact, batch_format="pyarrow"
     )
 
 

@@ -244,3 +244,20 @@ def test_ann_ivf_recall():
     e = {(q, v) for q, v in zip(exact["query_id"], exact["vec_id"])}
     a = {(q, v) for q, v in zip(approx["query_id"], approx["vec_id"])}
     assert len(a & e) / len(e) >= 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_exact_pairs(docs_parquet):
+    from atra_ray.stages.dedup import jaccard, ngram_jaccard_dup_pairs
+
+    pairs = ngram_jaccard_dup_pairs(docs_parquet, threshold=0.5).to_pandas()
+    got = {(int(a), int(b)): j for a, b, j in zip(pairs["a"], pairs["b"], pairs["jaccard"])}
+    assert (0, 1) in got and got[(0, 1)] == 1.0          # exact dup
+    assert (0, 2) in got                                  # near dup
+    # jaccard column is the EXACT statistic
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(docs_parquet, columns=["doc_id", "text"]).to_pandas()
+    texts = dict(zip(t["doc_id"], t["text"]))
+    for (a, b), j in got.items():
+        assert abs(j - jaccard(texts[a], texts[b])) < 1e-12
