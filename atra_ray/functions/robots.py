@@ -3,24 +3,70 @@
 The reference delegates to the ``texting_robots`` crate with a RocksDB +
 moka-LRU cache (atra/src/robots/manager_impl.rs:33-155). We implement the
 same contract: standard robots.txt group selection (most specific
-user-agent group wins; we match our UA token or ``*``), longest-path-match
-rule precedence with Allow winning ties, and ``Crawl-delay``. A missing
-robots.txt allows everything (robots/manager_impl.rs:120-125).
+user-agent group wins; we match our UA token or ``*``), REP wildcard rule
+paths (``*`` matches any char run, ``$`` anchors the end — the Google REP
+/ RFC 9309 semantics texting_robots implements), longest-pattern-match
+rule precedence with Allow winning ties, percent-encoding normalization,
+and ``Crawl-delay``. A missing robots.txt allows everything
+(robots/manager_impl.rs:120-125).
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
-from urllib.parse import urlsplit
+from urllib.parse import quote, unquote, urlsplit
 
 __all__ = ["RobotsRules", "parse_robots", "ALLOW_ALL"]
+
+# characters that stay literal when re-percent-encoding a rule/path for
+# comparison (RFC 9309: compare in a consistent encoding; we normalize both
+# sides with urllib's quote over the unquoted form, keeping sub-delims)
+_SAFE = "/:@!$&'()*+,;=~-._"
+
+
+def _normalize_path(path: str) -> str:
+    """Percent-decoding + consistent re-encoding so '%7Ejoe' and '~joe'
+    compare equal on both the rule and the URL side."""
+    try:
+        return quote(unquote(path), safe=_SAFE)
+    except Exception:  # pragma: no cover - malformed escapes stay literal
+        return path
+
+
+def _compile_rule(pattern: str) -> "re.Pattern | None":
+    """Rule path -> anchored regex. ``*`` -> ``.*``; trailing ``$`` anchors
+    the end; everything else is literal (after percent normalization).
+    Returns None for patterns that can never match (empty)."""
+    if not pattern:
+        return None
+    anchored_end = pattern.endswith("$")
+    if anchored_end:
+        pattern = pattern[:-1]
+    parts = [re.escape(_normalize_path(p)) for p in pattern.split("*")]
+    body = ".*".join(parts)
+    return re.compile("^" + body + ("$" if anchored_end else ""))
 
 
 @dataclass
 class RobotsRules:
-    # (is_allow, path_prefix) rules of the matched group
+    # (is_allow, raw_pattern) rules of the matched group
     rules: tuple[tuple[bool, str], ...] = ()
     crawl_delay: float | None = None
+    _compiled: tuple = field(default=None, repr=False, compare=False)  # type: ignore[assignment]
+
+    def _rules_compiled(self):
+        """(is_allow, specificity, regex) triples, compiled once.
+        Specificity = pattern length (texting_robots/Google REP: the
+        longest matching pattern wins; Allow wins equal-length ties)."""
+        if self._compiled is None:
+            compiled = []
+            for allow, pat in self.rules:
+                rx = _compile_rule(pat)
+                if rx is not None:
+                    compiled.append((allow, len(pat), rx))
+            object.__setattr__(self, "_compiled", tuple(compiled))
+        return self._compiled
 
     def is_allowed(self, url_or_path: str) -> bool:
         path = url_or_path
@@ -32,13 +78,13 @@ class RobotsRules:
                     path += "?" + p.query
             except ValueError:
                 path = "/"
-        best_len, best_allow = -1, True
-        for allow, prefix in self.rules:
-            if not prefix:
-                continue
-            if path.startswith(prefix):
-                if len(prefix) > best_len or (len(prefix) == best_len and allow):
-                    best_len, best_allow = len(prefix), allow
+        path = _normalize_path(path)
+        best_spec, best_allow = -1, True
+        for allow, spec, rx in self._rules_compiled():
+            if rx.match(path) and (
+                spec > best_spec or (spec == best_spec and allow)
+            ):
+                best_spec, best_allow = spec, allow
         return best_allow
 
 

@@ -7,7 +7,7 @@ driver-side BSP rounds ("waves"):
 
     while frontier non-empty:
         wave     = union of FrontierShard.pop_wave(w)        (politeness-bounded)
-        results  = wave →  map_batches(FetchExtract pool)    (fetch ⋈ pages + extract)
+        results  = wave →  map_batches(fetch task pool)      (fetch ⋈ pages + extract)
         write      results → out/results/round=w/            (Parquet, resumable)
         mark       crawled urls in seen shards               (link-state upsert)
         links    = explode(results.links) → budget/blacklist filter

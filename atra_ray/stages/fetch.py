@@ -38,7 +38,7 @@ from ..stages.extract import LINK_STRUCT, extract_one
 from ..state.frontier import FRONTIER_SCHEMA
 from ..state.seen import KIND_ERROR, KIND_PROCESSED
 
-__all__ = ["FetchExtract", "build_page_store", "RESULT_SCHEMA"]
+__all__ = ["make_fetch_task", "build_page_store", "RESULT_SCHEMA"]
 
 RESULT_SCHEMA = pa.schema(
     list(FRONTIER_SCHEMA)
@@ -297,6 +297,15 @@ def make_fetch_task(
         result = pa.table(out)
 
         # ---- in-task side effects (one Dataset execution per wave) ----
+        # deterministic batch id (urls are unique within a wave): keys the
+        # counter report AND the results filename, so a retried/recomputed
+        # task overwrites its own file and re-reports idempotently instead
+        # of duplicating rows/counts
+        import hashlib as _hl
+
+        bid = _hl.blake2b(
+            ("|".join(urls[:8]) + str(n) + str(wave)).encode(), digest_size=12
+        ).hexdigest()
         refs = []
         if seen_handles is not None:
             ns = len(seen_handles)
@@ -314,15 +323,9 @@ def make_fetch_task(
                 for (sh, kind), us in by.items()
             ]
         if counter_handle is not None:
-            import hashlib as _hl
             from collections import Counter as _C
 
             c = _C(statuses)
-            # deterministic batch id (urls are unique within a wave) so a
-            # retried task's re-report is deduplicated by the counter
-            bid = _hl.blake2b(
-                ("|".join(urls[:8]) + str(n) + str(wave)).encode(), digest_size=12
-            ).hexdigest()
             refs.append(
                 counter_handle.add.remote(
                     wave,
@@ -334,119 +337,11 @@ def make_fetch_task(
             )
         if results_dir is not None:
             import os
-            import uuid
 
             os.makedirs(results_dir, exist_ok=True)
-            pq.write_table(
-                result, Path(results_dir) / f"batch-{uuid.uuid4().hex}.parquet"
-            )
+            pq.write_table(result, Path(results_dir) / f"batch-{bid}.parquet")
         if refs:
             ray.get(refs)  # marks must land before the wave's admit/checkpoint
         return result
 
     return fetch_extract
-
-
-class FetchExtract:
-    """Callable class for ``map_batches(FetchExtract, concurrency=N,
-    batch_format="pyarrow", fn_constructor_kwargs=...)``. All state —
-    robots cache, page-store partition cache, compiled config — is built
-    once per actor."""
-
-    def __init__(
-        self,
-        store_dir: str,
-        robots_path: str | None,
-        cfg: CrawlConfig,
-        num_partitions: int = 8,
-        partition_cache_size: int = 16,
-    ):
-        self.store_dir = Path(store_dir)
-        self.cfg = cfg
-        self.num_partitions = num_partitions
-        self.cache_size = partition_cache_size
-        self._parts: OrderedDict[int, dict[str, bytes]] = OrderedDict()
-        self.robots: dict[str, object] = {}
-        if robots_path and cfg.respect_robots_txt:
-            t = pq.read_table(robots_path)
-            for host, body in zip(
-                t.column("host").to_pylist(), t.column("robots_txt").to_pylist()
-            ):
-                self.robots[host] = parse_robots(body, cfg.user_agent)
-
-    def _partition_lookup(self, part: int) -> dict[str, bytes]:
-        hit = self._parts.get(part)
-        if hit is not None:
-            self._parts.move_to_end(part)
-            return hit
-        pdir = self.store_dir / f"part={part}"
-        lookup: dict[str, bytes] = {}
-        if pdir.exists():
-            for f in sorted(pdir.glob("*.parquet")):
-                t = pq.read_table(f, columns=["url", "html"])
-                lookup.update(
-                    zip(t.column("url").to_pylist(), t.column("html").to_pylist())
-                )
-        self._parts[part] = lookup
-        if len(self._parts) > self.cache_size:
-            self._parts.popitem(last=False)
-        return lookup
-
-    def _robots_for(self, host: str):
-        return self.robots.get(host, ALLOW_ALL)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        dows = batch.column("dow").to_pylist()
-        dtss = batch.column("dts").to_pylist()
-        tdss = batch.column("tds").to_pylist()
-
-        statuses, fmts, encs, errs, texts, langs, links_col = [], [], [], [], [], [], []
-        ecfg = self.cfg.extraction
-        for url, dow, dts, tds in zip(urls, dows, dtss, tdss):
-            host = url.split("/")[2] if "://" in url else ""
-            if self.cfg.respect_robots_txt and not self._robots_for(host).is_allowed(url):
-                statuses.append("robots_denied")
-                fmts.append("unknown")
-                encs.append("none")
-                errs.append(False)
-                texts.append(None)
-                langs.append("und")
-                links_col.append([])
-                continue
-            body = self._partition_lookup(stable_hash64(host) % self.num_partitions).get(url)
-            if body is None:
-                statuses.append("miss")
-                fmts.append("unknown")
-                encs.append("none")
-                errs.append(False)
-                texts.append(None)
-                langs.append("und")
-                links_col.append([])
-                continue
-            fmt, enc, had_err, text, lang, links = extract_one(
-                url, body, Depth(dow, dts, tds), ecfg
-            )
-            statuses.append("ok")
-            fmts.append(fmt)
-            encs.append(enc)
-            errs.append(had_err)
-            texts.append(text)
-            langs.append(lang)
-            links_col.append(
-                [
-                    {"target": t, "origin": o, "kind": k, "dow": a, "dts": b, "tds": c}
-                    for t, o, k, a, b, c in links
-                ]
-            )
-
-        out = {name: batch.column(name) for name in batch.column_names}
-        out["final_url"] = pa.array(finals, pa.string())
-        out["status"] = pa.array(statuses, pa.string())
-        out["format"] = pa.array(fmts, pa.string())
-        out["encoding"] = pa.array(encs, pa.string())
-        out["had_decode_errors"] = pa.array(errs, pa.bool_())
-        out["text"] = pa.array(texts, pa.string())
-        out["lang"] = pa.array(langs, pa.string())
-        out["links"] = pa.array(links_col, pa.list_(LINK_STRUCT))
-        return pa.table(out)

@@ -44,3 +44,45 @@ def test_specific_agent_group_wins():
 def test_empty_disallow_means_allow():
     r = parse_robots(b"User-agent: *\nDisallow:\n")
     assert r.is_allowed("/x")
+
+
+def test_wildcard_star():
+    r = parse_robots(b"User-agent: *\nDisallow: /*.php\n")
+    assert not r.is_allowed("/index.php")
+    assert not r.is_allowed("/a/b/page.php?x=1")
+    assert r.is_allowed("/index.html")
+
+
+def test_wildcard_end_anchor():
+    r = parse_robots(b"User-agent: *\nDisallow: /*.php$\n")
+    assert not r.is_allowed("/index.php")
+    assert r.is_allowed("/index.php?x=1")  # $ anchors the end
+    assert r.is_allowed("/index.phpx")
+
+
+def test_wildcard_mid_pattern():
+    r = parse_robots(b"User-agent: *\nDisallow: /fish*.html\n")
+    assert not r.is_allowed("/fishheads/catfish.html")
+    assert not r.is_allowed("/fish.html")
+    assert r.is_allowed("/fish.txt")
+
+
+def test_wildcard_allow_beats_disallow_by_length():
+    r = parse_robots(b"User-agent: *\nDisallow: /*.htm\nAllow: /public/*.htm\n")
+    assert r.is_allowed("/public/a.htm")
+    assert not r.is_allowed("/private/a.htm")
+
+
+def test_percent_encoding_normalized():
+    r = parse_robots(b"User-agent: *\nDisallow: /%7Ejoe/\n")
+    assert not r.is_allowed("/~joe/file")
+    assert not r.is_allowed("/%7Ejoe/file")
+    r2 = parse_robots(b"User-agent: *\nDisallow: /~joe/\n")
+    assert not r2.is_allowed("/%7Ejoe/file")
+
+
+def test_dollar_only_matters_at_end():
+    # '$' not at the end is literal per REP
+    r = parse_robots(b"User-agent: *\nDisallow: /a$b\n")
+    assert r.is_allowed("/ab")
+    assert not r.is_allowed("/a$b/c")
