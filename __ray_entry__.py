@@ -255,7 +255,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ngram_jaccard_dup_pairs(sf_dir):
         from atra_ray.stages.dedup import ngram_jaccard_dup_pairs as _nj
 
-        return _nj(f"{sf_dir}/documents.parquet", threshold=0.5)
+        return _nj(f"{sf_dir}/documents.parquet", threshold=0.5).select_columns(
+            ["a", "b"]
+        )
 
     def dedup_minhash(sf_dir):
         from atra_ray.stages.dedup import dedup_minhash as _dm
@@ -319,6 +321,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 _STOPWORD_SQL_RE = r"\b(the|and|of|to|in|is|that|for|on|with|as|a)\b"
+
+# shared CTE for the exact n-gram Jaccard oracle (threshold 0.5, n=3):
+# tokenize like python's text.lower().split(), build distinct word-3-gram
+# string sets (n reduced to len(w) for short docs), Jaccard via
+# list_intersect with the empty-set conventions of stages/dedup.py
+_NGRAM_JACCARD_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\f\v]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                  ELSE list_distinct(
+                    [array_to_string(w[i : i + least(3, len(w)) - 1], ' ')
+                     FOR i IN generate_series(1, len(w) - least(3, len(w)) + 1)])
+             END AS g
+      FROM toks
+    ), exact_pairs AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM grams x JOIN grams y ON x.doc_id < y.doc_id
+      WHERE CASE
+          WHEN len(x.g) = 0 AND len(y.g) = 0 THEN 1.0
+          WHEN len(x.g) = 0 OR len(y.g) = 0 THEN 0.0
+          ELSE len(list_intersect(x.g, y.g))::DOUBLE
+               / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))::DOUBLE
+          END >= 0.5
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -422,7 +454,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type, date_trunc('hour', ts)
         """,
-        # ann_lsh_topk / minhash / simhash / dedup_minhash / doc_language:
-        # intentionally no SQL (approximate or heuristic operators) —
+        # EXACT word-3-gram Jaccard over LSH candidates (bands=64 → rows of
+        # 2: miss prob (1-j²)^64 ≈ 1e-8 at the 0.5 threshold, so the LSH
+        # candidate set equals the full cross-join's answer set). The SQL
+        # mirrors the python tokenization (lower + whitespace split, empty
+        # tokens dropped) and the n→len(w) reduction for short docs.
+        "ngram_jaccard_dup_pairs": _NGRAM_JACCARD_SQL
+        + " SELECT a, b FROM exact_pairs",
+        # min-id survivor rule over the same exact-verified pairs: drop
+        # every b (b > a always), keep the rest
+        "dedup_minhash": _NGRAM_JACCARD_SQL
+        + """
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT b FROM exact_pairs)
+        """,
+        # ann_lsh_topk / ann_ivf_topk / minhash / simhash / doc_language /
+        # gdbr: intentionally no SQL (approximate or heuristic operators) —
         # rows-only checks.
     }

@@ -23,7 +23,7 @@ from typing import Callable
 import pandas as pd
 import ray.data as rd
 
-__all__ = ["partitioned_map_groups", "HASH_KEY_SEED"]
+__all__ = ["partitioned_map_groups", "partition_ids", "HASH_KEY_SEED"]
 
 HASH_KEY_SEED = "atra-ray-partition"
 
@@ -37,6 +37,14 @@ def _part_id(df: pd.DataFrame, key_cols: list[str], num_partitions: int) -> pd.S
         hash_key=HASH_KEY_SEED.ljust(16)[:16],
     )
     return (h % num_partitions).astype("int64")
+
+
+def partition_ids(df: pd.DataFrame, key_cols: list[str], num_partitions: int) -> pd.Series:
+    """Public alias of the internal partition function, so co-partitioned
+    stores (a hash join's build side written as ``part=K/`` Parquet dirs)
+    can be laid out with EXACTLY the partitioning the subsequent
+    ``partitioned_map_groups`` exchange will use on the probe side."""
+    return _part_id(df, key_cols, num_partitions)
 
 
 def partitioned_map_groups(
@@ -56,8 +64,13 @@ def partitioned_map_groups(
     """
 
     def _tag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy(deep=False)
-        df["_part"] = _part_id(df, key_cols, num_partitions)
+        # reset_index + positional assignment: when Ray fuses two pandas map
+        # stages, the upstream fn's frame arrives AS-IS (no Arrow
+        # round-trip), so a gapped index (drop_duplicates / boolean filter)
+        # would make a plain `df[col] = series` align-assign NaN/garbage
+        # partition ids and silently break co-location.
+        df = df.reset_index(drop=True)
+        df["_part"] = _part_id(df, key_cols, num_partitions).to_numpy()
         return df
 
     def _apply(df: pd.DataFrame) -> pd.DataFrame:

@@ -161,8 +161,18 @@ def ann_ivf_topk(
 
     qids, qmat = load_query_matrix(emb_path, num_queries)
 
-    t = pq.read_table(emb_path, columns=["embedding"])
-    sample = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[:4096]
+    # centroid training sample: stream only the first row groups (4096
+    # rows), never the whole table (the prior full read was flagged in
+    # VERDICT r1 as an unpruned driver-side scan)
+    pf = pq.ParquetFile(emb_path)
+    chunks: list[np.ndarray] = []
+    got = 0
+    for rb in pf.iter_batches(batch_size=1024, columns=["embedding"]):
+        chunks.append(np.asarray(rb.column("embedding").to_pylist(), dtype=np.float64))
+        got += len(chunks[-1])
+        if got >= 4096:
+            break
+    sample = np.concatenate(chunks)[:4096]
     sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
     cent = sample[rng.choice(len(sample), size=num_centroids, replace=False)]

@@ -261,3 +261,86 @@ def test_ngram_jaccard_exact_pairs(docs_parquet):
     texts = dict(zip(t["doc_id"], t["text"]))
     for (a, b), j in got.items():
         assert abs(j - jaccard(texts[a], texts[b])) < 1e-12
+
+
+def test_partitioned_map_groups_coalesces_duplicates_across_fused_stages(ray_session):
+    """Regression: fused pandas map stages hand the upstream fn's frame to
+    _tag verbatim (no Arrow round-trip); a gapped index (drop_duplicates /
+    boolean filter in the upstream fn) must not misroute partition ids."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from atra_ray.stages.shuffle import partitioned_map_groups
+
+    df = pd.DataFrame(
+        {
+            "a": np.repeat(np.arange(40, dtype=np.int64), 3),
+            "b": np.repeat(np.arange(40, 80, dtype=np.int64), 3),
+        }
+    )
+    ds = rd.from_pandas([df.iloc[i::5].reset_index(drop=True) for i in range(5)])
+    # stage 1 leaves a GAPPED index on purpose; stage 2 must still co-locate
+    first = partitioned_map_groups(ds, ["a"], lambda d: d[d["b"] % 2 == 0])
+    out = partitioned_map_groups(
+        first, ["a", "b"], lambda d: d.drop_duplicates(["a", "b"])
+    ).to_pandas()
+    assert len(out) == 20
+    assert not out.duplicated(["a", "b"]).any()
+
+
+def test_dedup_distributed_matches_duckdb_exact_jaccard(ray_session, tmp_path):
+    """ngram_jaccard_dup_pairs (LSH candidates + co-partitioned text join)
+    equals the full cross-join exact Jaccard computed by DuckDB."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from atra_ray.stages.dedup import dedup_minhash, ngram_jaccard_dup_pairs
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = []
+    for i in range(60):
+        toks = [vocab[j] for j in rng.randint(0, 50, size=30)]
+        texts.append(" ".join(toks))
+    # create near-dups: copy with small edits
+    for i in range(0, 20, 2):
+        toks = texts[i].split()
+        toks[3] = "xx"
+        texts.append(" ".join(toks))
+    n = len(texts)
+    p = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts, pa.string())}), p
+    )
+    got = (
+        ngram_jaccard_dup_pairs(str(p), threshold=0.5)
+        .to_pandas()[["a", "b"]]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    sql = r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\r\f\v]+'), x -> x <> '') AS w
+      FROM read_parquet('%s')
+    ), grams AS (
+      SELECT doc_id, list_distinct(
+        [array_to_string(w[i : i + least(3, len(w)) - 1], ' ')
+         FOR i IN generate_series(1, len(w) - least(3, len(w)) + 1)]) AS g
+      FROM toks
+    )
+    SELECT x.doc_id a, y.doc_id b FROM grams x JOIN grams y ON x.doc_id < y.doc_id
+    WHERE len(list_intersect(x.g, y.g))::DOUBLE
+          / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))::DOUBLE >= 0.5
+    ORDER BY a, b
+    """ % p
+    want = duckdb.sql(sql).df().astype("int64")
+    assert got.equals(want)
+    assert len(want) >= 10  # the synthetic near-dups actually collide
+
+    survivors = dedup_minhash(str(p), threshold=0.5).to_pandas()["doc_id"]
+    assert set(survivors) == set(range(n)) - set(want["b"])
