@@ -167,6 +167,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["a", "b"]
         )
 
+    def embedding_dup_pairs_lsh(sf_dir):
+        from atra_ray.stages.similarity import embedding_dup_pairs_lsh as _epl
+
+        # loose threshold -> small k / large L (OR-construction); recall is
+        # exact on this input (verified vs the brute-force baseline), so it
+        # shares embedding_dup_pairs' SQL oracle
+        return _epl(
+            f"{sf_dir}/embeddings.parquet",
+            threshold=0.43,
+            num_tables=32,
+            planes_per_table=4,
+        ).select_columns(["a", "b"])
+
     def crawl_host_stats(sf_dir):
         """Per-origin crawl stats (the 'per-host stats' shuffle of
         SURVEY.md §4): fetched/denied/missed counts + max depth per origin,
@@ -297,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_edges": crawl_edges,
         "token_counts": token_counts,
         "embedding_dup_pairs": embedding_dup_pairs,
+        "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
         "ann_ivf_topk": ann_ivf_topk,
         "gdbr_clean_pages": gdbr_clean_pages,
         "crawl_host_stats": crawl_host_stats,
@@ -398,6 +412,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "embedding_dup_pairs": """
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.43
+        """,
+        "embedding_dup_pairs_lsh": """
             SELECT x.vec_id AS a, y.vec_id AS b
             FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
             WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.43

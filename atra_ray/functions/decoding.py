@@ -12,14 +12,18 @@ The reference's precedence (atra/src/decoding/mod.rs:83-257):
    UTF-8 retry wins when it is clean
 5. plain UTF-8 with replacement as the final fallback
 
-We reproduce 2-3 exactly and replace the chardetng guess (4) with a strict
-UTF-8 attempt followed by UTF-8-with-replacement — chardetng is not available
-in this environment, and our fixture contract (FIXTURES.md §1) guarantees
-every non-UTF-8 page carries either a meta charset or a BOM, so step 4 is
-only reached by intentionally-malformed UTF-8, where the reference also ends
-at lossy UTF-8. Encoding labels resolve through the WHATWG label table
-(subset below) exactly as ``Encoding::for_label`` does — in particular
-``iso-8859-1`` maps to windows-1252.
+We reproduce 2-3 exactly. Step 4 is a chardetng-ANALOG statistical
+detector (``statistical_guess``): strict UTF-8 wins when valid; otherwise
+candidate legacy encodings are strict-decoded and scored by
+character-class plausibility (common-Russian-letter frequencies for the
+Cyrillic pair cp1251/koi8-r, kana vs Han weighting for the CJK family,
+C1-control = mojibake penalty), with a TLD hint adding a bonus to the
+locale's encodings — the same evidence classes chardetng's trained model
+uses (decoding/mod.rs:171-257 feeds the TLD the same way). Like
+chardetng, the detector refuses to guess on weak evidence (< 2% non-ASCII
+bytes), falling back to lossy UTF-8. Encoding labels resolve through the
+WHATWG label table (subset below) exactly as ``Encoding::for_label`` does
+— in particular ``iso-8859-1`` maps to windows-1252.
 """
 
 from __future__ import annotations
@@ -27,7 +31,12 @@ from __future__ import annotations
 import codecs
 import re
 
-__all__ = ["decode_bytes", "meta_charsets", "whatwg_codec"]
+__all__ = [
+    "decode_bytes",
+    "meta_charsets",
+    "whatwg_codec",
+    "statistical_guess",
+]
 
 # WHATWG encoding label -> python codec name (subset of
 # https://encoding.spec.whatwg.org/#names-and-labels; the full table is what

@@ -153,6 +153,7 @@ def _push_routed(frontier_handles, rows: list[dict]) -> list:
                 [r["tds"] for r in rs],
                 [r["is_seed"] for r in rs],
                 [r["age"] for r in rs],
+                [r["born"] for r in rs],
             )
         )
     return refs
@@ -301,7 +302,7 @@ def run_crawl(
                 continue
             rows.append(
                 {"url": canon, "origin": origin, "dow": 0, "dts": 0, "tds": 0,
-                 "is_seed": True, "age": 0}
+                 "is_seed": True, "age": 0, "born": 0}
             )
         fresh = _seen_check(
             seen,
@@ -321,7 +322,7 @@ def run_crawl(
                     smt.column("sitemap_xml").to_pylist(),
                 )
             )
-            cand = sitemap_candidates(rows, sm_map, cfg)
+            cand = [dict(c, born=0) for c in sitemap_candidates(rows, sm_map, cfg)]
             sm_fresh = _seen_check(
                 seen,
                 [c["url"] for c in cand],
@@ -455,10 +456,12 @@ def run_crawl(
 
       return _link_stage
 
-    def _admit_stage(batch) -> pa.Table:
+    def _make_admit_stage(admit_wave: int):
+      def _admit_stage(batch) -> pa.Table:
         """Seen-filter (J1) then route to frontier shards (routing by
         origin hash = the wave's 'repartition by host' without a shuffle:
-        the actor call IS the route)."""
+        the actor call IS the route). Admits pushed during wave w are
+        first poppable at w+1 (their lazy-age ``born``)."""
         urls = batch.column("target").to_pylist()
         if not urls:
             return pa.table({"admitted": pa.array([0], pa.int64()), "checked": pa.array([0], pa.int64())})
@@ -477,7 +480,7 @@ def run_crawl(
         )
         rows = [
             {"url": u, "origin": o, "dow": dow, "dts": dts, "tds": tds,
-             "is_seed": False, "age": 0}
+             "is_seed": False, "age": 0, "born": admit_wave + 1}
             for (u, o, dow, dts, tds), f in zip(rows_meta, fresh)
             if f and o is not None
         ]
@@ -489,35 +492,28 @@ def run_crawl(
              "checked": pa.array([len(urls)], pa.int64())}
         )
 
+      return _admit_stage
+
     def _recrawl_refill(at_wave: int) -> int:
         """A5 recrawl scan: re-frontier every PROCESSED url whose cooldown
         elapsed (simulated time = wave × wave_seconds). Bypasses the seen
         check — recrawl is a deliberate re-visit, state stays PROCESSED
-        until the re-fetch re-stamps it."""
+        until the re-fetch re-stamps it. SHARD-TO-SHARD: each seen shard
+        pushes its recrawlable rows straight to the owning frontier shards
+        (SeenShardState.refill_recrawl); the driver only sums counts."""
         wave_seconds = cfg.delay_s * cfg.max_pages_per_host_per_wave
         interval = cfg.budget.recrawl_interval_s
-        tables = ray.get(
-            [
-                s.recrawlable.remote(at_wave, interval, wave_seconds)
-                for s in seen_handles
-            ]
+        return sum(
+            ray.get(
+                [
+                    s.refill_recrawl.remote(
+                        at_wave, interval, wave_seconds,
+                        frontier_handles, len(frontier_handles),
+                    )
+                    for s in seen_handles
+                ]
+            )
         )
-        rows = []
-        for t in tables:
-            for r in t.to_pylist():
-                origin = origin_of(r["url"])
-                if origin is None:
-                    continue
-                rows.append(
-                    {
-                        "url": r["url"], "origin": origin, "dow": r["dow"],
-                        "dts": r["dts"], "tds": r["tds"],
-                        "is_seed": r["is_seed"], "age": 0,
-                    }
-                )
-        if rows:
-            ray.get(_push_routed(frontier_handles, rows))
-        return len(rows)
 
     t0 = time.monotonic()
     total_fetched = 0
@@ -584,7 +580,7 @@ def run_crawl(
             num_partitions=16,
         )
         admit_tbl = deduped.map_batches(
-            _admit_stage, batch_format="pyarrow"
+            _make_admit_stage(wave), batch_format="pyarrow"
         ).to_pandas()
 
         status_counts = {

@@ -92,7 +92,9 @@ def simulate_crawl(
         if origin is None:
             continue
         if seen_shard(canon).check_and_add([canon], [True], [(0, 0, 0)])[0]:
-            frontier_shard(origin).push([canon], [origin], [0], [0], [0], [True], [0])
+            frontier_shard(origin).push(
+                [canon], [origin], [0], [0], [0], [True], [0], [0]
+            )
             seed_rows.append({"url": canon, "origin": origin})
             edge_rows["src"].append(origin)
             edge_rows["dst"].append(canon)
@@ -111,7 +113,7 @@ def simulate_crawl(
             )[0]:
                 frontier_shard(c["origin"]).push(
                     [c["url"]], [c["origin"]], [c["dow"]], [c["dts"]],
-                    [c["tds"]], [False], [0],
+                    [c["tds"]], [False], [0], [0],
                 )
 
     order_rows = {"url": [], "wave": [], "origin": [], "host_seq": []}
@@ -143,7 +145,7 @@ def simulate_crawl(
                             continue
                         frontier_shard(torigin).push(
                             [r["url"]], [torigin], [r["dow"]], [r["dts"]],
-                            [r["tds"]], [r["is_seed"]], [0],
+                            [r["tds"]], [r["is_seed"]], [0], [wave + 1],
                         )
                         refilled += 1
                 if refilled:
@@ -198,7 +200,7 @@ def simulate_crawl(
             (tds, dow, dts), torigin = wave_links[t_]
             if seen_shard(t_).check_and_add([t_], [False], [(dow, dts, tds)])[0]:
                 frontier_shard(torigin).push(
-                    [t_], [torigin], [dow], [dts], [tds], [False], [0]
+                    [t_], [torigin], [dow], [dts], [tds], [False], [0], [wave + 1]
                 )
         wave += 1
 

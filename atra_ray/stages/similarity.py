@@ -28,6 +28,7 @@ __all__ = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_lsh",
     "load_query_matrix",
 ]
 
@@ -140,6 +141,101 @@ def embedding_dup_pairs(
 
     return rd.read_parquet(emb_path, columns=["vec_id", "embedding"]).map_batches(
         _pairs, batch_format="pyarrow", batch_size=2048
+    )
+
+
+def embedding_dup_pairs_lsh(
+    emb_path: str,
+    threshold: float = 0.95,
+    num_tables: int = 16,
+    planes_per_table: int = 8,
+    seed: int = 42,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """vec_id pairs (a < b, cosine >= threshold) — the SCALE path for
+    embedding near-dup detection (the ``embedding_dup_pairs`` docstring's
+    promised LSH-bucketed variant, VERDICT r1).
+
+    OR-construction over ``num_tables`` independent random-hyperplane
+    tables of ``planes_per_table`` bits: a pair at cosine θ disagrees on
+    one plane with prob p = arccos(θ)/π, collides in a given table with
+    (1-p)^k, and is MISSED with (1-(1-p)^k)^L — ≈1.6e-4 at θ=0.95 with
+    the defaults (k=8, L=16); loose thresholds need smaller k / larger L
+    (pass them in). Pairs are generated INSIDE each (table, signature)
+    bucket via one hash-partitioned exchange — work is Σ_buckets n_b²·d,
+    never N², and nothing touches the driver. Recall < 1 by construction;
+    ``embedding_dup_pairs`` is the exact baseline the tests compare
+    against."""
+    d_planes: dict = {}
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        x = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        d = x.shape[1]
+        planes = d_planes.get(d)
+        if planes is None:
+            planes = np.random.RandomState(seed).normal(
+                size=(d, num_tables * planes_per_table)
+            )
+            d_planes[d] = planes
+        # (n, L*k) sign bits -> per-table int signature, offset by table idx
+        bits = ((x @ planes) > 0).astype(np.int64).reshape(
+            len(ids), num_tables, planes_per_table
+        )
+        sig = bits @ (1 << np.arange(planes_per_table))  # (n, L)
+        bucket = (np.arange(num_tables, dtype=np.int64) << np.int64(planes_per_table)) + sig
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.T.reshape(-1)),
+                "vec_id": pa.array(np.tile(ids, num_tables)),
+                "emb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.tile(x, (num_tables, 1)).reshape(-1), pa.float64()), d
+                ),
+            }
+        )
+
+    def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df.duplicated(["bucket"], keep=False)]
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if d.empty:
+            return empty
+        frames = []
+        for _, g in d.groupby("bucket", sort=False):
+            g = g.drop_duplicates("vec_id").sort_values("vec_id")
+            if len(g) < 2:
+                continue
+            ids = g["vec_id"].to_numpy()
+            m = np.stack(g["emb"].to_numpy())
+            sims = m @ m.T
+            i, j = np.triu_indices(len(ids), k=1)
+            keep = sims[i, j] >= threshold
+            frames.append(
+                pd.DataFrame(
+                    {"a": ids[i][keep], "b": ids[j][keep], "cosine": sims[i, j][keep]}
+                )
+            )
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True).drop_duplicates(["a", "b"])
+
+    from .shuffle import partitioned_map_groups
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"]).map_batches(
+        _explode, batch_format="pyarrow", batch_size=2048
+    )
+    pairs = partitioned_map_groups(ds, ["bucket"], _bucket_pairs, num_partitions)
+    # a pair can surface from several probed buckets
+    return partitioned_map_groups(
+        pairs, ["a", "b"],
+        lambda df: df.drop_duplicates(["a", "b"]),
+        num_partitions,
     )
 
 

@@ -84,31 +84,48 @@ class FrontierShardState:
         return max(self.default_delay, self.delays.get(origin, 0.0))
 
     # ---- enqueue --------------------------------------------------------
-    def push(self, urls, origins, dows, dtss, tdss, is_seeds, ages) -> int:
+    def push(self, urls, origins, dows, dtss, tdss, is_seeds, ages, borns=None) -> int:
+        """Enqueue entries. ``borns`` = the first wave each entry is
+        poppable (callers pushing during wave w pass w+1; seeding passes
+        0). Age is LAZY: an entry's effective age at pop_wave(w) is
+        ``age0 + (w - born)`` — the number of waves it was passed over —
+        so nothing re-touches pending entries per wave (the eager aging
+        loop was O(waves x frontier) Python, VERDICT r1 item 4)."""
+        if borns is None:
+            borns = [0] * len(urls)
         n = 0
-        for url, origin, dow, dts, tds, seed, age in zip(
-            urls, origins, dows, dtss, tdss, is_seeds, ages
+        for url, origin, dow, dts, tds, seed, age, born in zip(
+            urls, origins, dows, dtss, tdss, is_seeds, ages, borns
         ):
-            heapq.heappush(self.queues[origin], [tds, dow, url, dts, bool(seed), age])
+            heapq.heappush(
+                self.queues[origin], [tds, dow, url, dts, bool(seed), age, born]
+            )
             n += 1
         return n
 
     # ---- wave emission --------------------------------------------------
     def pop_wave(self, wave: int) -> pa.Table:
         """Emit this wave's batch: per origin, up to
-        min(max_per_host, wave_seconds/delay) URLs in priority order;
-        leftovers age by 1, dropping past max_queue_age. Deterministic:
-        origins iterated in sorted order, heaps give a total order."""
+        min(max_per_host, wave_seconds/delay) URLs in priority order.
+        Entries whose lazy age ``age0 + (wave - born)`` exceeds
+        max_queue_age drop at pop time (same emitted/dropped SETS as the
+        eager per-wave aging loop, without touching pending entries every
+        wave); stale entries do not consume politeness capacity. Origins
+        iterated in sorted order over NON-EMPTY heaps only (empty heaps
+        are deleted — the frontier never rescans dead origins).
+        Deterministic: heaps give a total order."""
         cols = {k: [] for k in ("url", "origin", "dow", "dts", "tds", "is_seed", "age", "wave", "host_seq")}
         now = wave * self.wave_seconds
         for origin in sorted(self.queues.keys()):
             q = self.queues[origin]
-            if not q:
-                continue
             capacity = min(self.max_per_host, max(1, int(self.wave_seconds / self._delay_for(origin))))
             emitted = 0
             while q and emitted < capacity:
-                tds, dow, url, dts, seed, age = heapq.heappop(q)
+                tds, dow, url, dts, seed, age0, born = heapq.heappop(q)
+                eff_age = age0 + (wave - born)
+                if eff_age > self.max_queue_age:
+                    self.dropped_by_age += 1
+                    continue
                 seq = self.host_seq[origin]
                 self.host_seq[origin] = seq + 1
                 cols["url"].append(url)
@@ -117,22 +134,13 @@ class FrontierShardState:
                 cols["dts"].append(dts)
                 cols["tds"].append(tds)
                 cols["is_seed"].append(seed)
-                cols["age"].append(age)
+                cols["age"].append(eff_age)
                 cols["wave"].append(wave)
                 cols["host_seq"].append(seq)
                 emitted += 1
                 self.last_access[origin] = now + emitted * self._delay_for(origin)
-            if q:
-                # passed-over entries age; too-old entries drop
-                survivors = []
-                for rec in q:
-                    rec[5] += 1
-                    if rec[5] <= self.max_queue_age:
-                        survivors.append(rec)
-                    else:
-                        self.dropped_by_age += 1
-                heapq.heapify(survivors)
-                self.queues[origin] = survivors
+            if not q:
+                del self.queues[origin]
         return pa.table(
             {name: pa.array(vals, FRONTIER_SCHEMA.field(name).type) for name, vals in cols.items()}
         )
@@ -152,9 +160,9 @@ class FrontierShardState:
     def checkpoint(self, dir_path: str) -> None:
         p = Path(dir_path)
         p.mkdir(parents=True, exist_ok=True)
-        cols = {k: [] for k in ("url", "origin", "dow", "dts", "tds", "is_seed", "age")}
+        cols = {k: [] for k in ("url", "origin", "dow", "dts", "tds", "is_seed", "age", "born")}
         for origin, q in self.queues.items():
-            for tds, dow, url, dts, seed, age in q:
+            for tds, dow, url, dts, seed, age, born in q:
                 cols["url"].append(url)
                 cols["origin"].append(origin)
                 cols["dow"].append(dow)
@@ -162,6 +170,7 @@ class FrontierShardState:
                 cols["tds"].append(tds)
                 cols["is_seed"].append(seed)
                 cols["age"].append(age)
+                cols["born"].append(born)
         t = pa.table({k: pa.array(v) for k, v in cols.items()}) if cols["url"] else pa.table(
             {k: pa.array([], pa.string() if k in ("url", "origin") else pa.int64()) for k in cols}
         )
@@ -188,6 +197,7 @@ class FrontierShardState:
                 t.column("tds").to_pylist(),
                 t.column("is_seed").to_pylist(),
                 t.column("age").to_pylist(),
+                t.column("born").to_pylist(),
             )
         self.host_seq = defaultdict(int, {k: int(v) for k, v in meta["host_seq"].items()})
         self.last_access = meta["last_access"]

@@ -344,3 +344,37 @@ def test_dedup_distributed_matches_duckdb_exact_jaccard(ray_session, tmp_path):
 
     survivors = dedup_minhash(str(p), threshold=0.5).to_pandas()["doc_id"]
     assert set(survivors) == set(range(n)) - set(want["b"])
+
+
+def test_embedding_dup_pairs_lsh_matches_bruteforce(ray_session, tmp_path):
+    """OR-table LSH bucketing recovers the brute-force pair set on planted
+    near-dups (high-recall parametrization for the loose threshold)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from atra_ray.stages.similarity import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(80, 32))
+    dups = base[:15] + rng.normal(scale=0.05, size=(15, 32))  # cosine ~0.99
+    m = np.vstack([base, dups])
+    p = tmp_path / "emb.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(m)), pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in m]),
+            }
+        ),
+        p,
+    )
+    exact = embedding_dup_pairs(str(p), threshold=0.9).to_pandas()[["a", "b"]]
+    lsh = embedding_dup_pairs_lsh(str(p), threshold=0.9).to_pandas()[["a", "b"]]
+    se = set(map(tuple, exact.values))
+    sl = set(map(tuple, lsh.values))
+    assert len(se) >= 15
+    assert sl == se  # defaults: miss prob ~1.6e-4/pair at cosine 0.95+

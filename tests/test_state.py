@@ -75,10 +75,16 @@ def test_frontier_capacity_and_aging():
     f.push(urls, ["h"] * 5, [1] * 5, [0] * 5, [1] * 5, [False] * 5, [0] * 5)
     w0 = f.pop_wave(0)
     assert w0.num_rows == 2
-    assert f.count() == 3  # leftovers aged to 1 (== max_queue_age, kept)
+    assert f.count() == 3  # leftovers lazily aged to 1 (== max, kept)
     w1 = f.pop_wave(1)
     assert w1.num_rows == 2
-    # last survivor aged to 2 > max_queue_age=1 -> dropped
+    assert [r["age"] for r in w1.to_pylist()] == [1, 1]  # passed over once
+    # last survivor's lazy age hits 2 > max_queue_age=1 at the NEXT pop:
+    # it stays pending until examined, then drops without consuming
+    # politeness capacity (same emitted/dropped sets as eager aging)
+    assert f.count() == 1
+    w2 = f.pop_wave(2)
+    assert w2.num_rows == 0
     assert f.count() == 0
     assert f.dropped_by_age == 1
     assert [r["host_seq"] for r in w1.to_pylist()] == [2, 3]
