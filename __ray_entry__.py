@@ -209,16 +209,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return partitioned_map_groups(ds, ["origin"], _agg, num_partitions=8)
 
     def gdbr_clean_pages(sf_dir):
-        from atra_ray.pipelines.slice import extract_pages
+        import ray.data as rd
+
         from atra_ray.stages.gdbr import gdbr_clean
 
         fx = _fixture_dir(sf_dir)
-        ds = extract_pages(str(fx / "pages.parquet")).select_columns(
-            ["url", "text", "lang"]
-        )
-        return gdbr_clean(ds, concurrency=2).select_columns(
-            ["url", "gdbr_score"]
-        )
+        ds = rd.read_parquet(str(fx / "pages.parquet"), columns=["url", "html"])
+        return gdbr_clean(ds, concurrency=2).select_columns(["url", "text"])
 
     def ann_ivf_topk(sf_dir):
         from atra_ray.stages.similarity import ann_ivf_topk as _ivf
@@ -378,6 +375,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT url, target, origin, kind FROM read_parquet('{fx}/links_oracle.parquet')"
         ),
         "detect_language_pages": f"SELECT url, lang FROM read_parquet('{fx}/pages.parquet/*.parquet')",
+        # generator oracle: page text minus the injected consent banner
+        # (trained DOM-subtree model must reproduce it byte-identically)
+        "gdbr_clean_pages": (
+            f"SELECT url, clean_text AS text FROM read_parquet('{fx}/gdbr_oracle.parquet')"
+        ),
         # simulator oracles (single-threaded reference implementation)
         "crawl_seen": (
             f"SELECT url, kind, is_seed, dow, dts, tds, crawled_wave "

@@ -134,6 +134,16 @@ def detect_format(url: str, body: bytes | None) -> str:
     head = bytes(body[:_SNIFF_WINDOW])
     for magic, fmt in _MAGIC:
         if head.startswith(magic):
+            if fmt == Format.ZIP:
+                # OOXML/ODF are ZIP containers: inspect the member table
+                # (the reference's file_format magic DB does the same)
+                from .extract_docs import zip_kind
+
+                kind = zip_kind(bytes(body))
+                if kind == "ooxml":
+                    return Format.OOXML
+                if kind == "odf":
+                    return Format.ODF
             return fmt
     # a Unicode BOM marks the body as text; sniff the DECODED head so that
     # e.g. UTF-16 HTML is still recognized as HTML (the reference gets this

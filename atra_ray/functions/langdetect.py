@@ -1,11 +1,17 @@
 """Language identification (SURVEY.md M17).
 
 The reference uses whatlang over the document's text nodes
-(atra/src/toolkit/language_detection.rs:97-253; ≤1 MB sample). whatlang is a
-trigram classifier; no equivalent wheel ships in this environment, so we use
-a deterministic function-word scorer over a fixed language set — the same
-family of evidence, fully reproducible, and vectorizable. Returns ISO-639-3
-codes like the reference's `isolang` mapping, or "und" when no evidence.
+(atra/src/toolkit/language_detection.rs:97-253; ≤1 MB sample). whatlang
+works in two stages — SCRIPT detection by Unicode ranges, then a
+per-script classifier (trigram profiles for Latin/Cyrillic, direct mapping
+for single-language scripts) with a confidence value. We mirror that
+shape: ``detect_script`` counts characters per Unicode script;
+single-language scripts map directly (kana→jpn, hangul→kor, han→cmn);
+multi-language scripts run a function-word scorer (the
+highest-signal subset of a trigram profile, fully deterministic).
+``detect_language_info`` returns (lang, script, confidence) like
+whatlang's ``Info``; ``detect_language`` keeps the plain-code contract.
+Codes are ISO-639-3, or "und" when no evidence.
 
 The sample cap (1 MB of text) matches language_detection.rs:103.
 """
@@ -14,7 +20,12 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["detect_language", "LANG_STOPWORDS"]
+__all__ = [
+    "detect_language",
+    "detect_language_info",
+    "detect_script",
+    "LANG_STOPWORDS",
+]
 
 MAX_SAMPLE_CHARS = 1_000_000
 
@@ -53,18 +64,114 @@ LANG_STOPWORDS: dict[str, frozenset[str]] = {
     ),
 }
 
+# Cyrillic function words (rus; ukr markers would extend this table)
+_CYR_STOPWORDS: dict[str, frozenset[str]] = {
+    "rus": frozenset(
+        "и в не на я быть он с что а по как это она к но они мы из у "
+        "который то за свой весь год от так о для ты же все тот мочь вот "
+        "человек только или если уже при был даже есть чтобы раз два "
+        "себя ничего ей может они тут где надо ней стал ним".split()
+    ),
+}
+
 _WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+# (script, start, end) Unicode ranges — counted like whatlang's
+# script_detection tables (language_detection.rs / whatlang scripts.rs)
+_SCRIPT_RANGES = (
+    ("cyrillic", 0x0400, 0x04FF),
+    ("hiragana", 0x3040, 0x309F),
+    ("katakana", 0x30A0, 0x30FF),
+    ("han", 0x4E00, 0x9FFF),
+    ("hangul", 0xAC00, 0xD7A3),
+    ("greek", 0x0370, 0x03FF),
+    ("arabic", 0x0600, 0x06FF),
+    ("hebrew", 0x0590, 0x05FF),
+    ("thai", 0x0E00, 0x0E7F),
+    ("devanagari", 0x0900, 0x097F),
+)
+
+
+def detect_script(text: str) -> tuple[str, int, int]:
+    """Dominant script -> (script, count, total_letters). Latin counted via
+    the ASCII/Latin-1/Latin-Extended letter ranges."""
+    counts: dict[str, int] = {}
+    total = 0
+    for ch in text:
+        o = ord(ch)
+        if not ch.isalpha():
+            continue
+        total += 1
+        if o < 0x250:  # latin incl. supplements/extended
+            counts["latin"] = counts.get("latin", 0) + 1
+            continue
+        for name, lo, hi in _SCRIPT_RANGES:
+            if lo <= o <= hi:
+                counts[name] = counts.get(name, 0) + 1
+                break
+    if not counts:
+        return "und", 0, 0
+    best = max(sorted(counts), key=lambda k: counts[k])
+    return best, counts[best], total
+
+
+def _score_stopwords(
+    words: list[str], table: dict[str, frozenset[str]]
+) -> tuple[str, float]:
+    """argmax language by function-word hits; confidence = normalized
+    hit-margin over the runner-up (whatlang's confidence shape)."""
+    best_lang, best, second = "und", 0, 0
+    for lang in sorted(table):
+        score = sum(1 for w in words if w in table[lang])
+        if score > best:
+            best_lang, best, second = lang, score, best
+        elif score > second:
+            second = score
+    if best == 0:
+        return "und", 0.0
+    return best_lang, (best - second) / best
+
+
+def detect_language_info(text: str | None) -> tuple[str, str, float]:
+    """(iso639-3 lang, script, confidence in [0,1])."""
+    if not text:
+        return "und", "und", 0.0
+    sample = text[:MAX_SAMPLE_CHARS]
+    script, script_n, total = detect_script(sample)
+    if script == "und":
+        return "und", "und", 0.0
+    dominance = script_n / total if total else 0.0
+    # single-language scripts map directly (whatlang does the same for
+    # e.g. Hangul/Greek; kana unambiguously marks Japanese even in
+    # kanji-heavy text)
+    if script in ("hiragana", "katakana"):
+        return "jpn", script, dominance
+    if script == "han":
+        # han + any kana = Japanese; pure han = Mandarin
+        if any(0x3040 <= ord(c) <= 0x30FF for c in sample):
+            return "jpn", script, dominance
+        return "cmn", script, dominance
+    if script == "hangul":
+        return "kor", script, dominance
+    if script == "greek":
+        return "ell", script, dominance
+    if script == "arabic":
+        return "ara", script, dominance
+    if script == "hebrew":
+        return "heb", script, dominance
+    if script == "thai":
+        return "tha", script, dominance
+    if script == "devanagari":
+        return "hin", script, dominance
+    words = _WORD_RE.findall(sample.lower())
+    if not words:
+        return "und", script, 0.0
+    if script == "cyrillic":
+        lang, conf = _score_stopwords(words, _CYR_STOPWORDS)
+        return (lang, script, conf) if lang != "und" else ("rus", script, 0.3)
+    lang, conf = _score_stopwords(words, LANG_STOPWORDS)
+    return lang, script, conf
 
 
 def detect_language(text: str | None) -> str:
-    if not text:
-        return "und"
-    words = _WORD_RE.findall(text[:MAX_SAMPLE_CHARS].lower())
-    if not words:
-        return "und"
-    best_lang, best_score = "und", 0
-    for lang in sorted(LANG_STOPWORDS):
-        score = sum(1 for w in words if w in LANG_STOPWORDS[lang])
-        if score > best_score:
-            best_lang, best_score = lang, score
-    return best_lang
+    return detect_language_info(text)[0]

@@ -32,6 +32,7 @@ __all__ = [
     "canonicalize",
     "child_depth",
     "origin_of",
+    "public_suffix",
     "host_of",
     "stable_hash64",
     "url_shard",
@@ -42,14 +43,57 @@ _DEFAULT_PORTS = {"http": 80, "https": 443, "ws": 80, "wss": 443, "ftp": 21}
 # schemes whose empty path serializes as "/" (WHATWG "special" schemes)
 _SPECIAL_SCHEMES = {"http", "https", "ws", "wss", "ftp", "file"}
 
-# Tiny public-suffix heuristic (the sandbox has no publicsuffix package):
-# known multi-label suffixes we may meet in tests; everything else keeps the
-# last two labels. Good enough for synthetic `hostN.example` hosts; swap in a
-# full PSL snapshot for production.
-_MULTI_SUFFIXES = {
-    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
-    "com.au", "net.au", "org.au", "com.br", "com.cn", "co.in", "co.kr",
-}
+# Public-suffix rules from the vendored snapshot (atra_ray/data/
+# public_suffix_snapshot.dat — partial hand-vendored PSL; no network in
+# the sandbox to fetch the canonical list). The reference resolves
+# registrable domains through psl::domain_str (toolkit/domains.rs:21-29);
+# we implement the PSL algorithm (exact + "*." wildcard + "!" exception
+# rules, longest match wins, exceptions prevail) over the snapshot.
+_PSL_EXACT: set[str] = set()
+_PSL_WILDCARD: set[str] = set()  # parents of "*." rules
+_PSL_EXCEPTION: set[str] = set()
+
+
+def _load_psl() -> None:
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "data" / "public_suffix_snapshot.dat"
+    for line in path.read_text().splitlines():
+        line = line.strip().lower()
+        if not line or line.startswith("//"):
+            continue
+        if line.startswith("!"):
+            _PSL_EXCEPTION.add(line[1:])
+        elif line.startswith("*."):
+            _PSL_WILDCARD.add(line[2:])
+        else:
+            _PSL_EXACT.add(line)
+
+
+_load_psl()
+
+
+def public_suffix(host: str) -> str:
+    """The host's public suffix per the PSL algorithm
+    (https://publicsuffix.org/list/): exception rules prevail; otherwise
+    the longest matching rule; unlisted TLDs fall to the implicit "*"
+    default (last label)."""
+    labels = host.split(".")
+    n = len(labels)
+    # exception rules prevail over everything: public suffix = the rule
+    # minus its leftmost label
+    for i in range(n):
+        if ".".join(labels[i:]) in _PSL_EXCEPTION:
+            return ".".join(labels[i + 1 :])
+    best = 1  # the implicit default rule "*"
+    for i in range(n):
+        cand = ".".join(labels[i:])
+        if cand in _PSL_EXACT:
+            best = max(best, n - i)
+        # "*.parent" matches exactly one extra label
+        if i + 1 <= n and ".".join(labels[i + 1 :]) in _PSL_WILDCARD:
+            best = max(best, n - i)
+    return ".".join(labels[n - best :])
 
 
 @dataclass(frozen=True, slots=True)
@@ -138,13 +182,14 @@ def origin_of(url: str) -> str | None:
         return host
     except ValueError:
         pass
-    labels = host.split(".")
-    if len(labels) <= 2:
+    ps = public_suffix(host)
+    if ps == host:
+        # the host IS a public suffix: no registrable domain — the
+        # reference falls back to the host string (origin.rs:33-41)
         return host
-    tail2 = ".".join(labels[-2:])
-    if tail2 in _MULTI_SUFFIXES and len(labels) >= 3:
-        return ".".join(labels[-3:])
-    return tail2
+    # registrable domain = public suffix + one more label
+    extra = host[: -(len(ps) + 1)].rsplit(".", 1)[-1]
+    return f"{extra}.{ps}"
 
 
 def child_depth(base_depth: Depth, base_host: str | None, child_host: str | None) -> Depth:

@@ -32,10 +32,10 @@ from pathlib import Path
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..functions.langdetect import LANG_STOPWORDS
+from ..functions.langdetect import LANG_STOPWORDS, _CYR_STOPWORDS
 
 GLOBAL_SEED = 42
-GENERATOR_VERSION = "8"  # bump when generation rules change (invalidates caches)
+GENERATOR_VERSION = "10"  # bump when generation rules change (invalidates caches)
 EPOCH_US = 1_729_036_800_000_000  # 2024-10-16T00:00:00Z in microseconds
 
 _LANGS = ("eng", "deu", "fra", "spa")
@@ -46,18 +46,43 @@ _CONTENT = {
     "deu": "seite daten suche netz inhalt verzeichnis ergebnis wort text bild".split(),
     "fra": "page moteur recherche contenu texte image lien résultat mot site".split(),
     "spa": "página motor búsqueda contenido texto imagen enlace resultado palabra sitio".split(),
+    # native-script pools for the no-meta/no-BOM statistical-detection pages
+    # (M9 step 4): the detector must identify these from CONTENT alone
+    "rus": "данные поиск страница сеть текст слово сайт результат индекс "
+           "картинка система запрос время работа информация".split(),
+    "jpn": "データ 検索 ページ クローラ 情報 サイト 結果 画像 言葉 索引 "
+           "の に は を が で て と から まで".split(),
+    "cmn": "数据 搜索 页面 网络 文本 词语 网站 结果 索引 图片 "
+           "的 是 在 了 有 和 这 中 大 为".split(),
 }
 _JP_WORDS = ["検索", "データ", "ページ", "クローラ"]
 
+# language word pool per lang code (stopwords + content)
+def _pool_for(lang: str) -> list[str]:
+    if lang == "rus":
+        return sorted(_CYR_STOPWORDS["rus"]) + _CONTENT["rus"]
+    if lang in ("jpn", "cmn"):
+        return _CONTENT[lang]
+    return sorted(LANG_STOPWORDS[lang]) + _CONTENT[lang]
+
 _ENCODINGS = (
-    # (name, weight) — FIXTURES.md §1 distribution
-    ("utf-8", 70),
+    # (name, weight) — FIXTURES.md §1 distribution. The -nometa encodings
+    # carry NO <meta charset> and no BOM: only the chardetng-analog
+    # statistical detector (decoding.statistical_guess) can decode them.
+    ("utf-8", 62),
     ("utf-16-le", 10),
     ("cp1252", 10),
     ("shift_jis", 5),
     ("utf-8-invalid", 5),
+    ("cp1251", 4),
+    ("euc_jp", 2),
+    ("gb18030", 2),
 )
 _ENC_WHEEL = [name for name, w in _ENCODINGS for _ in range(w)]
+
+# encoding -> forced page language (native script drives both the
+# statistical encoding detection and the script-based language id)
+_ENC_LANG = {"cp1251": "rus", "euc_jp": "jpn", "gb18030": "cmn"}
 
 _INVALID_SENTINEL = "QatraINVALIDq"
 
@@ -71,7 +96,7 @@ def host_name(h: int) -> str:
 
 
 def _words(rng: random.Random, lang: str, n: int, ascii_only: bool = False) -> list[str]:
-    pool = sorted(LANG_STOPWORDS[lang]) + _CONTENT[lang]
+    pool = _pool_for(lang)
     if ascii_only:
         pool = [w for w in pool if w.isascii()]
     return [rng.choice(pool) for _ in range(n)]
@@ -118,8 +143,13 @@ def _page_counts(hosts: int, base: int) -> list[int]:
     return counts
 
 
+_GDBR_LANGS = ("eng", "deu", "fra", "spa")
+
+
 def _gen_page(h: int, k: int, hosts: int, counts: list[int]):
-    """-> (url, html_bytes, oracle_text, lang, oracle_links) where
+    """-> (url, html_bytes, oracle_text, lang, oracle_links, clean_text)
+    where clean_text is the GDBR oracle (text minus the injected consent
+    banner; == oracle_text when no banner), and
     oracle_links = list[(target_raw, origin)] of raw hrefs as written into
     the document (canonicalization happens engine-side; the links_oracle
     table stores the CANONICAL target, computed here by construction)."""
@@ -131,6 +161,7 @@ def _gen_page(h: int, k: int, hosts: int, counts: list[int]):
     enc = rng.choice(_ENC_WHEEL)
     if enc == "shift_jis":
         lang = "eng"  # shift_jis cannot encode most latin-1 letters
+    lang = _ENC_LANG.get(enc, lang)
 
     ascii_only = enc in ("shift_jis", "utf-8-invalid")
     title = " ".join(_words(rng, lang, rng.randint(2, 4), ascii_only))
@@ -146,6 +177,17 @@ def _gen_page(h: int, k: int, hosts: int, counts: list[int]):
         # sentinel replaced by a raw invalid byte post-encode; decoder must
         # yield exactly one U+FFFD there
         paras.append("prefix " + _INVALID_SENTINEL + " suffix")
+
+    # GDBR banner injection (~22% of pages in the model's languages): a
+    # <div class="cookie-banner"> of 2-4 consent sentences drawn from the
+    # shared template pool (functions/gdbr_model.BANNER_TEMPLATES); the
+    # clean-text oracle excludes exactly these parts
+    banner_sents = None
+    if lang in _GDBR_LANGS and rng.random() < 0.22:
+        from ..functions.gdbr_model import BANNER_TEMPLATES
+
+        tpl = BANNER_TEMPLATES[lang]
+        banner_sents = [rng.choice(tpl) for _ in range(rng.randint(2, 4))]
 
     # k=0 pages are seed targets — a nofollow seed would amputate a whole
     # host from every crawl test, so nofollow coverage comes from k>0 pages
@@ -236,13 +278,24 @@ def _gen_page(h: int, k: int, hosts: int, counts: list[int]):
 
     # ---- render HTML (text nodes appear in exactly this order)
     text_parts = [title]
+    banner_parts = []
     body_bits = []
     body_bits.append(f"<h1>{title}</h1>")  # title appears once in <title>, once in <h1>
     text_parts.append(title)
+    if banner_sents:
+        body_bits.append(
+            '<div class="cookie-banner">'
+            + "".join(f"<p>{s}</p>" for s in banner_sents)
+            + "</div>"
+        )
+        text_parts.extend(banner_sents)
+        banner_parts = list(banner_sents)
     for p in paras:
         body_bits.append(f"<p>{p}</p>")
         text_parts.append(p)
-    anchor_words_pool = _CONTENT[lang] if not ascii_only else [w for w in _CONTENT["eng"]]
+    anchor_words_pool = (
+        _CONTENT[lang] if not ascii_only else [w for w in _CONTENT["eng"]]
+    )
     for raw, _canon, origin in links:
         if origin == "href" and not raw.startswith("data:"):
             atext = rng.choice(anchor_words_pool)
@@ -295,8 +348,8 @@ def _gen_page(h: int, k: int, hosts: int, counts: list[int]):
     # ---- encode
     if enc == "utf-16-le":
         body = codecs.BOM_UTF16_LE + html.encode("utf-16-le")
-    elif enc == "cp1252":
-        body = html.encode("cp1252")  # strict: generator bug if not encodable
+    elif enc in ("cp1252", "cp1251", "euc_jp", "gb18030"):
+        body = html.encode(enc)  # strict: generator bug if not encodable
     elif enc == "shift_jis":
         body = html.encode("shift_jis")
     elif enc == "utf-8-invalid":
@@ -307,8 +360,11 @@ def _gen_page(h: int, k: int, hosts: int, counts: list[int]):
         body = html.encode("utf-8")
 
     oracle_text = "\n".join(text_parts)
+    clean_parts = [t for t in text_parts if t not in banner_parts]
+    clean_text = "\n".join(clean_parts)
     if enc == "utf-8-invalid":
         oracle_text = oracle_text.replace(_INVALID_SENTINEL, "Q�q")
+        clean_text = clean_text.replace(_INVALID_SENTINEL, "Q�q")
 
     # ---- oracle link rows under the DEFAULT extraction config:
     # nofollow page -> no links; nofollow anchor excluded; img (embedded)
@@ -335,7 +391,7 @@ def _gen_page(h: int, k: int, hosts: int, counts: list[int]):
                 kind = "outgoing"
             oracle_links.append((canon, origin, kind))
 
-    return url, body, oracle_text, lang, oracle_links
+    return url, body, oracle_text, lang, oracle_links, clean_text
 
 
 def _gen_plaintext_page(h: int, k: int, hosts: int, counts: list[int]):
@@ -352,6 +408,107 @@ def _gen_plaintext_page(h: int, k: int, hosts: int, counts: list[int]):
         + " ".join(_words(rng, lang, 8))
     )
     return url, body_text.encode("utf-8"), body_text, lang, [(target, "plain_text", "outgoing")]
+
+
+_ZIP_EPOCH = (1980, 1, 1, 0, 0, 0)  # fixed member timestamps: byte-deterministic zips
+
+
+def _zip_bytes(members: list[tuple[str, bytes]], first_stored: bool = False) -> bytes:
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for i, (name, data) in enumerate(members):
+            zi = zipfile.ZipInfo(name, date_time=_ZIP_EPOCH)
+            zi.compress_type = (
+                zipfile.ZIP_STORED if (first_stored and i == 0) else zipfile.ZIP_DEFLATED
+            )
+            z.writestr(zi, data)
+    return buf.getvalue()
+
+
+def _doc_targets(h: int, kind: str, hosts: int, counts: list[int]) -> list[str]:
+    rng = random.Random(_page_seed(h, 9000 + len(kind)))
+    out = []
+    for _ in range(rng.randint(2, 3)):
+        h2 = (h + 1 + rng.randrange(hosts - 1)) % hosts
+        out.append(f"https://{host_name(h2)}{_page_path(h2, rng.randrange(counts[h2]))}")
+    out.append(f"https://{host_name(h)}/p0")  # one same-host (on_seed) link
+    # dedup preserving order (kernels emit unique targets)
+    seen = set()
+    return [t for t in out if not (t in seen or seen.add(t))]
+
+
+def _gen_docx_page(h: int, hosts: int, counts: list[int]):
+    """M14 OOXML: hyperlinks live in word/_rels/document.xml.rels."""
+    url = f"https://{host_name(h)}/doc.docx"
+    targets = _doc_targets(h, "docx", hosts, counts)
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/hyperlink" Target="{t}" TargetMode="External"/>'
+            for i, t in enumerate(targets)
+        )
+        + "</Relationships>"
+    )
+    body = _zip_bytes(
+        [
+            ("[Content_Types].xml", b'<?xml version="1.0"?><Types/>'),
+            ("word/document.xml", b'<?xml version="1.0"?><w:document xmlns:w="urn:x"><w:body><w:p/></w:body></w:document>'),
+            ("word/_rels/document.xml.rels", rels.encode()),
+        ]
+    )
+    return url, body, None, "und", [(t, "ooxml", _doc_kind(t, h)) for t in sorted(targets)]
+
+
+def _gen_odt_page(h: int, hosts: int, counts: list[int]):
+    """M14 ODF: <text:a xlink:href> anchors in content.xml."""
+    url = f"https://{host_name(h)}/doc.odt"
+    targets = _doc_targets(h, "odt", hosts, counts)
+    content = (
+        '<?xml version="1.0"?><office:document-content xmlns:office="urn:o" xmlns:text="urn:t" xmlns:xlink="http://www.w3.org/1999/xlink"><office:body><office:text>'
+        + "".join(f'<text:p><text:a xlink:href="{t}">link</text:a></text:p>' for t in targets)
+        + "</office:text></office:body></office:document-content>"
+    )
+    body = _zip_bytes(
+        [
+            ("mimetype", b"application/vnd.oasis.opendocument.text"),
+            ("content.xml", content.encode()),
+        ],
+        first_stored=True,
+    )
+    return url, body, None, "und", [(t, "odf", _doc_kind(t, h)) for t in sorted(targets)]
+
+
+def _gen_pdf_page(h: int, hosts: int, counts: list[int]):
+    """M14 PDF: /URI action entries in link annotations."""
+    url = f"https://{host_name(h)}/doc.pdf"
+    targets = _doc_targets(h, "pdf", hosts, counts)
+    annots = "".join(
+        f"<< /Type /Annot /Subtype /Link /A << /S /URI /URI ({t}) >> >>\n"
+        for t in targets
+    )
+    body = (
+        "%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n" + annots + "%%EOF\n"
+    ).encode()
+    return url, body, None, "und", [(t, "pdf", _doc_kind(t, h)) for t in sorted(targets)]
+
+
+def _gen_rtf_page(h: int, hosts: int, counts: list[int]):
+    """M14 RTF: HYPERLINK field instructions."""
+    url = f"https://{host_name(h)}/doc.rtf"
+    targets = _doc_targets(h, "rtf", hosts, counts)
+    fields = "".join(
+        '{\\field{\\*\\fldinst HYPERLINK "' + t + '"}{\\fldrslt link}}'
+        for t in targets
+    )
+    body = ("{\\rtf1\\ansi some text " + fields + "}").encode()
+    return url, body, None, "und", [(t, "rtf", _doc_kind(t, h)) for t in sorted(targets)]
+
+
+def _doc_kind(target: str, h: int) -> str:
+    return "on_seed" if target.split("/")[2] == host_name(h) else "outgoing"
 
 
 def generate(out_dir: str | os.PathLike, sf: float, force: bool = False) -> Path:
@@ -371,16 +528,18 @@ def generate(out_dir: str | os.PathLike, sf: float, force: bool = False) -> Path
     counts = _page_counts(hosts, base)
 
     urls, tss, htmls, texts, langs = [], [], [], [], []
+    clean_texts = []  # GDBR oracle (== text when no banner injected)
     link_rows = {"url": [], "target": [], "origin": [], "kind": []}
     row_idx = 0
 
-    def emit(url, body, text, lang, olinks):
+    def emit(url, body, text, lang, olinks, clean_text=None):
         nonlocal row_idx
         urls.append(url)
         tss.append(EPOCH_US + row_idx * 1_000_000)
         htmls.append(body)
         texts.append(text)
         langs.append(lang)
+        clean_texts.append(text if clean_text is None else clean_text)
         for target, origin, kind in olinks:
             link_rows["url"].append(url)
             link_rows["target"].append(target)
@@ -395,6 +554,12 @@ def generate(out_dir: str | os.PathLike, sf: float, force: bool = False) -> Path
         n_txt = max(1, counts[h] // 25)
         for k in range(n_txt):
             emit(*_gen_plaintext_page(h, k, hosts, counts))
+        # M14 binary-document pages (one of each format on every 5th host)
+        if h % 5 == 2:
+            emit(*_gen_docx_page(h, hosts, counts))
+            emit(*_gen_odt_page(h, hosts, counts))
+            emit(*_gen_pdf_page(h, hosts, counts))
+            emit(*_gen_rtf_page(h, hosts, counts))
 
     pages = pa.table(
         {
@@ -432,6 +597,16 @@ def generate(out_dir: str | os.PathLike, sf: float, force: bool = False) -> Path
                 row_group_size=4096,
             )
     pq.write_table(pa.table({k: pa.array(v, pa.string()) for k, v in link_rows.items()}), out / "links_oracle.parquet")
+    # GDBR clean-text oracle (M18): text minus the injected banner parts
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "clean_text": pa.array(clean_texts, pa.string()),
+            }
+        ),
+        out / "gdbr_oracle.parquet",
+    )
 
     # seeds: every 3rd host, path /p0 (always exists: k=0 never /blocked/),
     # plus one host with no pages at all (fetch-miss seed)

@@ -120,10 +120,46 @@ def extract_one(
                 seen_z.add(key)
                 uniq.append(lk)
         return fmt, "none", False, None, "und", uniq
+    if fmt in (Format.OOXML, Format.ODF, Format.PDF, Format.RTF) and body is not None:
+        # M14 binary-document kernels (extractor_method.rs:699-788): link
+        # harvest only, no text (the reference's Decoded::None for these);
+        # empty harvest falls to the M13 raw scan (ApplyWhen::Fallback)
+        from ..functions.extract_docs import (
+            extract_odf_links,
+            extract_ooxml_links,
+            extract_pdf_links,
+            extract_rtf_links,
+        )
+
+        kernel = {
+            Format.OOXML: extract_ooxml_links,
+            Format.ODF: extract_odf_links,
+            Format.PDF: extract_pdf_links,
+            Format.RTF: extract_rtf_links,
+        }[fmt]
+        raw_found = kernel(bytes(body))
+        if not raw_found:
+            raw_found = list(extract_raw_links(bytes(body)))
+        links = []
+        seen_d = set()
+        for raw in sorted(raw_found):
+            packed = pack_link(url, depth, raw)
+            if packed is None:
+                continue
+            target, d, kind = packed
+            if (target, fmt) in seen_d:
+                continue
+            seen_d.add((target, fmt))
+            links.append((target, fmt, kind, d.dow, d.dts, d.tds))
+        return fmt, "none", False, None, "und", links
     if fmt not in DECODEABLE_FORMATS or body is None:
         return fmt, "none", False, None, "und", []
 
-    text_decoded, encoding, had_errors = decode_bytes(bytes(body), fmt == Format.HTML)
+    host = url.split("/")[2] if "://" in url else ""
+    tld = host.rsplit(".", 1)[-1] if "." in host else None
+    text_decoded, encoding, had_errors = decode_bytes(
+        bytes(body), fmt == Format.HTML, tld
+    )
     if text_decoded is None:
         return fmt, "none", False, None, "und", []
 

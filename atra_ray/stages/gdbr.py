@@ -1,99 +1,237 @@
-"""GDBR (GDPR-banner) removal stage (M18) — actor-pool ``map_batches``.
+"""GDBR (GDPR-banner) removal stage (M18/T5) — actor-pool ``map_batches``.
 
 The reference scores DOM subtrees with a per-language liblinear SVR over
 TF-IDF of tokenized node text and removes the max-scoring subtree above a
 threshold before link extraction (atra/src/gdbr/identifier.rs:80-759,
-svm/src/classifier.rs). liblinear and the trained models are not available
-in this container, so the MODEL is a clearly-marked deterministic stand-in
-(keyword-weight linear scorer); everything Ray-side is real and tested:
+svm/src/classifier.rs). Our analog:
 
-- callable CLASS for ``map_batches(GdbrStage, concurrency=N)`` — the model
-  table loads ONCE per actor in ``__init__`` (the T5 pattern), never per
-  batch;
-- segment scoring + max-segment removal semantics mirror the reference's
-  subtree logic at paragraph granularity;
-- output adds ``gdbr_score`` and returns the cleaned text column.
-
-Swap ``_load_model`` for a real weight file to productionize.
+- per-language LOGISTIC model over hashed TF (functions/gdbr_model.py),
+  trained offline by tools/train_gdbr.py; the weight registry loads ONCE
+  per actor in ``__init__`` (the T5 pattern), never per batch;
+- scoring at DOM-SUBTREE granularity: a lightweight DOM builder
+  (``_DomParser``) mirrors extract_html's text contract exactly (text
+  nodes stripped at tag boundaries, script/style skipped, charrefs
+  converted), so with no removal the emitted text is byte-identical to
+  the extraction pipeline's; each element's subtree text is scored and
+  the max-scoring subtree above threshold is removed (document-order
+  first on ties — the ancestor of an equal-scoring child);
+- ``GdbrStage`` is a callable CLASS for
+  ``map_batches(GdbrStage, concurrency=N, batch_format="pyarrow")`` over
+  (url, html) rows: it runs format detection + the M9 decode precedence,
+  DOM-cleans HTML pages and passes non-HTML text through untouched.
 """
 
 from __future__ import annotations
 
-import re
+from html.parser import HTMLParser
 
+import numpy as np
 import pyarrow as pa
 
-__all__ = ["GdbrStage", "gdbr_clean"]
+from ..functions.decoding import decode_bytes
+from ..functions.gdbr_model import load_weights, score_text
+from ..functions.langdetect import detect_language
 
-_SEGMENT_RE = re.compile(r"\n\s*\n")  # paragraph segmentation
-
-
-def _load_model(lang: str) -> dict[str, float]:
-    """Deterministic stand-in for the per-language SVR weights. A real
-    deployment loads liblinear weights per language here (once per actor)."""
-    base = {
-        "cookie": 2.0, "cookies": 2.0, "consent": 2.0, "gdpr": 3.0,
-        "privacy": 1.0, "accept": 1.0, "agree": 1.0, "tracking": 1.0,
-    }
-    if lang == "deu":
-        base.update({"zustimmen": 2.0, "datenschutz": 2.0, "akzeptieren": 2.0})
-    if lang == "fra":
-        base.update({"accepter": 2.0, "confidentialité": 2.0})
-    return base
+__all__ = ["GdbrStage", "gdbr_clean", "clean_html_dom"]
 
 
-def _score(segment: str, weights: dict[str, float]) -> float:
-    toks = segment.lower().split()
-    if not toks:
-        return 0.0
-    return sum(weights.get(t.strip(".,!?;:"), 0.0) for t in toks) / len(toks)
+class _DomNode:
+    __slots__ = ("tag", "children", "parts")
+
+    def __init__(self, tag: str):
+        self.tag = tag
+        self.children: list[_DomNode] = []
+        self.parts: list[list[str]] = []  # shared one-element cells, doc order
+
+    def subtree_parts(self) -> list[list[str]]:
+        out = list(self.parts)
+        for c in self.children:
+            out.extend(c.subtree_parts())
+        return out
+
+
+_VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+}
+_SKIP_TEXT = {"script", "style"}
+
+
+class _DomParser(HTMLParser):
+    """Minimal DOM builder whose flattened text equals extract_html's
+    ``text`` byte-for-byte (same flush-at-tag-boundary, strip, drop-empty
+    contract)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _DomNode("#root")
+        self._stack = [self.root]
+        self._buf: list[str] = []
+        self._skip = 0
+        self.order: list[list[str]] = []  # every text cell in doc order
+
+    def _flush(self):
+        if self._buf:
+            piece = "".join(self._buf).strip()
+            self._buf.clear()
+            if piece:
+                cell = [piece]
+                self._stack[-1].parts.append(cell)
+                self.order.append(cell)
+
+    def handle_data(self, data):
+        if self._skip:
+            return
+        self._buf.append(data)
+
+    def handle_starttag(self, tag, attrs):
+        self._flush()
+        if tag in _SKIP_TEXT:
+            self._skip += 1
+            return
+        node = _DomNode(tag)
+        self._stack[-1].children.append(node)
+        if tag not in _VOID_TAGS:
+            self._stack.append(node)
+
+    def handle_endtag(self, tag):
+        self._flush()
+        if tag in _SKIP_TEXT:
+            self._skip = max(0, self._skip - 1)
+            return
+        # pop to the matching open tag (tolerant of mild misnesting)
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                break
+
+    def handle_startendtag(self, tag, attrs):
+        self._flush()
+        if tag in _SKIP_TEXT:
+            return
+        self._stack[-1].children.append(_DomNode(tag))
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def clean_html_dom(
+    html: str,
+    weights: tuple[np.ndarray, float],
+    threshold: float = 0.5,
+    min_tokens: int = 5,
+) -> tuple[str, float]:
+    """-> (clean_text, max_subtree_score). Scores every element subtree
+    (with at least ``min_tokens`` tokens) and removes the max-scoring one
+    above ``threshold`` — the reference's identifier.rs removal rule at
+    the same granularity. ``min_tokens`` guards against short generic
+    fragments (titles, nav items) whose hashed-TF is too sparse to score
+    meaningfully."""
+    p = _DomParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        p._flush()
+    w, b = weights
+
+    best_node, best_score = None, 0.0
+    parent: dict[int, _DomNode] = {}
+    node_score: dict[int, float] = {}
+
+    def walk(node: _DomNode):
+        nonlocal best_node, best_score
+        for c in node.children:
+            parent[id(c)] = node
+            parts = c.subtree_parts()
+            if parts:
+                text = "\n".join(cell[0] for cell in parts)
+                if len(text.split()) >= min_tokens:
+                    s = score_text(text, w, b)
+                    node_score[id(c)] = s
+                    if s > best_score:
+                        best_node, best_score = c, s
+            walk(c)
+
+    walk(p.root)
+    removed: set[int] = set()
+    if best_node is not None and best_score >= threshold:
+        # expand to the LARGEST enclosing subtree still above threshold
+        # (remove the whole banner container, not just its hottest <p>;
+        # prose-diluted ancestors like <body> fall below threshold and
+        # stop the climb — a page that is mostly banner IS removed whole,
+        # which is the reference's behavior for consent interstitials)
+        node = best_node
+        while True:
+            par = parent.get(id(node))
+            if par is None or node_score.get(id(par), 0.0) < threshold:
+                break
+            node = par
+        removed = {id(cell) for cell in node.subtree_parts()}
+    clean = "\n".join(cell[0] for cell in p.order if id(cell) not in removed)
+    return clean, float(best_score)
 
 
 class GdbrStage:
     """``ds.map_batches(GdbrStage, fn_constructor_kwargs={...},
-    concurrency=N, batch_format="pyarrow")`` over (text, lang) columns."""
+    concurrency=N, batch_format="pyarrow")`` over (url, html) rows.
+    Model registry loads once per actor (T5)."""
 
-    def __init__(self, threshold: float = 0.5, langs: tuple[str, ...] = ("eng", "deu", "fra")):
-        # once per actor: the whole model registry (T5)
+    def __init__(self, threshold: float = 0.5):
         self.threshold = threshold
-        self.models = {lang: _load_model(lang) for lang in langs}
-        self.default = _load_model("eng")
+        self.models = load_weights()  # once per actor
+        self.fallback = self.models.get("*") or next(iter(self.models.values()))
 
-    def clean_one(self, text: str | None, lang: str) -> tuple[str | None, float]:
-        if not text:
-            return text, 0.0
-        weights = self.models.get(lang, self.default)
-        segments = _SEGMENT_RE.split(text)
-        if len(segments) < 2:
-            s = _score(text, weights)
-            return (None, s) if s >= self.threshold else (text, s)
-        scores = [_score(s, weights) for s in segments]
-        mx = max(scores)
-        if mx >= self.threshold:
-            keep = [s for s, sc in zip(segments, scores) if sc < mx]
-            return "\n\n".join(keep), mx
-        return text, mx
+    def _weights_for(self, lang: str):
+        return self.models.get(lang, self.fallback)
+
+    def clean_page(self, url: str, body: bytes | None) -> tuple[str | None, float, str]:
+        """-> (clean_text, score, lang)."""
+        from ..config import ExtractionConfig
+        from ..functions.urlkit import Depth
+        from ..stages.extract import extract_one
+
+        fmt, enc, err, text, lang, _links = extract_one(
+            url, body, Depth(0, 0, 0), ExtractionConfig()
+        )
+        if text is None:
+            return None, 0.0, lang
+        if fmt != "html":
+            return text, 0.0, lang  # nothing to de-banner in non-HTML
+        host = url.split("/")[2] if "://" in url else ""
+        tld = host.rsplit(".", 1)[-1] if "." in host else None
+        decoded, _, _ = decode_bytes(bytes(body), True, tld)
+        clean, score = clean_html_dom(
+            decoded, self._weights_for(lang), self.threshold
+        )
+        if score >= self.threshold:
+            # language of the CLEANED page (banner words no longer vote)
+            lang = detect_language(clean)
+            return clean, score, lang
+        return text, score, lang
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        langs = (
-            batch.column("lang").to_pylist()
-            if "lang" in batch.column_names
-            else ["eng"] * len(texts)
-        )
-        cleaned, scores = [], []
-        for t, lg in zip(texts, langs):
-            c, s = self.clean_one(t, lg)
-            cleaned.append(c)
+        urls = batch.column("url").to_pylist()
+        bodies = batch.column("html").to_pylist()
+        texts, scores, langs = [], [], []
+        for u, bdy in zip(urls, bodies):
+            t, s, lg = self.clean_page(u, bdy)
+            texts.append(t)
             scores.append(s)
-        out = {name: batch.column(name) for name in batch.column_names}
-        out["text"] = pa.array(cleaned, pa.string())
-        out["gdbr_score"] = pa.array(scores, pa.float64())
-        return pa.table(out)
+            langs.append(lg)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "gdbr_score": pa.array(scores, pa.float64()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
 
 
 def gdbr_clean(ds, threshold: float = 0.5, concurrency: int = 4):
-    """Attach the GDBR actor-pool stage to a Dataset with (text, lang)."""
+    """Attach the GDBR actor-pool stage to a Dataset of (url, html)."""
     return ds.map_batches(
         GdbrStage,
         fn_constructor_kwargs={"threshold": threshold},

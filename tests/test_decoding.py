@@ -66,3 +66,66 @@ def test_meta_charsets_scan_order():
 def test_empty_body():
     assert decode_bytes(b"", is_html=True) == (None, "none", False)
     assert decode_bytes(None, is_html=True) == (None, "none", False)
+
+
+def test_statistical_guess_cp1251_vs_koi8r():
+    from atra_ray.functions.decoding import statistical_guess
+
+    ru = "данные поиск страница и в не на я быть он с что система"
+    body = f"<html><body><p>{ru}</p></body></html>".encode("cp1251")
+    assert statistical_guess(body) == "cp1251"
+    body_koi = f"<html><body><p>{ru}</p></body></html>".encode("koi8-r")
+    assert statistical_guess(body_koi) == "koi8-r"
+
+
+def test_statistical_guess_cjk():
+    from atra_ray.functions.decoding import statistical_guess
+
+    jp = "データ の 検索 ページ に 情報 を サイト"
+    assert statistical_guess(jp.encode("euc_jp")) == "euc_jp"
+    assert statistical_guess(jp.encode("shift_jis")) == "shift_jis"
+    zh = "数据 搜索 页面 的 是 在 了 有 和 网站 结果"
+    assert statistical_guess(zh.encode("gb18030")) == "gb18030"
+
+
+def test_statistical_guess_refuses_weak_evidence():
+    from atra_ray.functions.decoding import statistical_guess
+
+    # one stray 0xFF in mostly-ASCII text: refuse (lossy UTF-8 wins,
+    # matching the fixture contract for utf-8-invalid pages)
+    body = b"mostly ascii text " * 20 + b"Q\xffq" + b" more ascii " * 20
+    assert statistical_guess(body) is None
+
+
+def test_statistical_guess_tld_hint():
+    from atra_ray.functions.decoding import statistical_guess
+
+    # short ambiguous Cyrillic: the .ru hint must still land on a Cyrillic
+    # codec (hint adds a bonus, never forces an invalid decode)
+    ru = "привет мир"
+    got = statistical_guess(ru.encode("cp1251"), tld="ru")
+    assert got in ("cp1251", "koi8-r")
+    assert ru.encode("cp1251").decode(got) is not None
+
+
+def test_decode_bytes_statistical_path():
+    from atra_ray.functions.decoding import decode_bytes
+
+    ru = "данные поиск страница и в не на я быть он с что система"
+    html = f"<html><head></head><body><p>{ru}</p></body></html>"
+    text, enc, err = decode_bytes(html.encode("cp1251"), is_html=True)
+    assert enc == "cp1251" and not err and ru in text
+
+
+def test_language_script_detection():
+    from atra_ray.functions.langdetect import detect_language_info
+
+    lang, script, conf = detect_language_info("данные поиск и в не на что")
+    assert (lang, script) == ("rus", "cyrillic")
+    assert detect_language_info("データ の 検索 ページ")[0] == "jpn"
+    assert detect_language_info("数据 搜索 页面 的 是")[0] == "cmn"
+    assert detect_language_info("한국어 텍스트 예시 입니다")[0] == "kor"
+    lang, script, conf = detect_language_info("the search engine and the data")
+    assert (lang, script) == ("eng", "latin") and conf > 0
+    # han + kana = Japanese even when han dominates
+    assert detect_language_info("検索結果情報画像の")[0] == "jpn"

@@ -38,36 +38,77 @@ def test_xml_format_routed_through_extractor():
     assert any(t == "https://a.example/p1" for t, *_ in links)
 
 
-def test_gdbr_removes_banner_segment():
-    from atra_ray.stages.gdbr import GdbrStage
+def test_gdbr_removes_banner_subtree():
+    from atra_ray.functions.gdbr_model import load_weights
+    from atra_ray.stages.gdbr import clean_html_dom
 
-    st = GdbrStage(threshold=0.5)
-    text = "real content about crawling engines\n\nwe use cookies accept consent gdpr tracking"
-    cleaned, score = st.clean_one(text, "eng")
-    assert "cookies" not in cleaned
-    assert "real content" in cleaned
+    w = load_weights()["eng"]
+    html = (
+        "<html><head><title>my page title words</title></head><body>"
+        "<h1>my page title words</h1>"
+        '<div class="cookie-banner"><p>we use cookies to improve your experience on our site</p>'
+        "<p>by clicking accept you agree to our use of cookies</p></div>"
+        "<p>real content about crawling engines and data processing systems</p>"
+        "<p>the index stores every page and the search returns each result</p>"
+        "<p>more words about links text tables and images on the website</p>"
+        "</body></html>"
+    )
+    clean, score = clean_html_dom(html, w)
     assert score >= 0.5
-    # benign text untouched
-    same, s2 = st.clean_one("nothing suspicious here\n\njust words", "eng")
-    assert "nothing suspicious" in same and s2 < 0.5
+    assert "cookies" not in clean
+    assert "real content about crawling" in clean
+    assert "my page title words" in clean
+    # benign page untouched, and text contract matches extract_html
+    benign = "<html><body><p>real content about crawling engines</p></body></html>"
+    clean2, s2 = clean_html_dom(benign, w)
+    assert s2 < 0.5 and clean2 == "real content about crawling engines"
+
+
+def test_gdbr_dom_text_contract_matches_extract_html(fixtures_small):
+    """With no removal, the DOM builder's flattened text must be
+    byte-identical to extract_html's text for every fixture page."""
+    import pyarrow.parquet as pq
+
+    from atra_ray.config import ExtractionConfig
+    from atra_ray.functions.decoding import decode_bytes
+    from atra_ray.functions.extract_html import extract_html
+    from atra_ray.functions.formats import detect_format
+    from atra_ray.stages.gdbr import _DomParser
+
+    t = pq.read_table(str(fixtures_small / "pages.parquet"))
+    cfg = ExtractionConfig()
+    n = 0
+    for url, body in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+        if detect_format(url, body) != "html":
+            continue
+        decoded, _, _ = decode_bytes(bytes(body), True)
+        p = _DomParser()
+        p.feed(decoded)
+        p.close()
+        dom_text = "\n".join(c[0] for c in p.order)
+        assert dom_text == extract_html(decoded, cfg).text, url
+        n += 1
+    assert n > 50
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_gdbr_stage_over_dataset():
-    import pyarrow as pa
+def test_gdbr_stage_over_dataset(fixtures_small):
+    import pyarrow.parquet as pq
     import ray.data as rd
+
     from atra_ray.stages.gdbr import gdbr_clean
 
-    t = pa.table(
-        {
-            "text": ["body text\n\ncookies consent accept gdpr", "plain body"],
-            "lang": ["eng", "eng"],
-        }
+    ds = rd.read_parquet(
+        str(fixtures_small / "pages.parquet"), columns=["url", "html"]
     )
-    out = gdbr_clean(rd.from_arrow(t), concurrency=2).to_pandas()
-    assert "cookies" not in out["text"][0]
-    assert out["text"][1] == "plain body"
-    assert "gdbr_score" in out.columns
+    out = gdbr_clean(ds, concurrency=2).to_pandas().set_index("url")
+    oracle = pq.read_table(str(fixtures_small / "gdbr_oracle.parquet")).to_pandas().set_index("url")
+    joined = out.join(oracle)
+    eq = (joined["text"] == joined["clean_text"]) | (
+        joined["text"].isna() & joined["clean_text"].isna()
+    )
+    assert eq.all()
+    assert (joined["gdbr_score"] >= 0.5).sum() > 0  # some banners removed
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -103,3 +103,32 @@ def test_budget_semantics():
     single = BudgetSetting(kind="single_page")
     assert single.is_in_budget(Depth(0, 0, 0))
     assert not single.is_in_budget(Depth(1, 0, 1))
+
+
+def test_psl_wildcard_and_exception_rules():
+    from atra_ray.functions.urlkit import public_suffix
+
+    # wildcard: *.ck -> any single label under .ck is a public suffix
+    assert public_suffix("foo.bar.ck") == "bar.ck"
+    assert origin_of("https://foo.bar.ck/") == "foo.bar.ck"
+    # exception: !www.ck carves www.ck back out
+    assert public_suffix("www.ck") == "ck"
+    assert origin_of("https://www.ck/") == "www.ck"
+    # Japanese city wildcards with city.* exceptions
+    assert origin_of("https://x.city.kobe.jp/") == "city.kobe.jp"
+    assert origin_of("https://a.b.kobe.jp/") == "a.b.kobe.jp"
+
+
+def test_psl_private_multitenant_suffixes():
+    # the VERDICT r1 case: multi-tenant platforms must NOT collapse to one
+    # politeness origin
+    assert origin_of("https://alice.github.io/p") == "alice.github.io"
+    assert origin_of("https://bob.github.io/p") == "bob.github.io"
+    assert origin_of("https://blog1.blogspot.com/") == "blog1.blogspot.com"
+    assert origin_of("https://app1.herokuapp.com/") == "app1.herokuapp.com"
+    assert origin_of("https://deep.sub.alice.github.io/") == "alice.github.io"
+
+
+def test_psl_host_is_suffix_falls_back_to_host():
+    assert origin_of("https://co.uk/") == "co.uk"
+    assert origin_of("https://github.io/") == "github.io"
