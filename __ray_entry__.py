@@ -279,6 +279,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _dl(f"{sf_dir}/documents.parquet")
 
+    def media_decode(sf_dir):
+        import pyarrow.parquet as pq2
+
+        from atra_ray.sources.media import generate_media
+        from atra_ray.stages.multimodal import media_decode as _md
+
+        ids = (
+            pq2.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+            .column("doc_id")
+            .to_pylist()
+        )
+        path = generate_media(
+            f"/tmp/atra_media/{Path(sf_dir).name}", sorted(ids)
+        )
+        return _md(path)
+
     def events_windowed(sf_dir):
         import pandas as pd
         import ray.data as rd
@@ -322,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup_minhash,
         "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
         "doc_language": doc_language,
+        "media_decode": media_decode,
         "events_windowed": events_windowed,
     }
 
@@ -465,6 +482,14 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
                 FROM s
             ) WHERE rank <= 10
+        """,
+        # the engine parses width/height out of the PXM binary header; the
+        # oracle recomputes them from the id arithmetic the generator used
+        "media_decode": """
+            SELECT doc_id AS media_id,
+                   (16 + doc_id % 32)::INTEGER AS width,
+                   (16 + (doc_id * 7) % 32)::INTEGER AS height
+            FROM documents
         """,
         "events_windowed": """
             SELECT event_type,

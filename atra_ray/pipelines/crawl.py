@@ -205,6 +205,7 @@ def run_crawl(
     *,
     sitemaps_path: str | None = None,
     redirects_path: str | None = None,
+    blacklist_path: str | None = None,
     num_frontier_shards: int = 4,
     num_seen_shards: int = 8,
     fetch_concurrency: int = 4,
@@ -347,6 +348,35 @@ def run_crawl(
         )
 
     blacklist = [re.compile(p) for p in cfg.blacklist]
+    _bl_version: list = [None]
+
+    def _reload_blacklist() -> None:
+        """T4 hot-append (blacklist/manager/manager_impl.rs:109-120): the
+        blacklist file is append-only and versioned by (mtime, size); a
+        change between waves recompiles the pattern set, and the next
+        wave's link stage ships the new set (the per-wave closure IS the
+        version broadcast)."""
+        nonlocal blacklist
+        if blacklist_path is None:
+            return
+        import os
+
+        try:
+            st = os.stat(blacklist_path)
+        except FileNotFoundError:
+            return
+        v = (st.st_mtime_ns, st.st_size)
+        if v == _bl_version[0]:
+            return
+        _bl_version[0] = v
+        pats = [
+            ln.strip()
+            for ln in Path(blacklist_path).read_text().splitlines()
+            if ln.strip() and not ln.startswith("#")
+        ]
+        blacklist = [re.compile(p) for p in (*cfg.blacklist, *pats)]
+
+    _reload_blacklist()
     cfg_ref = cfg  # closure capture (tiny)
     seen_handles = seen
     frontier_handles = frontier
@@ -522,6 +552,7 @@ def run_crawl(
         if max_waves is not None and wave >= start_wave + max_waves:
             break
         t_wave = time.monotonic()
+        _reload_blacklist()  # T4: pick up appended patterns between waves
         import shutil as _shutil
 
         round_dir = out / "results" / f"round={wave}"
@@ -534,9 +565,26 @@ def run_crawl(
         # block per frontier shard — far fewer than the CPU count — so the
         # (tiny, url+ints) rows are repartitioned to fan the fetch out to
         # the full pool; politeness was already enforced at pop time.
+        wave_ds = rd.from_arrow_refs(pop_refs).repartition(fetch_concurrency * 2)
+        if blacklist_path is not None and blacklist:
+            # fetch-time blacklist check (UrlChecker in crawler.rs:640-709):
+            # with hot-append (T4), URLs queued BEFORE a pattern landed must
+            # still be stopped at poll time, not only at link admission
+            _bl_now = [p.pattern for p in blacklist]
+
+            def _poll_filter(batch: pa.Table) -> pa.Table:
+                import numpy as np
+
+                keep = np.ones(batch.num_rows, dtype=bool)
+                for pat in _bl_now:
+                    keep &= ~np.asarray(
+                        pc.match_substring_regex(batch.column("url"), pat)
+                    )
+                return batch.filter(pa.array(keep))
+
+            wave_ds = wave_ds.map_batches(_poll_filter, batch_format="pyarrow")
         wave_results = (
-            rd.from_arrow_refs(pop_refs)
-            .repartition(fetch_concurrency * 2)
+            wave_ds
             .map_batches(
                 make_wave_fetch(wave), batch_format="pyarrow", batch_size=batch_size
             )

@@ -169,3 +169,79 @@ def test_zip_recursive_extraction():
         ExtractionConfig(max_extraction_depth=0),
     )
     assert none_links == []
+
+
+def test_pxm_codec_roundtrip_and_resize():
+    import numpy as np
+
+    from atra_ray.stages.multimodal import decode_pxm, encode_pxm, resize_nearest
+
+    img = np.arange(20 * 30 * 3, dtype=np.uint8).reshape(20, 30, 3)
+    w, h, back = decode_pxm(encode_pxm(img))
+    assert (w, h) == (30, 20)
+    assert (back == img).all()
+    small = resize_nearest(img, 8, 8)
+    assert small.shape == (8, 8, 3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_pxm(b"JUNKJUNKJUNK")
+
+
+def test_audio_pam_rms_frames():
+    import numpy as np
+
+    from atra_ray.stages.multimodal import DecodeAudioStage, encode_pam
+    import pyarrow as pa
+
+    samples = (np.sin(np.linspace(0, 60, 4096)) * 1000).astype(np.int16)
+    t = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "data": pa.array([encode_pam(8000, samples)], pa.binary()),
+        }
+    )
+    out = DecodeAudioStage(window=1024)(t)
+    row = out.to_pylist()[0]
+    assert abs(row["duration_s"] - 4096 / 8000) < 1e-9
+    assert len(row["rms_frames"]) == 4
+    assert all(f > 0 for f in row["rms_frames"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_decode_pipeline(tmp_path):
+    """Actor-pool decode over the synthetic media table: header-parsed
+    dimensions must equal the generator arithmetic; corrupt rows surface
+    as ok=False, never a poisoned batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from atra_ray.sources.media import generate_media, media_dims
+    from atra_ray.stages.multimodal import DecodeImageStage, media_decode
+
+    path = generate_media(str(tmp_path / "media"), list(range(40)))
+    out = media_decode(path).to_pandas().set_index("media_id")
+    for i in range(40):
+        assert (out.loc[i, "width"], out.loc[i, "height"]) == media_dims(i)
+
+    corrupt = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "mime": pa.array(["image/x-pxm"] * 2),
+            "data": pa.array([b"PXM1\x00\x00", None], pa.binary()),
+        }
+    )
+    p2 = tmp_path / "bad.parquet"
+    pq.write_table(corrupt, p2)
+    bad = (
+        rd.read_parquet(str(p2))
+        .map_batches(
+            DecodeImageStage,
+            fn_constructor_kwargs={"fake": False},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert (~bad["ok"]).all()
