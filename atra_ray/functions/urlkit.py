@@ -158,7 +158,13 @@ def canonicalize(url: str) -> str | None:
     return urlunsplit((scheme, netloc, path, parts.query, ""))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
 def host_of(url: str) -> str | None:
+    """Worker-local memo: link targets repeat heavily across pages, and
+    host_of sits on the per-link hot path (canonicalize/pack_link)."""
     try:
         h = urlsplit(url).hostname
     except ValueError:
@@ -220,14 +226,23 @@ def with_base(base_url: str, base_depth: Depth, raw: str) -> tuple[str, Depth] |
         if canon is None:
             return None
         return canon, child_depth(base_depth, host_of(base_url), None)
-    try:
-        joined = urljoin(base_url, raw)
-    except ValueError:
-        return None
-    canon = canonicalize(joined)
+    if raw.startswith(("http://", "https://")):
+        # absolute href: urljoin would parse+reassemble only to return the
+        # same string — skip it (the per-link hot path; canonicalize still
+        # normalizes case/port/fragment)
+        canon = _canonicalize_cached(raw)
+    else:
+        try:
+            joined = urljoin(base_url, raw)
+        except ValueError:
+            return None
+        canon = _canonicalize_cached(joined)
     if canon is None:
         return None
     return canon, child_depth(base_depth, host_of(base_url), host_of(canon))
+
+
+_canonicalize_cached = lru_cache(maxsize=65536)(lambda u: canonicalize(u))
 
 
 def stable_hash64(value: str | bytes, salt: bytes = b"") -> int:

@@ -110,8 +110,13 @@ def run_crawl_bench(
         cfg,
         out_dir,
         fetch_concurrency=concurrency,
-        # input-derived layout cached across bench invocations
-        page_store_dir=str(SCRATCH / f"page_store_{fx.name}"),
+        # input-derived layout cached across bench invocations — keyed by
+        # the fixture generator version so a regenerated corpus never hits
+        # a stale store
+        page_store_dir=str(
+            SCRATCH
+            / f"page_store_{fx.name}_v{(fx / '_SUCCESS').read_text().strip()}"
+        ),
     )
     return {
         "waves": res["waves"],

@@ -193,9 +193,11 @@ def test_multimodal_stub_pipeline(ray_session, tmp_path):
     assert all(len(f) == 8 for f in out["features"])
     # deterministic
     s = DecodeImageStage(feat_dim=8)
-    assert np.allclose(s._features(b"\x89PNGfake1"), s._features(b"\x89PNGfake1"))
+    assert np.allclose(
+        s._fake_features(b"\x89PNGfake1"), s._fake_features(b"\x89PNGfake1")
+    )
     with pytest.raises(NotImplementedError):
-        DecodeImageStage(fake=False)._features(b"x")
+        DecodeImageStage(fake=False)._one(b"not-a-pxm-payload")
 
 
 @pytest.mark.usefixtures("ray_session")
