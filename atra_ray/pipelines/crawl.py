@@ -267,13 +267,12 @@ def run_crawl(
 
     def make_wave_fetch(wave_no: int):
         """Per-wave fetch closure: same worker-level caches (module
-        globals), but the wave's results dir + mark stamp baked in — the
-        whole wave is ONE Dataset execution with in-task side effects."""
+        globals), but the wave's results dir baked in. The task is pure
+        except the idempotent results write; marks/counts derive from the
+        materialized blocks afterwards (seen.mark_blocks)."""
         return make_fetch_task(
             store_dir, robots_ref, cfg, page_store_partitions,
             redirects_ref=redirects_ref,
-            seen_handles=seen,
-            counter_handle=counter,
             results_dir=str(out / "results" / f"round={wave_no}"),
             wave=wave_no,
         )
@@ -592,6 +591,22 @@ def run_crawl(
         )
 
         emitted = wave_results.count()
+        # mark pass (T6/A3): the seen shards PULL the wave's blocks from
+        # the object store in parallel — each marks the urls it owns and
+        # returns their status counts (fetch tasks stay pure; no blocked
+        # ray.get in data tasks -> no cold-worker spawn storms)
+        try:
+            block_refs = [
+                b
+                for bundle in wave_results.iter_internal_ref_bundles()
+                for b in bundle.block_refs
+            ]
+        except AttributeError:  # older Ray
+            block_refs = wave_results.get_internal_block_refs()
+        mark_refs = [
+            s.mark_blocks.remote(block_refs, len(seen_handles), wave)
+            for s in seen_handles
+        ]
         t_fetch = time.monotonic()
         if emitted == 0:
             pending = sum(ray.get([f.count.remote() for f in frontier]))
@@ -631,9 +646,12 @@ def run_crawl(
             _make_admit_stage(wave), batch_format="pyarrow"
         ).to_pandas()
 
-        status_counts = {
-            k: v for k, v in ray.get(counter.get.remote(wave)).items() if v
-        }
+        from collections import Counter as _Counter
+
+        status_counts_all = _Counter()
+        for c in ray.get(mark_refs):  # barrier: marks land before checkpoint
+            status_counts_all.update(c)
+        status_counts = {k: v for k, v in status_counts_all.items() if v}
         if "admitted" in admit_tbl.columns:
             admitted = int(admit_tbl["admitted"].sum())
             checked = int(admit_tbl["checked"].sum())

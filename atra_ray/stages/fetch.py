@@ -36,7 +36,6 @@ from ..functions.robots import ALLOW_ALL, parse_robots
 from ..functions.urlkit import Depth, stable_hash64
 from ..stages.extract import LINK_STRUCT, extract_one
 from ..state.frontier import FRONTIER_SCHEMA
-from ..state.seen import KIND_ERROR, KIND_PROCESSED
 
 __all__ = ["make_fetch_task", "build_page_store", "RESULT_SCHEMA"]
 
@@ -101,20 +100,22 @@ class PageStoreShardState:
         self.shard_id = shard_id
         self.store_dir = Path(store_dir)
         self.num_partitions = num_partitions
-        self._parts: dict[int, dict[str, bytes]] = {}
+        self._parts: dict[int, "_PartIndex"] = {}
 
-    def _load(self, part: int) -> dict[str, bytes]:
+    def _load(self, part: int) -> "_PartIndex":
         hit = self._parts.get(part)
         if hit is not None:
             return hit
-        lookup: dict[str, bytes] = {}
+        tables, index = [], {}
         pdir = self.store_dir / f"part={part}"
         if pdir.exists():
             for f in sorted(pdir.glob("*.parquet")):
                 t = pq.read_table(f, columns=["url", "html"])
-                lookup.update(
-                    zip(t.column("url").to_pylist(), t.column("html").to_pylist())
-                )
+                ti = len(tables)
+                tables.append(t)
+                for row, u in enumerate(t.column("url").to_pylist()):
+                    index[u] = (ti, row)
+        lookup = _PartIndex(tables, index)
         self._parts[part] = lookup
         return lookup
 
@@ -154,22 +155,47 @@ def _cached_ref(ref):
     return _WORKER_REF_CACHE[key]
 
 
+class _PartIndex:
+    """Lazy partition view: url -> row index over Arrow tables; bodies are
+    sliced OUT OF THE ARROW BUFFERS on demand. Cold cost is the parquet
+    read + a string index — never a bulk bytes materialization (each url
+    is fetched at most once per crawl, so eager body conversion is pure
+    waste; this is also why a freshly spawned Ray worker joining mid-wave
+    is cheap). At web scale the same object holds an url→offset index and
+    range-reads bodies from shared storage."""
+
+    __slots__ = ("tables", "index")
+
+    def __init__(self, tables, index):
+        self.tables = tables
+        self.index = index
+
+    def get(self, url: str):
+        hit = self.index.get(url)
+        if hit is None:
+            return None
+        ti, row = hit
+        return self.tables[ti].column("html")[row].as_py()
+
+
 def _cached_partition(
     store_dir: str, part: int, max_cached: int = 16
-) -> dict[str, bytes]:
+) -> _PartIndex:
     parts = _WORKER_PART_CACHE.setdefault(store_dir, OrderedDict())
     hit = parts.get(part)
     if hit is not None:
         parts.move_to_end(part)
         return hit
-    lookup: dict[str, bytes] = {}
+    tables, index = [], {}
     pdir = Path(store_dir) / f"part={part}"
     if pdir.exists():
         for f in sorted(pdir.glob("*.parquet")):
             t = pq.read_table(f, columns=["url", "html"], use_threads=False)
-            lookup.update(
-                zip(t.column("url").to_pylist(), t.column("html").to_pylist())
-            )
+            ti = len(tables)
+            tables.append(t)
+            for row, u in enumerate(t.column("url").to_pylist()):
+                index[u] = (ti, row)
+    lookup = _PartIndex(tables, index)
     parts[part] = lookup
     if len(parts) > max_cached:
         parts.popitem(last=False)
@@ -182,8 +208,6 @@ def make_fetch_task(
     cfg: CrawlConfig,
     num_partitions: int,
     redirects_ref=None,
-    seen_handles=None,
-    counter_handle=None,
     results_dir: str | None = None,
     wave: int = -1,
 ):
@@ -192,20 +216,22 @@ def make_fetch_task(
     Stateless tasks reuse warm Ray worker processes across waves (unlike an
     actor pool, which restarts per Dataset execution). Page bodies are read
     DIRECTLY from the host-hash-partitioned page store through a
-    module-level per-worker LRU cache (frontier batches arrive routed by
-    origin hash, so a batch touches few partitions and warm workers serve
-    bodies from memory — no actor RPC copying megabytes of html per wave;
-    at web scale the cache holds an url→offset index per partition and
-    range-reads from shared storage). Parsed robots rules + the redirect
-    map are ONE broadcast object each (``ray.put``, fetched once per
-    worker process).
+    module-level per-worker LRU cache of lazy Arrow indexes (frontier
+    batches arrive routed by origin hash, so a batch touches few
+    partitions; at web scale the index range-reads from shared storage).
+    Parsed robots rules + the redirect map are ONE broadcast object each
+    (``ray.put``, fetched once per worker process).
 
-    To keep the wave at ONE Dataset execution, the task also performs the
-    per-batch side effects the reference does inline in CrawlTask::run:
-    link-state marking (T6, via ``seen_handles``), status-count reporting
-    (A3, via ``counter_handle``) and the results-Parquet write (S3/S4, one
-    file per batch under ``results_dir``)."""
-    import ray
+    The task is deliberately PURE except for the idempotent results-Parquet
+    write (S3/S4, one deterministically-named file per batch under
+    ``results_dir``): it never calls ``ray.get`` — a fetch task blocking on
+    actor RPCs makes Ray spawn extra (cold) worker processes mid-wave,
+    which was the round-1 crawl's hidden scale cost. Link-state marking
+    (T6) and status counts (A3) are derived AFTER the wave materializes,
+    by the seen shards pulling the wave's blocks straight from the object
+    store (SeenShardState.mark_blocks) — exactly-once by construction
+    (marks come from the one materialized copy, not from possibly-retried
+    tasks)."""
 
     def _robots():
         return _cached_ref(robots_ref)
@@ -296,52 +322,18 @@ def make_fetch_task(
         out["links"] = pa.array(links_col, pa.list_(LINK_STRUCT))
         result = pa.table(out)
 
-        # ---- in-task side effects (one Dataset execution per wave) ----
-        # deterministic batch id (urls are unique within a wave): keys the
-        # counter report AND the results filename, so a retried/recomputed
-        # task overwrites its own file and re-reports idempotently instead
-        # of duplicating rows/counts
-        import hashlib as _hl
-
-        bid = _hl.blake2b(
-            ("|".join(urls[:8]) + str(n) + str(wave)).encode(), digest_size=12
-        ).hexdigest()
-        refs = []
-        if seen_handles is not None:
-            ns = len(seen_handles)
-            by: dict[tuple[int, int], list[str]] = {}
-            for u, s in zip(urls, statuses):
-                if s == "ok":
-                    kind = KIND_PROCESSED
-                elif s == "miss":
-                    kind = KIND_ERROR
-                else:
-                    continue  # robots_denied stays Discovered
-                by.setdefault((stable_hash64(u) % ns, kind), []).append(u)
-            refs += [
-                seen_handles[sh].mark.remote(us, kind, wave)
-                for (sh, kind), us in by.items()
-            ]
-        if counter_handle is not None:
-            from collections import Counter as _C
-
-            c = _C(statuses)
-            refs.append(
-                counter_handle.add.remote(
-                    wave,
-                    c.get("ok", 0),
-                    c.get("miss", 0),
-                    c.get("robots_denied", 0),
-                    bid,
-                )
-            )
         if results_dir is not None:
+            import hashlib as _hl
             import os
 
+            # deterministic batch id (urls are unique within a wave) so a
+            # retried/recomputed task overwrites its own file instead of
+            # duplicating rows
+            bid = _hl.blake2b(
+                ("|".join(urls[:8]) + str(n) + str(wave)).encode(), digest_size=12
+            ).hexdigest()
             os.makedirs(results_dir, exist_ok=True)
             pq.write_table(result, Path(results_dir) / f"batch-{bid}.parquet")
-        if refs:
-            ray.get(refs)  # marks must land before the wave's admit/checkpoint
         return result
 
     return fetch_extract

@@ -149,6 +149,42 @@ class SeenShardState:
             }
         )
 
+    def mark_blocks(self, block_refs, num_shards: int, wave: int) -> dict:
+        """Post-materialize mark pass (T6/A3): pull the wave's result
+        blocks straight from the object store (zero-copy Arrow reads),
+        mark the urls THIS shard owns (``stable_hash64(url) % num_shards
+        == shard_id``) and return their status counts. All shards pull in
+        parallel; fetch tasks never block on actors (the round-1 hidden
+        cost: blocked ray.get in data tasks makes Ray spawn cold
+        workers). Exactly-once by construction — marks derive from the
+        single materialized copy of the wave, not from retried tasks."""
+        import ray
+
+        from ..functions.urlkit import stable_hash64
+
+        counts = {"ok": 0, "miss": 0, "robots_denied": 0}
+        ok_urls: list[str] = []
+        err_urls: list[str] = []
+        for t in ray.get(list(block_refs)):
+            if t.num_rows == 0:
+                continue
+            for url, status in zip(
+                t.column("url").to_pylist(), t.column("status").to_pylist()
+            ):
+                if stable_hash64(url) % num_shards != self.shard_id:
+                    continue
+                counts[status] = counts.get(status, 0) + 1
+                if status == "ok":
+                    ok_urls.append(url)
+                elif status == "miss":
+                    err_urls.append(url)
+                # robots_denied stays Discovered
+        if ok_urls:
+            self.mark(ok_urls, KIND_PROCESSED, wave)
+        if err_urls:
+            self.mark(err_urls, KIND_ERROR, wave)
+        return counts
+
     def refill_recrawl(
         self,
         wave: int,
