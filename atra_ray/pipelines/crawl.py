@@ -283,9 +283,25 @@ def run_crawl(
         r = find_resume_round(out_dir)
         if r is not None:
             chk_dir = str(out / "chk" / f"round={r}")
+            # seen checkpoints are INCREMENTAL: build the replay chain
+            # from the latest FULL checkpoint (shard meta "full") forward
+            rounds = sorted(
+                int(p.name.split("=")[1])
+                for p in (out / "chk").glob("round=*")
+                if (p / "_SUCCESS").exists() and int(p.name.split("=")[1]) <= r
+            )
+            base = rounds[0]
+            for rr in reversed(rounds):
+                meta_p = out / "chk" / f"round={rr}" / "seen_shard_0.json"
+                if meta_p.exists() and json.loads(meta_p.read_text()).get("full"):
+                    base = rr
+                    break
+            chain = [
+                str(out / "chk" / f"round={rr}") for rr in rounds if rr >= base
+            ]
             ray.get(
                 [f.restore.remote(chk_dir) for f in frontier]
-                + [s.restore.remote(chk_dir) for s in seen]
+                + [s.restore.remote(chain) for s in seen]
             )
             lineage = json.loads((Path(chk_dir) / "lineage.json").read_text())
             start_wave = r + 1
@@ -676,9 +692,12 @@ def run_crawl(
         if (wave - start_wave) % checkpoint_every == 0:
             chk_dir = out / "chk" / f"round={wave}"
             chk_dir.mkdir(parents=True, exist_ok=True)
+            # seen checkpoints are deltas (urls touched this wave); every
+            # 8th round a FULL compaction bounds the restore chain
+            full = (wave - start_wave) % (checkpoint_every * 8) == 0
             ray.get(
                 [f.checkpoint.remote(str(chk_dir)) for f in frontier]
-                + [s.checkpoint.remote(str(chk_dir)) for s in seen]
+                + [s.checkpoint.remote(str(chk_dir), full) for s in seen]
             )
             (chk_dir / "lineage.json").write_text(json.dumps(lineage))
             (chk_dir / "_SUCCESS").touch()

@@ -55,6 +55,9 @@ class SeenShardState:
         self.num_bits = num_bits
         self.num_hashes = num_hashes
         self.bits = np.zeros(num_bits, dtype=bool)
+        # urls touched since the last checkpoint (incremental-checkpoint
+        # working set; O(wave), never O(total seen))
+        self._dirty: set[str] = set()
         # url -> [kind, is_seed, dow, dts, tds, crawled_wave]
         # crawled_wave: BSP wave of the last PROCESSED mark (-1 = never) —
         # the recrawl-cooldown clock (T7, recrawl_management/mod.rs:49-70;
@@ -103,6 +106,7 @@ class SeenShardState:
             self.exact[url] = [KIND_DISCOVERED, bool(seed), dow, dts, tds, -1]
             out[i] = True
             fresh.append(url)
+        self._dirty.update(fresh)
         self._bloom_add_batch(fresh)
         return out
 
@@ -117,13 +121,16 @@ class SeenShardState:
                 self.exact[url] = [kind, False, 0, 0, 0, -1]
                 rec = self.exact[url]
                 fresh.append(url)
+                self._dirty.add(url)
                 n += 1
             elif kind > rec[0] or rec[0] == KIND_ERROR:
                 rec[0] = kind
+                self._dirty.add(url)
                 n += 1
             if kind == KIND_PROCESSED:
                 rec[0] = KIND_PROCESSED  # recrawl re-mark (kind already max)
                 rec[5] = wave
+                self._dirty.add(url)
         self._bloom_add_batch(fresh)
         return n
 
@@ -253,31 +260,70 @@ class SeenShardState:
             }
         )
 
+    def _rows_table(self, urls: list[str]) -> pa.Table:
+        cols = list(zip(*(self.exact[u] for u in urls))) if urls else [[]] * 6
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "kind": pa.array(cols[0], pa.uint8()),
+                "is_seed": pa.array([bool(x) for x in cols[1]], pa.bool_()),
+                "dow": pa.array(cols[2], pa.uint64()),
+                "dts": pa.array(cols[3], pa.uint64()),
+                "tds": pa.array(cols[4], pa.uint64()),
+                "crawled_wave": pa.array(cols[5], pa.int32()),
+            }
+        )
+
     # ---- checkpoint (T6 / §3.2 recover) --------------------------------
-    def checkpoint(self, dir_path: str) -> None:
+    # INCREMENTAL: each checkpoint writes only the urls touched since the
+    # last one (O(wave) rows, never O(total seen) — a full per-wave
+    # snapshot is a scale bug at a 10^10-url frontier). ``full=True``
+    # writes the whole shard (compaction point); restore replays the
+    # delta chain from the latest full checkpoint forward (records are
+    # complete rows, so later-wins replay reproduces the state exactly).
+    def checkpoint(self, dir_path: str, full: bool = False) -> None:
         p = Path(dir_path)
         p.mkdir(parents=True, exist_ok=True)
-        pq.write_table(self.snapshot_table(), p / f"seen_shard_{self.shard_id}.parquet")
-        meta = {"num_bits": self.num_bits, "num_hashes": self.num_hashes}
+        if full:
+            t = self.snapshot_table()
+        else:
+            t = self._rows_table(sorted(self._dirty))
+        pq.write_table(t, p / f"seen_shard_{self.shard_id}.parquet")
+        meta = {
+            "num_bits": self.num_bits,
+            "num_hashes": self.num_hashes,
+            "full": bool(full),
+        }
         (p / f"seen_shard_{self.shard_id}.json").write_text(json.dumps(meta))
+        self._dirty.clear()
 
-    def restore(self, dir_path: str) -> int:
-        """Rebuild exact set + bloom from the authoritative Parquet
-        (recover-mode semantics, app/atra.rs:179-199)."""
-        p = Path(dir_path) / f"seen_shard_{self.shard_id}.parquet"
-        t = pq.read_table(p)
+    def restore(self, dir_paths) -> int:
+        """Rebuild exact set + bloom from the checkpoint chain
+        (recover-mode semantics, app/atra.rs:179-199). ``dir_paths`` is
+        the ordered list of checkpoint dirs from the latest FULL
+        checkpoint (or round 0) up to the resume round; a plain string is
+        accepted for a single-dir chain."""
+        if isinstance(dir_paths, str):
+            dir_paths = [dir_paths]
         self.exact.clear()
         self.bits[:] = False
-        urls = t.column("url").to_pylist()
-        for url, kind, seed, dow, dts, tds, cw in zip(
-            urls,
-            *[
-                t.column(c).to_pylist()
-                for c in ["kind", "is_seed", "dow", "dts", "tds", "crawled_wave"]
-            ],
-        ):
-            self.exact[url] = [kind, seed, dow, dts, tds, cw]
-        self._bloom_add_batch(urls)  # one vectorized scatter, not per-url
+        self._dirty.clear()
+        for dir_path in dir_paths:
+            p = Path(dir_path) / f"seen_shard_{self.shard_id}.parquet"
+            if not p.exists():
+                continue
+            t = pq.read_table(p)
+            for url, kind, seed, dow, dts, tds, cw in zip(
+                *[
+                    t.column(c).to_pylist()
+                    for c in [
+                        "url", "kind", "is_seed", "dow", "dts", "tds",
+                        "crawled_wave",
+                    ]
+                ],
+            ):
+                self.exact[url] = [kind, seed, dow, dts, tds, cw]
+        self._bloom_add_batch(list(self.exact.keys()))
         return len(self.exact)
 
 
