@@ -134,58 +134,52 @@ _COMMON_HANZI = frozenset(
 )
 
 
-import numpy as _np
-
-_RU_ARR = _np.sort(_np.array([ord(c) for c in _COMMON_RU], dtype=_np.uint32))
-_HANZI_ARR = _np.sort(_np.array([ord(c) for c in _COMMON_HANZI], dtype=_np.uint32))
-_LATIN_EXT_ARR = _np.sort(
-    _np.array([ord(c) for c in _COMMON_LATIN_EXT], dtype=_np.uint32)
-)
-_SALAD_ARR = _np.array([0xA4, 0xA6, 0xA8, 0xB4, 0xB8], dtype=_np.uint32)
-
-
 def _plausibility(text: str) -> float:
-    """Mean per-NON-ASCII-char plausibility of a decoded candidate —
-    one vectorized numpy pass (first-match class precedence identical to
-    the original per-char chain). Positive classes: coherent
-    natural-language script runs; negative: C1 controls (the classic
-    mojibake tell), box/symbol salad. Hangul is scored mix-aware: real
-    Korean is predominantly hangul, so hangul diluted below 70% of the
-    non-ASCII chars (the signature of a wrong-codec CJK decode) scores
-    low."""
-    cp = _np.frombuffer(text.encode("utf-32-le"), dtype=_np.uint32)
-    cp = cp[cp >= 0x80]
-    n = len(cp)
-    if n == 0:
-        return 0.0
-    score = _np.full(n, -0.2)  # the else branch
-    assigned = _np.zeros(n, dtype=bool)
-
-    def _cls(mask, val):
-        nonlocal assigned
-        m = mask & ~assigned
-        score[m] = val
-        assigned = assigned | m
-
-    _cls(_np.isin(cp, _RU_ARR), 1.0)
-    _cls((cp >= 0x0400) & (cp <= 0x04FF), 0.25)  # other Cyrillic
-    _cls((cp >= 0x3040) & (cp <= 0x30FF), 1.0)  # hiragana/katakana
-    _cls(_np.isin(cp, _HANZI_ARR), 1.0)
-    _cls((cp >= 0x4E00) & (cp <= 0x9FFF), 0.55)  # CJK ideographs (uncommon)
-    hangul = (cp >= 0xAC00) & (cp <= 0xD7A3) & ~assigned
-    assigned = assigned | hangul  # scored in the mix pass below
-    _cls(((cp >= 0x3000) & (cp <= 0x303F)) | ((cp >= 0xFF00) & (cp <= 0xFFEF)), 0.4)
-    _cls(_np.isin(cp, _LATIN_EXT_ARR), 0.8)
-    _cls((cp >= 0x00C0) & (cp <= 0x017F), 0.3)  # other accented latin
-    _cls(cp == 0xFFFD, -1.0)  # replacement char: decode damage
-    _cls((cp >= 0x0080) & (cp <= 0x009F), -2.0)  # C1 controls: mojibake
-    _cls(_np.isin(cp, _SALAD_ARR), -0.5)
-    score[hangul] = 0.0
-    total = float(score.sum())
-    n_hangul = int(hangul.sum())
+    """Mean per-NON-ASCII-char plausibility of a decoded candidate
+    (first-match class precedence; set lookups beat numpy here — decoded
+    candidates are short and np.isin's sort overhead dominates small
+    inputs). Positive classes: coherent natural-language script runs;
+    negative: C1 controls (the classic mojibake tell), box/symbol salad.
+    Hangul is scored mix-aware: real Korean is predominantly hangul, so
+    hangul diluted below 70% of the non-ASCII chars (the signature of a
+    wrong-codec CJK decode) scores low."""
+    score = 0.0
+    n = 0
+    n_hangul = 0
+    for ch in text:
+        o = ord(ch)
+        if o < 0x80:
+            continue
+        n += 1
+        if ch in _COMMON_RU:
+            score += 1.0
+        elif 0x0400 <= o <= 0x04FF:  # other Cyrillic (rare letters, caps)
+            score += 0.25
+        elif 0x3040 <= o <= 0x30FF:  # hiragana/katakana
+            score += 1.0
+        elif ch in _COMMON_HANZI:
+            score += 1.0
+        elif 0x4E00 <= o <= 0x9FFF:  # CJK ideographs (uncommon)
+            score += 0.55
+        elif 0xAC00 <= o <= 0xD7A3:  # hangul (scored in the mix pass)
+            n_hangul += 1
+        elif 0x3000 <= o <= 0x303F or 0xFF00 <= o <= 0xFFEF:  # CJK punct
+            score += 0.4
+        elif ch in _COMMON_LATIN_EXT:
+            score += 0.8
+        elif 0x00C0 <= o <= 0x017F:  # other accented latin
+            score += 0.3
+        elif o == 0xFFFD:  # replacement char: decode damage
+            score -= 1.0
+        elif 0x0080 <= o <= 0x009F:  # C1 controls: mojibake
+            score -= 2.0
+        elif o in (0xA4, 0xA6, 0xA8, 0xB4, 0xB8):  # currency/diacritic salad
+            score -= 0.5
+        else:
+            score -= 0.2
     if n_hangul:
-        total += n_hangul * (1.0 if n_hangul / n >= 0.7 else 0.3)
-    return total / n
+        score += n_hangul * (1.0 if n_hangul / n >= 0.7 else 0.3)
+    return score / n if n else 0.0
 
 
 def statistical_guess(

@@ -41,6 +41,19 @@ DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCRATCH = Path("/tmp/atra_bench")
 
 
+def cpu_probe() -> float:
+    """Seconds for a fixed single-thread workload (~0.25 s on an idle
+    core). Reported alongside every measurement: the sandbox shares
+    hardware with invisible co-tenants, and a probe >1.5x its idle value
+    marks the surrounding numbers as contaminated (BASELINE.md protocol:
+    co-tenant noise is additive; prefer best-of-N / quiet-window runs)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(4_000_000):
+        x += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def _sf_of(sf_dir: str) -> float:
     name = Path(sf_dir).name  # e.g. "sf0.1"
     try:
@@ -144,11 +157,44 @@ def _consume(res) -> int:
     return res.count()  # ray.data.Dataset
 
 
-def bench_suite(sf_dir: str, num_cpus: int) -> dict:
+_HEAVY_QUERIES = ("crawl_full", "fetch_extract", "crawl")
+
+
+def run_one_query(name: str, sf_dir: str, num_cpus: int) -> dict:
+    """One named headline query with its own warm-up; assumes Ray is up.
+    Returns {"seconds": wall, "out": extras}."""
     fx = _fixture_dir(sf_dir)
     pages = str(fx / "pages.parquet")
     par = num_cpus * 3
 
+    # warm the worker pool + imports before the timed run (a cold Ray
+    # session spends seconds spawning workers)
+    run_extract(
+        sorted(str(p) for p in (fx / "pages.parquet").glob("*.parquet"))[:8],
+        str(SCRATCH / "warmup"),
+        num_cpus,
+    )
+    fns = {
+        "crawl_full": lambda: run_crawl_bench(
+            fx, str(SCRATCH / "crawl_full"), num_cpus, full=True
+        ),
+        "fetch_extract": lambda: run_extract(pages, str(SCRATCH / "extract"), par),
+        "crawl": lambda: run_crawl_bench(fx, str(SCRATCH / "crawl"), num_cpus),
+    }
+    p0 = cpu_probe()
+    t0 = time.perf_counter()
+    out = fns[name]()
+    wall = round(time.perf_counter() - t0, 3)
+    return {"seconds": wall, "out": out, "probe": [p0, cpu_probe()]}
+
+
+def bench_suite(sf_dir: str, num_cpus: int) -> dict:
+    """Per-query timing suite. The three heavy pipelines each run in a
+    FRESH subprocess/Ray session: a Ray session measurably degrades after
+    one big job (a prior full-corpus execution inflates a following
+    crawl's fetch AND pass phases ~2x — worker-heap/session-state
+    carryover), so sharing one session makes whichever query runs later
+    look falsely slow. Small operators share this process's session."""
     from atra_ray.stages.dedup import dedup_exact, minhash_dup_pairs
     from atra_ray.stages.similarity import ann_bruteforce_topk
     from atra_ray.stages.text_analysis import doc_quality
@@ -156,12 +202,32 @@ def bench_suite(sf_dir: str, num_cpus: int) -> dict:
     docs = f"{sf_dir}/documents.parquet"
     embs = f"{sf_dir}/embeddings.parquet"
 
+    timings: dict[str, float] = {}
+    extras: dict = {"cpu_probe": {}}
+    for name in _HEAVY_QUERIES:
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--single-query", name,
+             "--sf-dir", sf_dir],
+            capture_output=True,
+            text=True,
+            cwd=str(REPO),
+            env={**os.environ, "RAY_GRAFT_CPUS": str(num_cpus)},
+        )
+        if proc.returncode != 0:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"single-query {name} failed")
+        rep = json.loads(proc.stdout.splitlines()[-1])
+        timings[name] = rep["seconds"]
+        extras["cpu_probe"][name] = rep.get("probe")
+        if name == "crawl":
+            extras["crawl_counters"] = rep["out"]
+        elif name == "crawl_full":
+            extras["crawl_full_counters"] = rep["out"]
+        elif name == "fetch_extract":
+            extras["pages"] = rep["out"]
+
     suite = {
-        "fetch_extract": lambda: run_extract(pages, str(SCRATCH / "extract"), par),
-        "crawl": lambda: run_crawl_bench(fx, str(SCRATCH / "crawl"), num_cpus),
-        "crawl_full": lambda: run_crawl_bench(
-            fx, str(SCRATCH / "crawl_full"), num_cpus, full=True
-        ),
         "doc_quality": lambda: _consume(doc_quality(docs)),
         "dedup_exact": lambda: _consume(dedup_exact(docs)),
         "minhash_dup_pairs": lambda: _consume(minhash_dup_pairs(docs, threshold=0.5)),
@@ -169,28 +235,11 @@ def bench_suite(sf_dir: str, num_cpus: int) -> dict:
             ann_bruteforce_topk(embs, num_queries=10, k=10)
         ),
     }
-
-    # warm the worker pool + imports before any timed query (a cold Ray
-    # session spends seconds spawning workers; the driver bench runs in a
-    # fresh process every round)
-    run_extract(
-        sorted(str(p) for p in (fx / "pages.parquet").glob("*.parquet"))[:8],
-        str(SCRATCH / "warmup"),
-        num_cpus,
-    )
-
-    timings: dict[str, float] = {}
-    extras: dict = {}
     for name, fn in suite.items():
         t0 = time.perf_counter()
-        out = fn()
+        fn()
         timings[name] = round(time.perf_counter() - t0, 3)
-        if name == "crawl":
-            extras["crawl_counters"] = out
-        elif name == "crawl_full":
-            extras["crawl_full_counters"] = out
-        elif name == "fetch_extract":
-            extras["pages"] = out
+    extras["cpu_probe"]["after_suite"] = cpu_probe()
     return {"timings": timings, **extras}
 
 
@@ -292,6 +341,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--single-run", type=int, default=None, metavar="CPUS")
+    ap.add_argument("--single-query", default=None, metavar="NAME")
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     # default pair 2 -> 8 (the north rule's N and 4N): on this single box
@@ -309,6 +359,26 @@ def main() -> None:
 
     if args.single_run is not None:
         print(json.dumps(single_run(args.sf_dir, args.single_run, args.repeat)))
+        return
+
+    if args.single_query is not None:
+        import ray
+
+        n = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        ray.init(
+            address="local",
+            num_cpus=n,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        try:
+            print(json.dumps(run_one_query(args.single_query, args.sf_dir, n)))
+        finally:
+            ray.shutdown()
         return
 
     if args.scaling:
@@ -345,6 +415,7 @@ def main() -> None:
         else None,
         "crawl": out.get("crawl_counters"),
         "crawl_full": out.get("crawl_full_counters"),
+        "cpu_probe": out.get("cpu_probe"),
     }
     print(json.dumps(line))
 
