@@ -248,7 +248,7 @@ def bench_suite(sf_dir: str, num_cpus: int) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def single_run(sf_dir: str, num_cpus: int, repeat: int = 3) -> dict:
+def single_run(sf_dir: str, num_cpus: int, repeat: int = 3, n_runs: int | None = None) -> dict:
     """One fresh-process measurement of the headline fetch+extract pipeline
     at the given parallelism: 1 warm-up + 5 measured runs, best reported
     (BASELINE.md protocol). ``repeat`` re-reads the input shards K times in
@@ -276,7 +276,8 @@ def single_run(sf_dir: str, num_cpus: int, repeat: int = 3) -> dict:
         # steady-state throughput (what a long-running job sees)
         run_extract(pages, str(SCRATCH / "warmup"), num_cpus)
         walls, n = [], 0
-        n_runs = 3 if num_cpus <= 2 else 5  # 2-cpu runs are long; cap total
+        if n_runs is None:
+            n_runs = 2 if num_cpus <= 2 else 3  # 2-cpu runs are long; cap total
         for _ in range(n_runs):
             t0 = time.perf_counter()
             n = run_extract(pages, out, num_cpus * 4)
@@ -342,7 +343,11 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--single-run", type=int, default=None, metavar="CPUS")
     ap.add_argument("--single-query", default=None, metavar="NAME")
-    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=None)
+    # repeat=3: the 8-cpu job must be long enough to amortize fixed
+    # session/planning/ramp overhead (~3-4 s) — at repeat=2 that overhead
+    # alone costs the high level ~10% efficiency
+    ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     # default pair 2 -> 8 (the north rule's N and 4N): on this single box
     # the per-core clock drops as more cores go busy (measured burn test:
@@ -358,7 +363,7 @@ def main() -> None:
     SCRATCH.mkdir(parents=True, exist_ok=True)
 
     if args.single_run is not None:
-        print(json.dumps(single_run(args.sf_dir, args.single_run, args.repeat)))
+        print(json.dumps(single_run(args.sf_dir, args.single_run, args.repeat, args.runs)))
         return
 
     if args.single_query is not None:
