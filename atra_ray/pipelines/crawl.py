@@ -562,6 +562,10 @@ def run_crawl(
 
     t0 = time.monotonic()
     total_fetched = 0
+    # expected rows of the NEXT wave (seeds now; admitted+refilled later):
+    # sizes the wave's fan-out repartition so tiny waves don't pay a
+    # fixed 2x-concurrency shuffle, and big waves still use the full pool
+    expected_rows = max(1, len(seeds))
     wave = start_wave
     while True:
         if max_waves is not None and wave >= start_wave + max_waves:
@@ -580,7 +584,8 @@ def run_crawl(
         # block per frontier shard — far fewer than the CPU count — so the
         # (tiny, url+ints) rows are repartitioned to fan the fetch out to
         # the full pool; politeness was already enforced at pop time.
-        wave_ds = rd.from_arrow_refs(pop_refs).repartition(fetch_concurrency * 2)
+        fanout = max(1, min(fetch_concurrency * 2, expected_rows // max(batch_size // 4, 1) + 1))
+        wave_ds = rd.from_arrow_refs(pop_refs).repartition(fanout)
         if blacklist_path is not None and blacklist:
             # fetch-time blacklist check (UrlChecker in crawler.rs:640-709):
             # with hot-append (T4), URLs queued BEFORE a pattern landed must
@@ -633,6 +638,7 @@ def run_crawl(
                         lineage.append(
                             {"wave": wave, "recrawl_refill": refilled}
                         )
+                        expected_rows = max(1, refilled)
                         wave += 1
                         continue
                 break
@@ -673,6 +679,7 @@ def run_crawl(
             checked = int(admit_tbl["checked"].sum())
         else:  # empty wave: no link batches flowed at all
             admitted = checked = 0
+        expected_rows = max(1, admitted)
 
         t_passes = time.monotonic()
         total_fetched += status_counts.get("ok", 0)
