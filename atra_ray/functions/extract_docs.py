@@ -29,6 +29,7 @@ __all__ = [
     "extract_odf_links",
     "extract_pdf_links",
     "extract_rtf_links",
+    "extract_exif_links",
     "zip_kind",
 ]
 
@@ -114,5 +115,77 @@ def extract_pdf_links(body: bytes) -> list[str]:
 def extract_rtf_links(body: bytes) -> list[str]:
     text = body.decode("latin-1", "replace")
     out = _RTF_HYPERLINK_RE.findall(text)
+    seen: set[str] = set()
+    return [x for x in out if not (x in seen or seen.add(x))]
+
+
+# ---------------------------------------------------------------------------
+# EXIF (the reference's image scraper reads EXIF text fields for links —
+# extractor_method.rs:699-788 via link_scraper's image module)
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+
+_URL_IN_TEXT_RE = re.compile(r"https?://[^\s\"'<>\\]+")
+# ASCII-typed EXIF tags that commonly carry free text (ImageDescription,
+# Make, Model, Software, Artist, Copyright) + the EXIF-IFD pointer tag
+_EXIF_SUBIFD_TAG = 0x8769
+_ASCII_TYPE = 2
+
+
+def _walk_ifd(data: bytes, tiff0: int, offset: int, bo: str, out: list[str], depth: int = 0) -> None:
+    if depth > 3 or offset <= 0 or tiff0 + offset + 2 > len(data):
+        return
+    (n,) = _struct.unpack_from(bo + "H", data, tiff0 + offset)
+    base = tiff0 + offset + 2
+    for i in range(min(n, 256)):
+        ent = base + i * 12
+        if ent + 12 > len(data):
+            return
+        tag, typ, count = _struct.unpack_from(bo + "HHI", data, ent)
+        if tag == _EXIF_SUBIFD_TAG and typ in (3, 4):
+            (sub,) = _struct.unpack_from(bo + "I", data, ent + 8)
+            _walk_ifd(data, tiff0, sub, bo, out, depth + 1)
+        elif typ == _ASCII_TYPE and count > 0:
+            if count <= 4:
+                raw = data[ent + 8 : ent + 8 + count]
+            else:
+                (val_off,) = _struct.unpack_from(bo + "I", data, ent + 8)
+                raw = data[tiff0 + val_off : tiff0 + val_off + count]
+            out.append(raw.split(b"\x00", 1)[0].decode("utf-8", "replace"))
+
+
+def extract_exif_links(body: bytes) -> list[str]:
+    """URLs found in ASCII EXIF fields of a JPEG (APP1 Exif segment) or
+    bare TIFF — a real IFD walk (byte-order aware, EXIF sub-IFD followed),
+    not a byte scan."""
+    texts: list[str] = []
+    try:
+        tiff0 = -1
+        if body[:3] == b"\xff\xd8\xff":  # JPEG: find the APP1 Exif segment
+            i = 2
+            while i + 4 < len(body) and len(texts) == 0:
+                if body[i] != 0xFF:
+                    break
+                marker = body[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                (seglen,) = _struct.unpack_from(">H", body, i + 2)
+                if marker == 0xE1 and body[i + 4 : i + 10] == b"Exif\x00\x00":
+                    tiff0 = i + 10
+                    break
+                i += 2 + seglen
+        elif body[:4] in (b"II*\x00", b"MM\x00*"):
+            tiff0 = 0
+        if tiff0 >= 0 and tiff0 + 8 <= len(body):
+            bo = "<" if body[tiff0 : tiff0 + 2] == b"II" else ">"
+            (ifd0,) = _struct.unpack_from(bo + "I", body, tiff0 + 4)
+            _walk_ifd(body, tiff0, ifd0, bo, texts)
+    except Exception:
+        return []
+    out: list[str] = []
+    for t in texts:
+        out.extend(_URL_IN_TEXT_RE.findall(t))
     seen: set[str] = set()
     return [x for x in out if not (x in seen or seen.add(x))]

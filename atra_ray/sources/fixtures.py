@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from ..functions.langdetect import LANG_STOPWORDS, _CYR_STOPWORDS
 
 GLOBAL_SEED = 42
-GENERATOR_VERSION = "10"  # bump when generation rules change (invalidates caches)
+GENERATOR_VERSION = "11"  # bump when generation rules change (invalidates caches)
 EPOCH_US = 1_729_036_800_000_000  # 2024-10-16T00:00:00Z in microseconds
 
 _LANGS = ("eng", "deu", "fra", "spa")
@@ -507,6 +507,50 @@ def _gen_rtf_page(h: int, hosts: int, counts: list[int]):
     return url, body, None, "und", [(t, "rtf", _doc_kind(t, h)) for t in sorted(targets)]
 
 
+def _gen_jpeg_page(h: int, hosts: int, counts: list[int]):
+    """M14 EXIF: a JPEG whose APP1 Exif segment carries urls in ASCII
+    fields (ImageDescription + Artist) — exercises the real IFD walk."""
+    import struct
+
+    url = f"https://{host_name(h)}/photo.jpg"
+    targets = _doc_targets(h, "jpeg", hosts, counts)
+    fields = []  # (tag, text)
+    fields.append((0x010E, f"see {targets[0]} for the original"))
+    for i, t in enumerate(targets[1:]):
+        fields.append((0x013B + i, t))  # Artist, then vendor-ish tags
+    # little-endian TIFF: IFD0 with len(fields) ASCII entries, data after
+    n = len(fields)
+    ifd_size = 2 + n * 12 + 4
+    data_off = 8 + ifd_size
+    entries = b""
+    blob = b""
+    for tag, text in fields:
+        raw = text.encode() + b"\x00"
+        entries += struct.pack("<HHI", tag, 2, len(raw)) + struct.pack(
+            "<I", data_off + len(blob)
+        )
+        blob += raw
+    tiff = (
+        b"II*\x00"
+        + struct.pack("<I", 8)
+        + struct.pack("<H", n)
+        + entries
+        + struct.pack("<I", 0)
+        + blob
+    )
+    app1 = b"Exif\x00\x00" + tiff
+    body = (
+        b"\xff\xd8"
+        + b"\xff\xe1"
+        + struct.pack(">H", len(app1) + 2)
+        + app1
+        + b"\xff\xd9"
+    )
+    return url, body, None, "und", [
+        (t, "image", _doc_kind(t, h)) for t in sorted(targets)
+    ]
+
+
 def _doc_kind(target: str, h: int) -> str:
     return "on_seed" if target.split("/")[2] == host_name(h) else "outgoing"
 
@@ -560,6 +604,7 @@ def generate(out_dir: str | os.PathLike, sf: float, force: bool = False) -> Path
             emit(*_gen_odt_page(h, hosts, counts))
             emit(*_gen_pdf_page(h, hosts, counts))
             emit(*_gen_rtf_page(h, hosts, counts))
+            emit(*_gen_jpeg_page(h, hosts, counts))
 
     pages = pa.table(
         {

@@ -120,6 +120,26 @@ def extract_one(
                 seen_z.add(key)
                 uniq.append(lk)
         return fmt, "none", False, None, "und", uniq
+    if fmt == Format.IMAGE and body is not None:
+        # M14 EXIF kernel: real IFD walk over JPEG APP1 / TIFF; empty
+        # harvest falls to the raw scan (ApplyWhen::Fallback)
+        from ..functions.extract_docs import extract_exif_links
+
+        raw_found = extract_exif_links(bytes(body))
+        if not raw_found:
+            raw_found = list(extract_raw_links(bytes(body)))
+        links = []
+        seen_i = set()
+        for raw in sorted(raw_found):
+            packed = pack_link(url, depth, raw)
+            if packed is None:
+                continue
+            target, d, kind = packed
+            if target in seen_i:
+                continue
+            seen_i.add(target)
+            links.append((target, "image", kind, d.dow, d.dts, d.tds))
+        return fmt, "none", False, None, "und", links
     if fmt in (Format.OOXML, Format.ODF, Format.PDF, Format.RTF) and body is not None:
         # M14 binary-document kernels (extractor_method.rs:699-788): link
         # harvest only, no text (the reference's Decoded::None for these);

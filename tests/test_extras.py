@@ -245,3 +245,25 @@ def test_media_decode_pipeline(tmp_path):
         .to_pandas()
     )
     assert (~bad["ok"]).all()
+
+
+def test_exif_kernel_ifd_walk():
+    """EXIF links come from a real IFD walk (byte-order aware, EXIF
+    sub-IFD), not a raw byte scan."""
+    import struct
+
+    from atra_ray.functions.extract_docs import extract_exif_links
+
+    # big-endian TIFF with one ASCII ImageDescription
+    desc = b"visit https://a.example/x now\x00"
+    ifd = (
+        struct.pack(">H", 1)
+        + struct.pack(">HHI", 0x010E, 2, len(desc))
+        + struct.pack(">I", 26)
+        + struct.pack(">I", 0)
+    )
+    tiff = b"MM\x00*" + struct.pack(">I", 8) + ifd + desc
+    assert extract_exif_links(tiff) == ["https://a.example/x"]
+    # corrupt bodies never raise
+    assert extract_exif_links(b"\xff\xd8\xff\xe1\x00\x04Ex") == []
+    assert extract_exif_links(b"II*\x00\xff\xff\xff\xff") == []

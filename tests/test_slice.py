@@ -70,4 +70,4 @@ def test_fused_extract_equals_generic(fixtures_small):
         .reset_index(drop=True)
     )
     assert a.equals(b)
-    assert len(a) == 239
+    assert len(a) == 241
