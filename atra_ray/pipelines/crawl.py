@@ -712,15 +712,22 @@ def run_crawl(
         wave += 1
 
     wall = time.monotonic() - t0
-    snaps = ray.get([s.snapshot_table.remote() for s in seen])
-    seen_table = pa.concat_tables(snaps)
-    pq.write_table(seen_table, out / "link_state.parquet")
+    # final link-state export: shard-parallel writes into a parquet DIR
+    # (readers use pq.read_table / read_parquet on the directory); the
+    # state never concatenates through the driver
+    ls_dir = out / "link_state.parquet"
+    import shutil as _sh
+
+    if ls_dir.is_file():
+        ls_dir.unlink()
+    _sh.rmtree(ls_dir, ignore_errors=True)
+    seen_rows = sum(ray.get([s.write_link_state.remote(str(ls_dir)) for s in seen]))
     dropped = sum(s["dropped_by_age"] for s in ray.get([f.stats.remote() for f in frontier]))
     summary = {
         "waves": wave - start_wave,
         "last_wave": wave - 1,
         "fetched_ok": int(total_fetched),
-        "seen_urls": seen_table.num_rows,
+        "seen_urls": seen_rows,
         "dropped_by_age": int(dropped),
         "wall_s": wall,
         "lineage": lineage,

@@ -274,6 +274,17 @@ class SeenShardState:
             }
         )
 
+    def write_link_state(self, dir_path: str) -> int:
+        """Write THIS shard's authoritative link-state partition (the
+        final A4/S4 export). Each shard writes its own file in parallel —
+        the full state never flows through the driver (O(total-seen)
+        driver gathers are the scale bug class VERDICT r1 flagged)."""
+        p = Path(dir_path)
+        p.mkdir(parents=True, exist_ok=True)
+        t = self.snapshot_table()
+        pq.write_table(t, p / f"part-{self.shard_id:04d}.parquet")
+        return t.num_rows
+
     # ---- checkpoint (T6 / §3.2 recover) --------------------------------
     # INCREMENTAL: each checkpoint writes only the urls touched since the
     # last one (O(wave) rows, never O(total seen) — a full per-wave
