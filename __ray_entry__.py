@@ -151,9 +151,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pads.dataset(files).to_table(columns=["url", "wave", "origin", "host_seq"])
 
     def crawl_edges(sf_dir):
-        from atra_ray.pipelines.dump import edges_of_crawl
+        from atra_ray.pipelines.dump import edges_dataset
 
-        return edges_of_crawl(_crawl_out(sf_dir))
+        # streaming projection (S6 at-scale path); the driver consumes the
+        # Dataset — nothing concatenates on this side
+        return edges_dataset(_crawl_out(sf_dir))
 
     def token_counts(sf_dir):
         from atra_ray.stages.text_analysis import token_counts as _tc

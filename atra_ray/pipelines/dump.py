@@ -17,7 +17,7 @@ from pathlib import Path
 
 import ray.data as rd
 
-__all__ = ["dump_crawl", "load_results"]
+__all__ = ["dump_crawl", "load_results", "edges_dataset", "edges_of_crawl"]
 
 META_COLUMNS = ["url", "wave", "origin", "host_seq", "status", "format",
                 "encoding", "had_decode_errors", "lang"]
@@ -39,6 +39,58 @@ def dump_crawl(
 
     files = [str(p) for p in Path(crawl_out_dir, "results").rglob("*.parquet")]
     return pads.dataset(files).count_rows()
+
+
+def edges_dataset(crawl_out_dir: str) -> rd.Dataset:
+    """Web-graph edges (S6) as a STREAMING Dataset: seed edges plus a
+    map_batches projection of the results' links column — the at-scale
+    path (nothing concatenates on the driver; consume with write_parquet
+    or downstream transforms)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _project(batch: pa.Table) -> pa.Table:
+        counts = pc.list_value_length(batch["links"]).fill_null(0)
+        src_col = pc.coalesce(batch["final_url"], batch["url"])
+        src = src_col.take(
+            pa.array(
+                [i for i, c in enumerate(counts.to_pylist()) for _ in range(c)],
+                pa.int64(),
+            )
+        )
+        flat = pc.list_flatten(batch["links"])
+        t = pa.table(
+            {
+                "src": src,
+                "dst": pc.struct_field(flat, "target"),
+                "kind": pc.struct_field(flat, "kind"),
+            }
+        )
+        return t.filter(pc.not_equal(t["kind"], "data"))
+
+    files = [str(p) for p in Path(crawl_out_dir, "results").rglob("*.parquet")]
+    parts = [
+        rd.read_parquet(files, columns=["url", "final_url", "links"]).map_batches(
+            _project, batch_format="pyarrow"
+        )
+    ] if files else []
+    seeds = Path(crawl_out_dir, "edges", "seeds.parquet")
+    if seeds.exists():
+        parts.append(rd.read_parquet(str(seeds)))
+    if not parts:
+        import pyarrow as pa2
+
+        return rd.from_arrow(
+            pa2.table(
+                {"src": pa2.array([], pa2.string()),
+                 "dst": pa2.array([], pa2.string()),
+                 "kind": pa2.array([], pa2.string())}
+            )
+        )
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
 
 
 def edges_of_crawl(crawl_out_dir: str):
