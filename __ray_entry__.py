@@ -14,8 +14,12 @@ Three groups of queries:
 2. Training-data-pipeline operators over the driver's own testdata tables
    (documents/embeddings/events) with ANSI-SQL oracles over the registered
    views.
-3. Approximate operators (MinHash/SimHash/LSH) — no SQL equivalent; the
-   driver records rows-only checks for them.
+3. Approximate operators (estimate-MinHash/SimHash/LSH-ANN/IVF-ANN and
+   the heuristic doc-language scorer) — no SQL equivalent; the driver
+   records rows-only checks for them.
+
+25 queries total: 20 oracle-MATCH (SQL or generator/simulator oracle),
+5 rows-only by nature.
 """
 
 from __future__ import annotations
