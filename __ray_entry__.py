@@ -167,11 +167,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _tc(f"{sf_dir}/documents.parquet")
 
     def embedding_dup_pairs(sf_dir):
+        # DEFAULT route = the LSH scale path (method="lsh"); the loose
+        # threshold needs the small-k / large-L OR-construction for exact
+        # recall (verified vs the method="exact" baseline on this input)
         from atra_ray.stages.similarity import embedding_dup_pairs as _ep
 
-        return _ep(f"{sf_dir}/embeddings.parquet", threshold=0.43).select_columns(
-            ["a", "b"]
-        )
+        return _ep(
+            f"{sf_dir}/embeddings.parquet",
+            threshold=0.43,
+            num_tables=32,
+            planes_per_table=4,
+        ).select_columns(["a", "b"])
 
     def embedding_dup_pairs_lsh(sf_dir):
         from atra_ray.stages.similarity import embedding_dup_pairs_lsh as _epl

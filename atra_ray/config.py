@@ -86,3 +86,16 @@ class CrawlConfig:
 
     def to_dict(self) -> dict:
         return asdict(self)
+
+
+def store_root() -> str:
+    """Root for the co-partitioned build-side stores (MinHash signature /
+    text / drop stores, stages/dedup.py). Single-node default is a /tmp
+    cache; on a multi-node cluster this MUST point at SHARED storage
+    (S3 / NFS) via ``$ATRA_STORE_ROOT`` — the co-partitioned hash joins
+    read ``part=K/`` partitions from every node, so a node-local root
+    silently breaks the join. The page store (stages/fetch.py) has the
+    same contract through its explicit ``store_dir`` argument."""
+    import os
+
+    return os.environ.get("ATRA_STORE_ROOT", "/tmp/atra_dedup_store")

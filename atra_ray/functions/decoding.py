@@ -197,6 +197,11 @@ def statistical_guess(
     if non_ascii < 8 or non_ascii / len(head) < 0.02:
         return None
     hinted = _TLD_HINTS.get((tld or "").lower(), ())
+    # the fixed-size sample may cut a multibyte sequence at its tail, which
+    # would strict-disqualify the TRUE codec of a large CJK page; only a
+    # boundary cut is forgiven (an invalid byte in the interior still
+    # disqualifies), and only when the body actually extends past the sample
+    truncated = len(body) > len(head)
     # chardetng keeps UTF-8 in the race: a body that is ALMOST valid UTF-8
     # (e.g. one corrupt byte in accented text) must fall back to lossy
     # UTF-8, not get mojibake-guessed into a single-byte codec. The lossy
@@ -208,7 +213,14 @@ def statistical_guess(
     for codec in _DETECT_CANDIDATES:
         try:
             text = head.decode(codec)
-        except (UnicodeDecodeError, ValueError):
+        except UnicodeDecodeError as e:
+            # multibyte sequence cut by the sample window: decode the clean
+            # prefix instead (gb18030 sequences are up to 4 bytes)
+            if truncated and e.start >= len(head) - 4:
+                text = head[: e.start].decode(codec, errors="ignore")
+            else:
+                continue
+        except ValueError:
             continue
         s = _plausibility(text) + (0.5 if codec in hinted else 0.0)
         if s > best_score:
@@ -256,6 +268,14 @@ def decode_bytes(
     # failed above).
     guess = statistical_guess(body, tld)
     if guess is not None:
-        return body.decode(guess), guess, False
+        # the guess was validated on the head sample only: an invalid byte
+        # past the sample window must NOT raise out of the decode (the
+        # reference's chardetng path never raises) — decode lossily with
+        # the guessed codec and carry the had_errors flag instead
+        try:
+            return body.decode(guess), guess, False
+        except UnicodeDecodeError:
+            text, had_errors = _try_decode(body, guess)
+            return text, guess, had_errors
     text, _ = _try_decode(body, "utf-8")
     return text, "utf-8", True

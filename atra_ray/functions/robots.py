@@ -25,11 +25,25 @@ __all__ = ["RobotsRules", "parse_robots", "ALLOW_ALL"]
 _SAFE = "/:@!$&'()*+,;=~-._"
 
 
+_KEEP_ESCAPED_RE = re.compile(r"%2F|%23", re.IGNORECASE)
+
+
 def _normalize_path(path: str) -> str:
     """Percent-decoding + consistent re-encoding so '%7Ejoe' and '~joe'
-    compare equal on both the rule and the URL side."""
+    compare equal on both the rule and the URL side. ``%2F`` and ``%23``
+    stay ESCAPED: RFC 9309 (and texting_robots) keep an encoded slash
+    distinct from the path separator, so a rule ``/a%2Fb`` must not match
+    the path ``/a/b`` — the pieces around them are normalized, the escape
+    itself survives verbatim (uppercased)."""
     try:
-        return quote(unquote(path), safe=_SAFE)
+        pieces = _KEEP_ESCAPED_RE.split(path)
+        seps = [m.group(0).upper() for m in _KEEP_ESCAPED_RE.finditer(path)]
+        out = []
+        for i, piece in enumerate(pieces):
+            out.append(quote(unquote(piece), safe=_SAFE))
+            if i < len(seps):
+                out.append(seps[i])
+        return "".join(out)
     except Exception:  # pragma: no cover - malformed escapes stay literal
         return path
 

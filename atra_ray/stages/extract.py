@@ -175,7 +175,11 @@ def extract_one(
     if fmt not in DECODEABLE_FORMATS or body is None:
         return fmt, "none", False, None, "und", []
 
+    # strip any :port (and userinfo) before taking the last label, else
+    # host.example:8080 yields tld "example:8080" and the locale hint
+    # silently never applies to non-default-port URLs
     host = url.split("/")[2] if "://" in url else ""
+    host = host.rsplit("@", 1)[-1].split(":", 1)[0]
     tld = host.rsplit(".", 1)[-1] if "." in host else None
     text_decoded, encoding, had_errors = decode_bytes(
         bytes(body), fmt == Format.HTML, tld

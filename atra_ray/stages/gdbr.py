@@ -200,6 +200,7 @@ class GdbrStage:
         if fmt != "html":
             return text, 0.0, lang  # nothing to de-banner in non-HTML
         host = url.split("/")[2] if "://" in url else ""
+        host = host.rsplit("@", 1)[-1].split(":", 1)[0]  # strip :port/userinfo
         tld = host.rsplit(".", 1)[-1] if "." in host else None
         decoded, _, _ = decode_bytes(bytes(body), True, tld)
         clean, score = clean_html_dom(

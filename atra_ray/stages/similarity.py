@@ -28,6 +28,7 @@ __all__ = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_exact",
     "embedding_dup_pairs_lsh",
     "load_query_matrix",
 ]
@@ -98,18 +99,31 @@ def ann_bruteforce_topk(emb_path: str, num_queries: int = 10, k: int = 10) -> rd
 
 
 def embedding_dup_pairs(
-    emb_path: str, threshold: float = 0.95
+    emb_path: str, threshold: float = 0.95, method: str = "lsh", **kwargs
 ) -> rd.Dataset:
     """vec_id pairs (a < b) with cosine similarity >= threshold — the
     embedding-cosine near-duplicate detector of a training-data pipeline.
 
-    Each map task computes a blocked matmul of its batch against the full
-    normalized matrix broadcast ONCE via ``ray.put`` (zero-copy numpy reads
-    per task; N·d floats — ~1 GB per 2M vectors at d=128). Emitting only
-    j > i halves the work and dedups structurally. At 10^9-vector scale the
-    broadcast side becomes LSH/IVF-bucketed (see ann_lsh_topk /
-    ann_ivf_topk) so each batch multiplies only against candidate buckets;
-    the per-batch blocked-matmul shape is unchanged.
+    Dispatcher: ``method="lsh"`` (DEFAULT — the at-scale bucketed path,
+    ``embedding_dup_pairs_lsh``) or ``method="exact"`` (the O(N²)
+    broadcast-matmul baseline, ``embedding_dup_pairs_exact``; correct and
+    fast at small N, quadratic by construction — keep it for oracle
+    comparisons and recall measurement, not as the production route)."""
+    if method == "lsh":
+        return embedding_dup_pairs_lsh(emb_path, threshold, **kwargs)
+    if method == "exact":
+        return embedding_dup_pairs_exact(emb_path, threshold, **kwargs)
+    raise ValueError(f"unknown method {method!r} (expected 'lsh' or 'exact')")
+
+
+def embedding_dup_pairs_exact(
+    emb_path: str, threshold: float = 0.95
+) -> rd.Dataset:
+    """The exact O(N²) baseline: each map task computes a blocked matmul
+    of its batch against the full normalized matrix broadcast ONCE via
+    ``ray.put`` (zero-copy numpy reads per task; N·d floats — ~1 GB per 2M
+    vectors at d=128). Emitting only j > i halves the work and dedups
+    structurally. Quadratic in N — the LSH variant is the scale path.
     """
     import pyarrow.parquet as pq
 

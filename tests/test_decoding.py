@@ -129,3 +129,32 @@ def test_language_script_detection():
     assert (lang, script) == ("eng", "latin") and conf > 0
     # han + kana = Japanese even when han dominates
     assert detect_language_info("検索結果情報画像の")[0] == "jpn"
+
+
+def test_guess_decode_never_raises_past_sample():
+    """ADVICE r2 (high): a byte invalid in the guessed codec PAST the 64KB
+    validation sample must not raise out of decode_bytes — the reference's
+    chardetng path never raises. The decode stays with the guessed codec,
+    lossy, with had_errors set."""
+    from atra_ray.functions.decoding import decode_bytes
+
+    ru = "данные поиск страница и в не на я быть он с что система "
+    body = (ru * 2500).encode("cp1251")  # ~130 KB, clean cp1251
+    assert len(body) > 70_000
+    body = body[:100_000] + b"\x98" + body[100_000:]  # 0x98 undefined in cp1251
+    text, enc, err = decode_bytes(body, is_html=False)
+    assert enc == "cp1251" and err
+    assert "данные" in text and "�" in text
+
+
+def test_statistical_guess_sample_boundary_trim():
+    """ADVICE r2 (low): a multibyte char cut by the sample window must not
+    strict-disqualify the true CJK codec."""
+    from atra_ray.functions.decoding import decode_bytes, statistical_guess
+
+    jp = "データ検索ページ情報サイト"
+    body = b"a" + (jp * 3000).encode("euc_jp")  # every char straddles odd offsets
+    assert len(body) > 65536
+    assert statistical_guess(body) == "euc_jp"
+    text, enc, err = decode_bytes(body, is_html=False)
+    assert enc == "euc_jp" and not err and "データ" in text

@@ -223,7 +223,7 @@ def test_embedding_dup_pairs_matches_bruteforce():
     from atra_ray.stages.similarity import embedding_dup_pairs
 
     emb = "/root/testdata/sf0.001/embeddings.parquet"
-    got = embedding_dup_pairs(emb, threshold=0.4).to_pandas()
+    got = embedding_dup_pairs(emb, threshold=0.4, method="exact").to_pandas()
     t = pq_.read_table(emb, columns=["vec_id", "embedding"])
     ids = np_.asarray(t.column("vec_id").to_pylist())
     m = np_.asarray(t.column("embedding").to_pylist(), dtype=np_.float64)
@@ -374,9 +374,51 @@ def test_embedding_dup_pairs_lsh_matches_bruteforce(ray_session, tmp_path):
         ),
         p,
     )
-    exact = embedding_dup_pairs(str(p), threshold=0.9).to_pandas()[["a", "b"]]
+    exact = embedding_dup_pairs(str(p), threshold=0.9, method="exact").to_pandas()[
+        ["a", "b"]
+    ]
     lsh = embedding_dup_pairs_lsh(str(p), threshold=0.9).to_pandas()[["a", "b"]]
     se = set(map(tuple, exact.values))
     sl = set(map(tuple, lsh.values))
     assert len(se) >= 15
     assert sl == se  # defaults: miss prob ~1.6e-4/pair at cosine 0.95+
+    # the UNSUFFIXED entry point defaults to the LSH route (the scale
+    # path), not the O(N²) baseline — and recovers the same pair set here
+    default = embedding_dup_pairs(str(p), threshold=0.9).to_pandas()[["a", "b"]]
+    assert set(map(tuple, default.values)) == se
+
+
+def test_store_root_honored(ray_session, tmp_path, monkeypatch):
+    """VERDICT r2 item 7: the co-partitioned build-side stores honor a
+    non-default root ($ATRA_STORE_ROOT → shared storage on multi-node)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from atra_ray.config import store_root
+    from atra_ray.stages.dedup import build_signature_store, dedup_minhash
+
+    root = tmp_path / "shared_store"
+    monkeypatch.setenv("ATRA_STORE_ROOT", str(root))
+    assert store_root() == str(root)
+
+    docs = tmp_path / "docs.parquet"
+    texts = [f"alpha beta gamma delta {i}" for i in range(20)]
+    texts += texts[:5]  # 5 exact dups -> near-dup pairs
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        docs,
+    )
+    sig = build_signature_store(str(docs), num_partitions=4)
+    assert sig.startswith(str(root))
+    survivors = dedup_minhash(
+        str(docs), threshold=0.9, num_partitions=4
+    ).to_pandas()
+    assert len(survivors) == 20
+    # signature + text + drop stores all landed under the custom root
+    kinds = {p.name.split("-")[0] for p in root.iterdir()}
+    assert "drop" in kinds and len(list(root.iterdir())) >= 3

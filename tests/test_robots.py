@@ -86,3 +86,21 @@ def test_dollar_only_matters_at_end():
     r = parse_robots(b"User-agent: *\nDisallow: /a$b\n")
     assert r.is_allowed("/ab")
     assert not r.is_allowed("/a$b/c")
+
+
+def test_encoded_slash_stays_distinct():
+    """ADVICE r2: RFC 9309 keeps %2F distinct from the path separator — a
+    rule /a%2Fb must NOT match the path /a/b (and vice versa)."""
+    from atra_ray.functions.robots import parse_robots
+
+    r = parse_robots(b"User-agent: *\nDisallow: /a%2Fb\n")
+    assert r.is_allowed("/a/b")
+    assert not r.is_allowed("/a%2Fb")
+    assert not r.is_allowed("/a%2fb")  # case-insensitive escape
+    r2 = parse_robots(b"User-agent: *\nDisallow: /a/b\n")
+    assert not r2.is_allowed("/a/b")
+    assert r2.is_allowed("/a%2Fb")
+    # normalization of OTHER escapes still applies around the kept ones
+    r3 = parse_robots(b"User-agent: *\nDisallow: /%7Ejoe%2Fx\n")
+    assert not r3.is_allowed("/~joe%2Fx")
+    assert r3.is_allowed("/~joe/x")
