@@ -44,30 +44,42 @@ _DEFAULT_PORTS = {"http": 80, "https": 443, "ws": 80, "wss": 443, "ftp": 21}
 _SPECIAL_SCHEMES = {"http", "https", "ws", "wss", "ftp", "file"}
 
 # Public-suffix rules from the vendored snapshot (atra_ray/data/
-# public_suffix_snapshot.dat — partial hand-vendored PSL; no network in
-# the sandbox to fetch the canonical list). The reference resolves
-# registrable domains through psl::domain_str (toolkit/domains.rs:21-29);
-# we implement the PSL algorithm (exact + "*." wildcard + "!" exception
-# rules, longest match wins, exceptions prevail) over the snapshot.
+# public_suffix_snapshot.dat — the FULL public list from publicsuffix.org,
+# ~9.5k rules incl. the private-domains section, vendored from the
+# system's publicsuffix package). The reference resolves registrable
+# domains through psl::domain_str (toolkit/domains.rs:21-29), whose psl
+# crate embeds the same list; we implement the PSL algorithm (exact +
+# "*." wildcard + "!" exception rules, longest match wins, exceptions
+# prevail) over it. Unicode rules are indexed under BOTH their unicode
+# and punycode (IDNA) forms so lookups on already-punycoded hosts match.
 _PSL_EXACT: set[str] = set()
 _PSL_WILDCARD: set[str] = set()  # parents of "*." rules
 _PSL_EXCEPTION: set[str] = set()
+
+
+def _idna_forms(rule: str) -> tuple[str, ...]:
+    if rule.isascii():
+        return (rule,)
+    try:
+        return (rule, rule.encode("idna").decode("ascii"))
+    except UnicodeError:
+        return (rule,)
 
 
 def _load_psl() -> None:
     from pathlib import Path
 
     path = Path(__file__).resolve().parent.parent / "data" / "public_suffix_snapshot.dat"
-    for line in path.read_text().splitlines():
+    for line in path.read_text(encoding="utf-8").splitlines():
         line = line.strip().lower()
         if not line or line.startswith("//"):
             continue
         if line.startswith("!"):
-            _PSL_EXCEPTION.add(line[1:])
+            _PSL_EXCEPTION.update(_idna_forms(line[1:]))
         elif line.startswith("*."):
-            _PSL_WILDCARD.add(line[2:])
+            _PSL_WILDCARD.update(_idna_forms(line[2:]))
         else:
-            _PSL_EXACT.add(line)
+            _PSL_EXACT.update(_idna_forms(line))
 
 
 _load_psl()

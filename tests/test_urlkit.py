@@ -132,3 +132,30 @@ def test_psl_private_multitenant_suffixes():
 def test_psl_host_is_suffix_falls_back_to_host():
     assert origin_of("https://co.uk/") == "co.uk"
     assert origin_of("https://github.io/") == "github.io"
+
+
+def test_full_psl_multi_label_suffixes():
+    """VERDICT r2 item 5: the vendored snapshot is the FULL public list;
+    multi-label/wildcard/exception/private rules resolve like psl::domain_str."""
+    from atra_ray.functions.urlkit import origin_of, public_suffix
+
+    # private-domains section
+    assert public_suffix("a.b.github.io") == "github.io"
+    assert origin_of("https://a.b.github.io/x") == "b.github.io"
+    assert public_suffix("bucket.s3.amazonaws.com") == "s3.amazonaws.com"
+    assert origin_of("https://bucket.s3.amazonaws.com/") == "bucket.s3.amazonaws.com"
+    # wildcard rule *.ck with exception !www.ck
+    assert public_suffix("foo.bar.ck") == "bar.ck"
+    assert origin_of("https://foo.bar.ck/") == "foo.bar.ck"
+    assert public_suffix("www.ck") == "ck"
+    assert origin_of("https://www.ck/") == "www.ck"
+    # classic multi-label ICANN suffixes
+    assert origin_of("https://shop.example.co.uk/") == "example.co.uk"
+    assert origin_of("https://x.y.gov.uk/") == "y.gov.uk"
+    # unicode rule + its punycode (IDNA) form resolve identically
+    assert origin_of("https://пример.рф/") == "пример.рф"
+    assert origin_of("https://sub.a.xn--p1ai/") == "a.xn--p1ai"
+    # unlisted TLD falls to the implicit * rule (fixture hosts stay distinct)
+    assert origin_of("https://host7.example/p0") == "host7.example"
+    # a bare public suffix has no registrable domain -> host itself
+    assert origin_of("https://co.uk/") == "co.uk"
