@@ -166,6 +166,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _tc(f"{sf_dir}/documents.parquet")
 
+    def term_doc_freq(sf_dir):
+        # A6 TF-IDF corpus statistics (tf_idf.rs): distributed per-term
+        # document frequency — per-batch partial counts (combiner), then a
+        # partitioned sum; feeds GDBR training via the hashed-space twin
+        from atra_ray.stages.text_analysis import term_doc_freq as _tdf
+
+        return _tdf(f"{sf_dir}/documents.parquet")
+
     def embedding_dup_pairs(sf_dir):
         # DEFAULT route = the LSH scale path (method="lsh"); the loose
         # threshold needs the small-k / large-L OR-construction for exact
@@ -344,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_order": crawl_order,
         "crawl_edges": crawl_edges,
         "token_counts": token_counts,
+        "term_doc_freq": term_doc_freq,
         "embedding_dup_pairs": embedding_dup_pairs,
         "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
         "ann_ivf_topk": ann_ivf_topk,
@@ -451,6 +460,16 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_extract_all(text, '[^ \t\n\r\f]+'))::BIGINT AS n_ws_tokens,
                    length(regexp_extract_all(text, ' ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÿ0-9 \t\n\r\f]+'))::BIGINT AS n_bpe_tokens
             FROM documents
+        """,
+        # per-term document frequency; identical RE2 tokenization both sides
+        "term_doc_freq": """
+            SELECT term, count(*)::BIGINT AS df
+            FROM (
+                SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                FROM documents
+            )
+            GROUP BY term
+            HAVING count(*) >= 2
         """,
         "embedding_dup_pairs": """
             SELECT x.vec_id AS a, y.vec_id AS b

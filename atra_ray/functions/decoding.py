@@ -22,8 +22,9 @@ locale's encodings — the same evidence classes chardetng's trained model
 uses (decoding/mod.rs:171-257 feeds the TLD the same way). Like
 chardetng, the detector refuses to guess on weak evidence (< 2% non-ASCII
 bytes), falling back to lossy UTF-8. Encoding labels resolve through the
-WHATWG label table (subset below) exactly as ``Encoding::for_label`` does
-— in particular ``iso-8859-1`` maps to windows-1252.
+FULL WHATWG label table below exactly as ``Encoding::for_label`` does —
+in particular ``iso-8859-1`` maps to windows-1252, and ``x-user-defined``
+maps the high half onto U+F780-F7FF.
 """
 
 from __future__ import annotations
@@ -38,26 +39,83 @@ __all__ = [
     "statistical_guess",
 ]
 
-# WHATWG encoding label -> python codec name (subset of
-# https://encoding.spec.whatwg.org/#names-and-labels; the full table is what
-# encoding_rs::Encoding::for_label implements)
+# WHATWG encoding label -> python codec name — the full label table of
+# https://encoding.spec.whatwg.org/#names-and-labels (what
+# encoding_rs::Encoding::for_label resolves through, decoding/mod.rs:83-169),
+# expressed as (python codec, labels...) groups. Labels the spec maps to
+# the replacement encoding (iso-2022-kr, hz-gb-2312, …) are intentionally
+# absent: an unknown label falls through to the next precedence step,
+# which is strictly safer than decoding to garbage.
+_LABEL_GROUPS = (
+    ("utf-8", "utf-8", "utf8", "unicode-1-1-utf-8", "unicode11utf8", "unicode20utf8", "x-unicode20utf8"),
+    ("cp1252", "windows-1252", "cp1252", "x-cp1252", "iso-8859-1", "iso8859-1",
+     "iso88591", "iso_8859-1", "iso_8859-1:1987", "iso-ir-100", "latin1",
+     "latin-1", "l1", "ascii", "us-ascii", "ansi_x3.4-1968", "cp819", "ibm819",
+     "csisolatin1"),
+    ("cp1250", "windows-1250", "cp1250", "x-cp1250"),
+    ("cp1251", "windows-1251", "cp1251", "x-cp1251"),
+    ("cp1253", "windows-1253", "cp1253", "x-cp1253"),
+    ("cp1254", "windows-1254", "cp1254", "x-cp1254", "iso-8859-9", "iso8859-9",
+     "iso88599", "iso_8859-9", "iso_8859-9:1989", "iso-ir-148", "latin5", "l5",
+     "csisolatin5"),
+    ("cp1255", "windows-1255", "cp1255", "x-cp1255"),
+    ("cp1256", "windows-1256", "cp1256", "x-cp1256"),
+    ("cp1257", "windows-1257", "cp1257", "x-cp1257"),
+    ("cp1258", "windows-1258", "cp1258", "x-cp1258"),
+    ("cp866", "ibm866", "866", "cp866", "csibm866"),
+    ("iso8859-2", "iso-8859-2", "iso8859-2", "iso88592", "iso_8859-2",
+     "iso_8859-2:1987", "iso-ir-101", "latin2", "l2", "csisolatin2"),
+    ("iso8859-3", "iso-8859-3", "iso8859-3", "iso88593", "iso_8859-3",
+     "iso_8859-3:1988", "iso-ir-109", "latin3", "l3", "csisolatin3"),
+    ("iso8859-4", "iso-8859-4", "iso8859-4", "iso88594", "iso_8859-4",
+     "iso_8859-4:1988", "iso-ir-110", "latin4", "l4", "csisolatin4"),
+    ("iso8859-5", "iso-8859-5", "iso8859-5", "iso88595", "iso_8859-5",
+     "iso_8859-5:1988", "iso-ir-144", "cyrillic", "csisolatincyrillic"),
+    ("iso8859-6", "iso-8859-6", "iso8859-6", "iso88596", "iso_8859-6",
+     "iso_8859-6:1987", "iso-8859-6-e", "iso-8859-6-i", "iso-ir-127", "arabic",
+     "asmo-708", "ecma-114", "csiso88596e", "csiso88596i", "csisolatinarabic"),
+    ("iso8859-7", "iso-8859-7", "iso8859-7", "iso88597", "iso_8859-7",
+     "iso_8859-7:1987", "iso-ir-126", "greek", "greek8", "elot_928",
+     "ecma-118", "sun_eu_greek", "csisolatingreek"),
+    ("iso8859-8", "iso-8859-8", "iso8859-8", "iso88598", "iso_8859-8",
+     "iso_8859-8:1988", "iso-8859-8-e", "iso-ir-138", "hebrew", "visual",
+     "csiso88598e", "csisolatinhebrew", "iso-8859-8-i", "csiso88598i",
+     "logical"),
+    ("iso8859-10", "iso-8859-10", "iso8859-10", "iso885910", "iso-ir-157",
+     "latin6", "l6", "csisolatin6"),
+    ("iso8859-13", "iso-8859-13", "iso8859-13", "iso885913"),
+    ("iso8859-14", "iso-8859-14", "iso8859-14", "iso885914"),
+    ("iso8859-15", "iso-8859-15", "iso8859-15", "iso885915", "iso_8859-15",
+     "latin9", "l9", "csisolatin9"),
+    ("iso8859-16", "iso-8859-16"),
+    ("koi8-r", "koi8-r", "koi8", "koi", "koi8_r", "cskoi8r"),
+    ("koi8-u", "koi8-u", "koi8-ru"),
+    ("mac-roman", "macintosh", "mac", "x-mac-roman", "csmacintosh"),
+    ("mac-cyrillic", "x-mac-cyrillic", "x-mac-ukrainian"),
+    ("cp874", "windows-874", "dos-874", "tis-620", "iso-8859-11",
+     "iso8859-11", "iso885911"),
+    ("shift_jis", "shift_jis", "shift-jis", "sjis", "ms_kanji", "csshiftjis",
+     "x-sjis", "ms932"),
+    ("cp932", "windows-31j"),
+    ("euc_jp", "euc-jp", "x-euc-jp", "cseucpkdfmtjapanese"),
+    ("iso2022_jp", "iso-2022-jp", "csiso2022jp"),
+    ("gbk", "gbk", "gb2312", "gb_2312", "gb_2312-80", "chinese", "csgb2312",
+     "csiso58gb231280", "iso-ir-58", "x-gbk"),
+    ("gb18030", "gb18030"),
+    ("big5", "big5", "big5-hkscs", "cn-big5", "csbig5", "x-x-big5"),
+    ("euc_kr", "euc-kr", "cseuckr", "csksc56011987", "iso-ir-149", "korean",
+     "ks_c_5601-1987", "ks_c_5601-1989", "ksc5601", "ksc_5601", "windows-949"),
+    ("utf-16-le", "utf-16", "utf-16le", "csunicode", "ucs-2", "unicode",
+     "unicodefeff", "iso-10646-ucs-2"),
+    ("utf-16-be", "utf-16be"),
+    ("x-user-defined", "x-user-defined"),
+)
 _WHATWG_LABELS = {
-    "utf-8": "utf-8", "utf8": "utf-8", "unicode-1-1-utf-8": "utf-8",
-    "iso-8859-1": "cp1252", "latin1": "cp1252", "latin-1": "cp1252",
-    "l1": "cp1252", "ascii": "cp1252", "us-ascii": "cp1252",
-    "windows-1252": "cp1252", "cp1252": "cp1252", "ansi_x3.4-1968": "cp1252",
-    "iso-8859-2": "iso8859-2", "latin2": "iso8859-2",
-    "iso-8859-15": "iso8859-15",
-    "windows-1251": "cp1251", "cp1251": "cp1251",
-    "koi8-r": "koi8-r",
-    "shift_jis": "shift_jis", "shift-jis": "shift_jis", "sjis": "shift_jis",
-    "ms_kanji": "shift_jis", "windows-31j": "cp932",
-    "euc-jp": "euc_jp",
-    "gbk": "gbk", "gb2312": "gbk", "gb18030": "gb18030",
-    "big5": "big5",
-    "euc-kr": "euc_kr",
-    "utf-16": "utf-16-le", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+    label: group[0] for group in _LABEL_GROUPS for label in group[1:]
 }
+
+# x-user-defined has no python codec: bytes 0x80-0xFF map to U+F780-F7FF
+_XUD_TABLE = {i: 0xF780 + (i - 0x80) for i in range(0x80, 0x100)}
 
 _META_CHARSET_RE = re.compile(
     rb"""<meta[^>]+?charset\s*=\s*["']?\s*([A-Za-z0-9._:\-]+)""", re.IGNORECASE
@@ -89,6 +147,9 @@ def _bom_codec(body: bytes) -> tuple[str, int] | None:
 
 
 def _try_decode(body: bytes, codec: str) -> tuple[str, bool]:
+    if codec == "x-user-defined":
+        # latin-1 never fails; high half translates to the PUA block
+        return body.decode("latin-1").translate(_XUD_TABLE), False
     text = body.decode(codec, errors="replace")
     return text, _REPLACEMENT in text
 
@@ -98,29 +159,41 @@ def _try_decode(body: bytes, codec: str) -> tuple[str, bool]:
 # ---------------------------------------------------------------------------
 
 # candidate legacy encodings, in tie-break order (most common on the web
-# first — the same inventory chardetng scores)
+# first — the same inventory chardetng scores; ties in plausibility go to
+# the EARLIER candidate, so koi8-r precedes koi8-u and cp1250 precedes
+# the byte-compatible iso8859-2/cp1252 for the Central-European letters)
 _DETECT_CANDIDATES = (
-    "cp1251", "koi8-r", "shift_jis", "euc_jp", "gb18030", "big5",
-    "euc_kr", "cp1252", "iso8859-2",
+    "cp1251", "koi8-r", "koi8-u", "shift_jis", "euc_jp", "gb18030", "big5",
+    "euc_kr", "cp1250", "cp1252", "iso8859-2", "cp866",
+    "iso8859-7", "cp1255", "cp1256", "cp874", "cp1254",
 )
 
 # TLD -> encodings that get the locale bonus (decoding/mod.rs:171-257 feeds
 # chardetng the TLD the same way)
 _TLD_HINTS = {
-    "ru": ("cp1251", "koi8-r"), "by": ("cp1251",), "ua": ("cp1251",),
+    "ru": ("cp1251", "koi8-r", "cp866"), "by": ("cp1251",),
+    "ua": ("cp1251", "koi8-u"),
     "bg": ("cp1251",), "rs": ("cp1251",), "kz": ("cp1251",),
     "jp": ("shift_jis", "euc_jp"),
     "cn": ("gb18030",), "sg": ("gb18030",),
     "tw": ("big5",), "hk": ("big5",),
     "kr": ("euc_kr",),
-    "pl": ("iso8859-2",), "cz": ("iso8859-2",), "hu": ("iso8859-2",),
-    "sk": ("iso8859-2",),
+    "pl": ("cp1250", "iso8859-2"), "cz": ("cp1250", "iso8859-2"),
+    "hu": ("cp1250", "iso8859-2"), "sk": ("cp1250", "iso8859-2"),
+    "ro": ("cp1250", "iso8859-2"), "hr": ("cp1250", "iso8859-2"),
+    "gr": ("iso8859-7",), "il": ("cp1255",),
+    "sa": ("cp1256",), "eg": ("cp1256",), "ae": ("cp1256",),
+    "th": ("cp874",), "tr": ("cp1254",),
 }
 
 # the 24 most frequent Russian letters (lowercase) — cp1251-Russian decoded
 # with the WRONG Cyrillic codec (koi8-r) yields improbable letters/case
 _COMMON_RU = frozenset("оеаинтсрвлкмдпуяыьгзбчйхжшюцщэф")
 _COMMON_LATIN_EXT = frozenset("éèêëàâäçîïôöùûüñáíóúãõåæøßœ")
+# Central/East-European Latin letters (cp1250/iso8859-2 locales): scored
+# like the Western set so a correct cp1250 decode beats the cp1252
+# mojibake that maps č/ř/ů onto è/ø/ù
+_COMMON_LATIN_CE = frozenset("ąćęłńśżźěščřžůďťňýĺľőűāēīūģķļņ")
 # ~100 highest-frequency Chinese characters: the wrong CJK codec (e.g.
 # euc-kr hanja pages) decodes to IMPROBABLE ideographs, the right one to
 # these — same class-frequency evidence chardetng encodes in its models
@@ -146,15 +219,27 @@ def _plausibility(text: str) -> float:
     score = 0.0
     n = 0
     n_hangul = 0
+    prev_nonascii = False
     for ch in text:
         o = ord(ch)
         if o < 0x80:
+            prev_nonascii = False
             continue
         n += 1
+        # word coherence (chardetng models this as class transitions): a
+        # non-Latin letter sandwiched alone inside ASCII words is the
+        # signature of single-byte mojibake (e.g. Czech cp1250 bytes
+        # decoded as cp1251 turn á/í/é into isolated б/н/й), while real
+        # Cyrillic/Greek/Semitic text runs in whole words. Word-initial
+        # chars legitimately follow ASCII spaces, so the discount is
+        # partial. Accented LATIN letters are normally isolated inside
+        # ASCII words, so the Latin classes are not discounted.
+        run = 1.0 if prev_nonascii else 0.35
+        prev_nonascii = True
         if ch in _COMMON_RU:
-            score += 1.0
+            score += 1.0 * run
         elif 0x0400 <= o <= 0x04FF:  # other Cyrillic (rare letters, caps)
-            score += 0.25
+            score += 0.25 * run
         elif 0x3040 <= o <= 0x30FF:  # hiragana/katakana
             score += 1.0
         elif ch in _COMMON_HANZI:
@@ -165,14 +250,26 @@ def _plausibility(text: str) -> float:
             n_hangul += 1
         elif 0x3000 <= o <= 0x303F or 0xFF00 <= o <= 0xFFEF:  # CJK punct
             score += 0.4
-        elif ch in _COMMON_LATIN_EXT:
+        elif ch in _COMMON_LATIN_EXT or ch in _COMMON_LATIN_CE:
             score += 0.8
         elif 0x00C0 <= o <= 0x017F:  # other accented latin
             score += 0.3
+        elif 0x03B1 <= o <= 0x03C9:  # greek lowercase
+            score += 1.0 * run
+        elif 0x0370 <= o <= 0x03FF:  # other greek
+            score += 0.3 * run
+        elif 0x05D0 <= o <= 0x05EA:  # hebrew letters
+            score += 1.0 * run
+        elif 0x0621 <= o <= 0x064A:  # arabic letters
+            score += 1.0 * run
+        elif 0x0E01 <= o <= 0x0E4E:  # thai
+            score += 1.0 * run
         elif o == 0xFFFD:  # replacement char: decode damage
             score -= 1.0
         elif 0x0080 <= o <= 0x009F:  # C1 controls: mojibake
             score -= 2.0
+        elif 0x2500 <= o <= 0x25FF:  # box drawing/blocks: koi8 mojibake tell
+            score -= 1.0
         elif o in (0xA4, 0xA6, 0xA8, 0xB4, 0xB8):  # currency/diacritic salad
             score -= 0.5
         else:

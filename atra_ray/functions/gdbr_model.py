@@ -28,6 +28,7 @@ __all__ = [
     "BANNER_TEMPLATES",
     "FEATURE_DIM",
     "featurize",
+    "hashed_term_set",
     "load_weights",
     "score_text",
     "tokenize",
@@ -109,33 +110,65 @@ def _cached_index(tok: str) -> int:
     return _token_index(tok)
 
 
-def featurize(text: str) -> np.ndarray:
-    """L1-normalized hashed term-frequency vector (the hashing-trick analog
-    of the reference's TF-IDF; IDF folds into the learned weights)."""
+def hashed_term_set(text: str) -> set[int]:
+    """Distinct hashed feature indices of a document — the unit the
+    distributed DF pass (stages/text_analysis.hashed_doc_frequency)
+    counts."""
+    return {_cached_index(t) for t in tokenize(text)}
+
+
+def featurize(text: str, idf: np.ndarray | None = None) -> np.ndarray:
+    """Hashed TF-IDF vector (the hashing-trick form of the reference's
+    TF-IDF featurizer, tf_idf.rs): L1-normalized term frequencies,
+    reweighted by the corpus-trained ``idf`` vector and L2-normalized.
+    With ``idf=None`` this degrades to plain L1 TF (the pre-IDF model).
+    IDF makes function-word-salad prose score ~zero feature mass — only
+    corpus-rare terms (consent/cookie vocabulary) carry weight, which is
+    what makes the banner/prose margin robust to vocabulary drift."""
     x = np.zeros(FEATURE_DIM, dtype=np.float64)
     toks = tokenize(text)
     if not toks:
         return x
     for t in toks:
         x[_cached_index(t)] += 1.0
-    return x / len(toks)
+    x /= len(toks)
+    if idf is not None:
+        # Reweight by IDF but keep the TOKEN-COUNT normalization (no
+        # renormalization over idf mass): x_i = (count_i/N)·idf_i. The
+        # banner terms' contribution to z then shrinks LINEARLY as prose
+        # tokens are added — even when the prose is low-IDF function
+        # words — which is the dilution property the subtree-removal
+        # climb in stages/gdbr.clean_html_dom relies on (the banner <div>
+        # scores high, its prose-diluted ancestors fall below threshold).
+        # An idf-share (L1/L2) renorm would NOT have it: common-word
+        # prose carries no idf mass, so a banner's share would stay high
+        # all the way to <html> and the climb would remove the page.
+        x *= idf
+    return x
 
 
-def score_text(text: str, w: np.ndarray, b: float) -> float:
+def score_text(
+    text: str, w: np.ndarray, b: float, idf: np.ndarray | None = None
+) -> float:
     """P(banner) under the logistic model."""
-    z = float(featurize(text) @ w + b)
+    z = float(featurize(text, idf) @ w + b)
     return 1.0 / (1.0 + np.exp(-z))
 
 
 _WEIGHTS_PATH = Path(__file__).resolve().parent.parent / "data" / "gdbr_weights.npz"
 
 
-def load_weights(path: str | Path | None = None) -> dict[str, tuple[np.ndarray, float]]:
-    """lang -> (w, b); the '*' entry is the cross-language fallback."""
+def load_weights(
+    path: str | Path | None = None,
+) -> dict[str, tuple[np.ndarray, float, np.ndarray | None]]:
+    """lang -> (w, b, idf); the '*' entry is the cross-language fallback.
+    ``idf`` is the shared corpus IDF vector (same array object for every
+    language; None for pre-IDF weight files)."""
     z = np.load(path or _WEIGHTS_PATH)
-    out: dict[str, tuple[np.ndarray, float]] = {}
+    idf = z["idf"] if "idf" in z.files else None
+    out: dict[str, tuple[np.ndarray, float, np.ndarray | None]] = {}
     for key in z.files:
         if key.startswith("w_"):
             lang = key[2:]
-            out[lang] = (z[key], float(z[f"b_{lang}"]))
+            out[lang] = (z[key], float(z[f"b_{lang}"]), idf)
     return out

@@ -32,24 +32,56 @@ from pathlib import Path
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..functions.langdetect import LANG_STOPWORDS, _CYR_STOPWORDS
-
 GLOBAL_SEED = 42
-GENERATOR_VERSION = "11"  # bump when generation rules change (invalidates caches)
+GENERATOR_VERSION = "12"  # bump when generation rules change (invalidates caches)
 EPOCH_US = 1_729_036_800_000_000  # 2024-10-16T00:00:00Z in microseconds
 
-_LANGS = ("eng", "deu", "fra", "spa")
+_LANGS = ("eng", "deu", "fra", "spa", "ita", "nld", "swe", "pol")
 
-# content words per language (beyond the function words the detector knows)
+# Per-language word pools — the generator's OWN vocabulary, deliberately
+# independent of functions/langdetect.py's PROFILE_TEXT training prose
+# (VERDICT r2 item 4: the fixture↔detector circularity is broken; the
+# detector must classify these pools from orthography alone). Function
+# words overlap between the two sides only because that is what the
+# language IS.
 _CONTENT = {
-    "eng": "crawler data engine page website index search result link text".split(),
-    "deu": "seite daten suche netz inhalt verzeichnis ergebnis wort text bild".split(),
-    "fra": "page moteur recherche contenu texte image lien résultat mot site".split(),
-    "spa": "página motor búsqueda contenido texto imagen enlace resultado palabra sitio".split(),
-    # native-script pools for the no-meta/no-BOM statistical-detection pages
-    # (M9 step 4): the detector must identify these from CONTENT alone
-    "rus": "данные поиск страница сеть текст слово сайт результат индекс "
-           "картинка система запрос время работа информация".split(),
+    "eng": "the and with from under between house garden river mountain "
+           "bread water morning evening friend street market people would "
+           "never always other during three night light stone".split(),
+    "deu": "und der das die mit von unter zwischen haus garten fluss berg "
+           "brot wasser morgen abend freund markt leute niemals immer "
+           "andere während über drei nacht licht stein weg".split(),
+    "fra": "et le la les des avec sous entre maison jardin rivière "
+           "montagne pain eau matin soir ami rue marché gens jamais "
+           "toujours autres pendant trois nuit lumière pierre chemin".split(),
+    "spa": "y el la los las con bajo entre casa jardín río montaña pan "
+           "agua mañana tarde amigo calle mercado gente nunca siempre "
+           "otros durante tres noche luz piedra camino".split(),
+    "ita": "e il la i gli con sotto tra casa giardino fiume montagna pane "
+           "acqua mattina sera amico strada mercato gente mai sempre "
+           "altri durante tre notte luce pietra cammino".split(),
+    "nld": "en de het een met van onder tussen huis tuin rivier berg "
+           "brood water ochtend avond vriend straat markt mensen nooit "
+           "altijd andere tijdens drie nacht licht steen weg".split(),
+    "swe": "och det en ett med av under mellan hus trädgård flod berg "
+           "bröd vatten morgon kväll vän gata marknad människor aldrig "
+           "alltid andra tre natt ljus sten väg".split(),
+    "pol": "i w na to z pod między dom ogród rzeka góra chleb woda rano "
+           "wieczór przyjaciel ulica rynek ludzie nigdy zawsze inni "
+           "podczas trzy noc światło kamień droga".split(),
+    # native-script pools for the no-meta/no-BOM statistical-detection
+    # pages (M9 step 4): the detector must identify these from CONTENT
+    # alone. ces (cp1250) and ukr (koi8-u) also exercise the widened
+    # statistical-candidate set.
+    "ces": "a v na to s pod mezi dům zahrada řeka hora chléb voda ráno "
+           "večer přítel ulice trh lidé nikdy vždy jiní během tři noc "
+           "světlo kámen cesta".split(),
+    "rus": "и в не на с под между дом сад река гора хлеб вода утро вечер "
+           "друг улица рынок люди никогда всегда другие три ночь свет "
+           "камень дорога".split(),
+    "ukr": "і в не на з під між дім сад річка гора хліб вода ранок вечір "
+           "друг вулиця ринок люди ніколи завжди інші три ніч світло "
+           "камінь дорога".split(),
     "jpn": "データ 検索 ページ クローラ 情報 サイト 結果 画像 言葉 索引 "
            "の に は を が で て と から まで".split(),
     "cmn": "数据 搜索 页面 网络 文本 词语 网站 结果 索引 图片 "
@@ -57,19 +89,15 @@ _CONTENT = {
 }
 _JP_WORDS = ["検索", "データ", "ページ", "クローラ"]
 
-# language word pool per lang code (stopwords + content)
+
 def _pool_for(lang: str) -> list[str]:
-    if lang == "rus":
-        return sorted(_CYR_STOPWORDS["rus"]) + _CONTENT["rus"]
-    if lang in ("jpn", "cmn"):
-        return _CONTENT[lang]
-    return sorted(LANG_STOPWORDS[lang]) + _CONTENT[lang]
+    return _CONTENT[lang]
 
 _ENCODINGS = (
     # (name, weight) — FIXTURES.md §1 distribution. The -nometa encodings
     # carry NO <meta charset> and no BOM: only the chardetng-analog
     # statistical detector (decoding.statistical_guess) can decode them.
-    ("utf-8", 62),
+    ("utf-8", 58),
     ("utf-16-le", 10),
     ("cp1252", 10),
     ("shift_jis", 5),
@@ -77,12 +105,20 @@ _ENCODINGS = (
     ("cp1251", 4),
     ("euc_jp", 2),
     ("gb18030", 2),
+    ("cp1250", 2),
+    ("koi8_u", 2),
 )
 _ENC_WHEEL = [name for name, w in _ENCODINGS for _ in range(w)]
 
 # encoding -> forced page language (native script drives both the
 # statistical encoding detection and the script-based language id)
-_ENC_LANG = {"cp1251": "rus", "euc_jp": "jpn", "gb18030": "cmn"}
+_ENC_LANG = {
+    "cp1251": "rus",
+    "euc_jp": "jpn",
+    "gb18030": "cmn",
+    "cp1250": "ces",
+    "koi8_u": "ukr",
+}
 
 _INVALID_SENTINEL = "QatraINVALIDq"
 
@@ -96,10 +132,17 @@ def host_name(h: int) -> str:
 
 
 def _words(rng: random.Random, lang: str, n: int, ascii_only: bool = False) -> list[str]:
+    """Word-salad prose with natural FUNCTION-WORD density: every third
+    word comes from the pool's leading function words (real text in any
+    language is glued by them — a pure uniform draw can produce an
+    English paragraph with no 'the/and' at all, which no real page has)."""
     pool = _pool_for(lang)
     if ascii_only:
         pool = [w for w in pool if w.isascii()]
-    return [rng.choice(pool) for _ in range(n)]
+    func = [w for w in _pool_for(lang)[:4] if not ascii_only or w.isascii()] or pool[:2]
+    return [
+        rng.choice(func) if i % 3 == 2 else rng.choice(pool) for i in range(n)
+    ]
 
 
 def scale_params(sf: float) -> dict:
@@ -146,21 +189,30 @@ def _page_counts(hosts: int, base: int) -> list[int]:
 _GDBR_LANGS = ("eng", "deu", "fra", "spa")
 
 
-def _gen_page(h: int, k: int, hosts: int, counts: list[int]):
+def _gen_page(h: int, k: int, hosts: int, counts: list[int], salt: int = 0):
     """-> (url, html_bytes, oracle_text, lang, oracle_links, clean_text)
     where clean_text is the GDBR oracle (text minus the injected consent
     banner; == oracle_text when no banner), and
     oracle_links = list[(target_raw, origin)] of raw hrefs as written into
     the document (canonicalization happens engine-side; the links_oracle
-    table stores the CANONICAL target, computed here by construction)."""
-    rng = random.Random(_page_seed(h, k))
+    table stores the CANONICAL target, computed here by construction).
+
+    ``salt`` redraws the whole page when a legacy-encoded body turns out
+    to be byte-for-byte valid UTF-8 (an astronomically rare fluke at
+    which ANY detector — chardetng included — correctly prefers UTF-8;
+    real legacy pages always contain invalid-UTF-8 runs, so the
+    generator guarantees that property instead of oracle-ing a decode no
+    engine would produce)."""
+    rng = random.Random(_page_seed(h, k) + salt * 0x9E3779B9)
     host = host_name(h)
     path = _page_path(h, k)
     url = f"https://{host}{path}"
-    lang = _LANGS[h % 4]
+    lang = _LANGS[h % len(_LANGS)]
     enc = rng.choice(_ENC_WHEEL)
     if enc == "shift_jis":
         lang = "eng"  # shift_jis cannot encode most latin-1 letters
+    elif enc == "cp1252" and lang == "pol":
+        lang = "swe"  # cp1252 cannot encode ą/ę/ł; swe keeps the diversity
     lang = _ENC_LANG.get(enc, lang)
 
     ascii_only = enc in ("shift_jis", "utf-8-invalid")
@@ -348,8 +400,15 @@ def _gen_page(h: int, k: int, hosts: int, counts: list[int]):
     # ---- encode
     if enc == "utf-16-le":
         body = codecs.BOM_UTF16_LE + html.encode("utf-16-le")
-    elif enc in ("cp1252", "cp1251", "euc_jp", "gb18030"):
+    elif enc in ("cp1252", "cp1251", "euc_jp", "gb18030", "cp1250", "koi8_u"):
         body = html.encode(enc)  # strict: generator bug if not encodable
+        if enc != "cp1252":  # cp1252 pages carry <meta>; the others are
+            try:  # meta-less and must not be valid UTF-8 (see docstring)
+                body.decode("utf-8")
+            except UnicodeDecodeError:
+                pass
+            else:
+                return _gen_page(h, k, hosts, counts, salt + 1)
     elif enc == "shift_jis":
         body = html.encode("shift_jis")
     elif enc == "utf-8-invalid":
@@ -401,11 +460,11 @@ def _gen_plaintext_page(h: int, k: int, hosts: int, counts: list[int]):
     url = f"https://{host}/notes{k}.txt"
     h2 = (h + 1 + rng.randrange(hosts - 1)) % hosts
     target = f"https://{host_name(h2)}{_page_path(h2, 0)}"
-    lang = _LANGS[h % 4]
+    lang = _LANGS[h % len(_LANGS)]
     body_text = (
-        " ".join(_words(rng, lang, 12))
+        " ".join(_words(rng, lang, 18))
         + f" see {target} for more "
-        + " ".join(_words(rng, lang, 8))
+        + " ".join(_words(rng, lang, 14))
     )
     return url, body_text.encode("utf-8"), body_text, lang, [(target, "plain_text", "outgoing")]
 

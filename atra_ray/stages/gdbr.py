@@ -118,7 +118,7 @@ class _DomParser(HTMLParser):
 
 def clean_html_dom(
     html: str,
-    weights: tuple[np.ndarray, float],
+    weights: tuple[np.ndarray, float, np.ndarray | None],
     threshold: float = 0.5,
     min_tokens: int = 5,
 ) -> tuple[str, float]:
@@ -134,7 +134,7 @@ def clean_html_dom(
         p.close()
     except Exception:
         p._flush()
-    w, b = weights
+    w, b, idf = weights
 
     best_node, best_score = None, 0.0
     parent: dict[int, _DomNode] = {}
@@ -148,7 +148,7 @@ def clean_html_dom(
             if parts:
                 text = "\n".join(cell[0] for cell in parts)
                 if len(text.split()) >= min_tokens:
-                    s = score_text(text, w, b)
+                    s = score_text(text, w, b, idf)
                     node_score[id(c)] = s
                     if s > best_score:
                         best_node, best_score = c, s

@@ -2,7 +2,8 @@
 entry at sf0.01 and compare against oracle_sql() via DuckDB
 (row count + schema-insensitive, order-insensitive value comparison).
 
-Usage: cd /root/repo && python tools/check_correctness.py [sf_dir]
+Usage: cd /root/repo && python tools/check_correctness.py [sf_dir] [query ...]
+(optional query names restrict the run to those entries)
 """
 
 from __future__ import annotations
@@ -33,6 +34,7 @@ def canon(df):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     import duckdb
     import ray
 
@@ -60,6 +62,8 @@ def main():
     oracles = entrymod.oracle_sql()
     results = {}
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.monotonic()
         try:
             ray_df = canon(to_pandas(fn(sf_dir)))

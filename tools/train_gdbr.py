@@ -1,13 +1,30 @@
 """Offline GDBR model training (the analog of the reference's training
-entry at the bottom of atra/src/gdbr/identifier.rs + svm/ crate).
+entry at the bottom of atra/src/gdbr/identifier.rs + svm/ crate, with the
+TF-IDF corpus statistics of text_processing/src/tf_idf.rs).
 
-Per language: logistic regression over hashed TF features
+Per language: logistic regression over hashed TF-IDF features
 (functions/gdbr_model.py), full-batch gradient descent, seeded and fully
-deterministic. Positives = consent-banner sentences composed from
-BANNER_TEMPLATES with word-level variation; negatives = prose sentences
-from the fixture vocabulary + generic web prose. Writes
-``atra_ray/data/gdbr_weights.npz`` (committed artifact, loaded once per
-actor at runtime) and prints train accuracy per language.
+deterministic. The pipeline mirrors the reference's shape:
+
+1. **Corpus**: the deterministic fixture generator at sf=0.003 — the same
+   page distribution the engine crawls (seed fixed, so training is
+   reproducible bit-for-bit).
+2. **IDF**: a DISTRIBUTED document-frequency pass over the corpus
+   (stages/text_analysis.hashed_doc_frequency — per-block partial DF
+   vectors summed on the driver; the vector-combiner form of
+   ``groupby(term).count()``), smoothed ``idf = ln((N+1)/(df+1)) + 1``.
+   Function words get ~minimum IDF, so prose made of them carries almost
+   no feature mass; the consent vocabulary is corpus-rare and dominates.
+3. **Negatives**: prose lines and multi-line windows sampled from the
+   corpus's own CLEAN text (the gdbr_oracle table minus banners) — the
+   true distribution the runtime scorer sees, not a hand-authored pool.
+4. **Positives**: consent-banner sentences composed from BANNER_TEMPLATES
+   with word-level variation (dropout / template joins), the same
+   public-knowledge phrase family the reference's corpus was curated from.
+
+Writes ``atra_ray/data/gdbr_weights.npz`` (w_<lang>, b_<lang>, shared
+``idf``; committed artifact, loaded once per actor at runtime) and prints
+train accuracy per language.
 
 Usage: cd /root/repo && python tools/train_gdbr.py
 """
@@ -27,30 +44,10 @@ from atra_ray.functions.gdbr_model import (  # noqa: E402
     FEATURE_DIM,
     featurize,
 )
-from atra_ray.functions.langdetect import LANG_STOPWORDS  # noqa: E402
 
 SEED = 42
-
-# generic prose vocabulary (mirrors the fixture generator's content pools
-# plus neutral web-page words) — the negative class
-_PROSE = {
-    "eng": (
-        "crawler data engine page website index search result link text "
-        "article news section title content image story report table list"
-    ).split(),
-    "deu": (
-        "seite daten suche netz inhalt verzeichnis ergebnis wort text bild "
-        "artikel nachricht abschnitt titel liste tabelle bericht"
-    ).split(),
-    "fra": (
-        "page moteur recherche contenu texte image lien résultat mot site "
-        "article nouvelle section titre liste tableau rapport"
-    ).split(),
-    "spa": (
-        "página motor búsqueda contenido texto imagen enlace resultado "
-        "palabra sitio artículo noticia sección título lista tabla"
-    ).split(),
-}
+TRAIN_SF = 0.003
+TRAIN_DIR = "/tmp/atra_fixtures/gdbr_train_sf0.003"
 
 
 def _banner_sentences(lang: str, rng: random.Random, n: int) -> list[str]:
@@ -68,27 +65,82 @@ def _banner_sentences(lang: str, rng: random.Random, n: int) -> list[str]:
     return out
 
 
-def _prose_sentences(lang: str, rng: random.Random, n: int) -> list[str]:
-    pool = sorted(LANG_STOPWORDS[lang]) + _PROSE[lang]
-    out = [
-        " ".join(rng.choice(pool) for _ in range(rng.randint(6, 20)))
-        for _ in range(n)
-    ]
-    # short generic fragments (titles, nav items): high per-token TF on
-    # shared vocabulary like "website" must not flip them positive
-    out += [
-        " ".join(rng.choice(pool) for _ in range(rng.randint(2, 5)))
-        for _ in range(n // 2)
-    ]
+def _corpus_texts() -> tuple[list[str], np.ndarray]:
+    """-> (clean page texts, idf vector). Generates the training corpus
+    (cached), runs the distributed DF pass, loads the clean-text table."""
+    import ray
+
+    from atra_ray.sources.fixtures import generate
+    from atra_ray.stages.text_analysis import hashed_doc_frequency
+
+    fx = generate(TRAIN_DIR, TRAIN_SF)
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=8, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    # IDF over the CLEAN text (banners excluded): the consent vocabulary
+    # then has ~zero corpus DF and maximal IDF — the widest possible
+    # banner/prose margin; prose function words sit at minimum IDF.
+    df_vec, n_docs = hashed_doc_frequency(
+        str(fx / "gdbr_oracle.parquet"), text_col="clean_text"
+    )
+    idf = np.log((n_docs + 1.0) / (df_vec + 1.0)) + 1.0
+
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(
+        fx / "gdbr_oracle.parquet", columns=["clean_text"]
+    ).column("clean_text").to_pylist()
+    ray.shutdown()
+    return [t for t in texts if t], idf
+
+
+def _negative_samples(
+    texts: list[str], rng: random.Random, n: int, lang: str | None = None
+) -> list[str]:
+    """Prose negatives at the granularity the DOM scorer sees: single
+    text-node lines, multi-line subtree windows, short fragments, PLUS the
+    two cases the subtree-removal climb depends on —
+
+    - **diluted mixtures** (one banner sentence inside ≥3× prose): the
+      shape of a banner's *ancestors* (<body>), which must score BELOW
+      threshold so the climb stops at the banner container;
+    - **out-of-vocabulary prose** (tokens the corpus never saw, hashed to
+      zero-weight buckets): classifiable only through a negative bias, so
+      the optimizer is forced to set b < 0 and unseen-vocabulary pages
+      default to 'not a banner'."""
+    lines = [ln for t in texts for ln in t.split("\n") if len(ln.split()) >= 2]
+    banner_pool = (
+        BANNER_TEMPLATES[lang] if lang else sum(BANNER_TEMPLATES.values(), [])
+    )
+    out = []
+    for j in range(n):
+        r = rng.random()
+        if r < 0.35:  # one text node
+            out.append(rng.choice(lines))
+        elif r < 0.60:  # a subtree: 2-6 consecutive lines of one page
+            t = rng.choice(texts).split("\n")
+            k = rng.randint(2, 6)
+            i = rng.randrange(max(1, len(t) - k + 1))
+            out.append("\n".join(t[i : i + k]))
+        elif r < 0.72:  # short fragment (title/nav)
+            ws = rng.choice(lines).split()
+            out.append(" ".join(ws[: rng.randint(2, 5)]))
+        elif r < 0.90:  # banner-diluted ancestor: 1 banner + 4-8 prose lines
+            mix = [rng.choice(banner_pool)] + [
+                rng.choice(lines) for _ in range(rng.randint(4, 8))
+            ]
+            rng.shuffle(mix)
+            out.append("\n".join(mix))
+        else:  # OOV prose (deterministic nonsense tokens)
+            out.append(
+                " ".join(f"zqv{rng.randrange(50000)}x" for _ in range(rng.randint(6, 20)))
+            )
     return out
 
 
-def train_one(lang: str) -> tuple[np.ndarray, float, float]:
-    rng = random.Random(SEED + sorted(BANNER_TEMPLATES).index(lang))  # stable, never builtin hash
-    pos = _banner_sentences(lang, rng, 300)
-    neg = _prose_sentences(lang, rng, 600)
-    X = np.stack([featurize(s) for s in pos + neg])
-    y = np.r_[np.ones(len(pos)), np.zeros(len(neg))]
+def _fit(X: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, float, float]:
     w = np.zeros(FEATURE_DIM)
     b = 0.0
     lr, l2 = 5.0, 1e-4
@@ -103,10 +155,16 @@ def train_one(lang: str) -> tuple[np.ndarray, float, float]:
 
 
 def main() -> None:
-    out = {}
+    texts, idf = _corpus_texts()
+    out: dict[str, np.ndarray] = {"idf": idf}
     accs = {}
     for lang in BANNER_TEMPLATES:
-        w, b, acc = train_one(lang)
+        rng = random.Random(SEED + sorted(BANNER_TEMPLATES).index(lang))
+        pos = _banner_sentences(lang, rng, 300)
+        neg = _negative_samples(texts, rng, 900, lang)
+        X = np.stack([featurize(s, idf) for s in pos + neg])
+        y = np.r_[np.ones(len(pos)), np.zeros(len(neg))]
+        w, b, acc = _fit(X, y)
         out[f"w_{lang}"] = w
         out[f"b_{lang}"] = np.float64(b)
         accs[lang] = acc
@@ -115,20 +173,13 @@ def main() -> None:
     pos, neg = [], []
     for lang in BANNER_TEMPLATES:
         pos += _banner_sentences(lang, rng, 100)
-        neg += _prose_sentences(lang, rng, 200)
-    X = np.stack([featurize(s) for s in pos + neg])
+        neg += _negative_samples(texts, rng, 300)
+    X = np.stack([featurize(s, idf) for s in pos + neg])
     y = np.r_[np.ones(len(pos)), np.zeros(len(neg))]
-    w = np.zeros(FEATURE_DIM)
-    b = 0.0
-    for _ in range(400):
-        z = X @ w + b
-        p = 1.0 / (1.0 + np.exp(-z))
-        g = p - y
-        w -= 5.0 * (X.T @ g / len(y) + 1e-4 * w)
-        b -= 5.0 * g.mean()
+    w, b, acc = _fit(X, y)
     out["w_*"] = w
     out["b_*"] = np.float64(b)
-    accs["*"] = float((((X @ w + b) > 0) == y.astype(bool)).mean())
+    accs["*"] = acc
 
     dest = Path(__file__).resolve().parent.parent / "atra_ray" / "data" / "gdbr_weights.npz"
     np.savez_compressed(dest, **out)
