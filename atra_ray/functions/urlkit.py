@@ -36,6 +36,10 @@ __all__ = [
     "host_of",
     "stable_hash64",
     "url_shard",
+    "url_shards_batch",
+    "origin_shard",
+    "origin_shards_batch",
+    "origins_batch",
     "with_base",
 ]
 
@@ -269,5 +273,58 @@ def stable_hash64(value: str | bytes, salt: bytes = b"") -> int:
     )
 
 
+# ---- shard routing -----------------------------------------------------
+# Seen-shard (url-keyed) and frontier-shard (origin-keyed) routing use
+# pandas' C string hasher (deterministic for a fixed 16-byte hash_key,
+# process-independent) so the owner-side filters in the state plane
+# (SeenShardState.mark_blocks / admit_blocks) are a single vectorized
+# pass over an Arrow column — the per-row blake2b loop VERDICT r2 flagged
+# is off the wave path. Scalar wrappers keep driver-side call sites
+# (seeding, simulator) on the IDENTICAL hash: ownership must agree
+# between the actor that admitted a url and the filter that marks it.
+_URL_SHARD_KEY = "atra-url-shard-0"  # exactly 16 bytes
+_ORIGIN_SHARD_KEY = "atra-origin-shd0"
+
+
+def _hash_shards(values, num_shards: int, key: str):
+    import numpy as np
+    import pandas as pd
+
+    s = pd.Series(values, dtype="object")
+    h = pd.util.hash_pandas_object(s, index=False, hash_key=key).to_numpy()
+    return (h % np.uint64(num_shards)).astype(np.int64)
+
+
+def url_shards_batch(urls, num_shards: int):
+    """Vectorized seen-shard ids for a batch of urls (np.int64 array)."""
+    return _hash_shards(urls, num_shards, _URL_SHARD_KEY)
+
+
+def origin_shards_batch(origins, num_shards: int):
+    """Vectorized frontier-shard ids for a batch of origins."""
+    return _hash_shards(origins, num_shards, _ORIGIN_SHARD_KEY)
+
+
 def url_shard(url: str, num_shards: int) -> int:
-    return stable_hash64(url) % num_shards
+    return int(url_shards_batch([url], num_shards)[0])
+
+
+def origin_shard(origin: str, num_shards: int) -> int:
+    return int(origin_shards_batch([origin], num_shards)[0])
+
+
+def origins_batch(urls) -> list:
+    """origin_of over a batch, memoized per unique HOST — link targets and
+    wave urls concentrate on few hosts, so the PSL walk runs once per host
+    instead of once per row (refill/admit hot path, VERDICT r2 item 4)."""
+    memo: dict = {}
+    out = []
+    for u in urls:
+        h = host_of(u)
+        if h is None:
+            out.append(None)
+            continue
+        if h not in memo:
+            memo[h] = origin_of(u)
+        out.append(memo[h])
+    return out

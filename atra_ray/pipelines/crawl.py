@@ -47,7 +47,13 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..config import CrawlConfig
-from ..functions.urlkit import Depth, canonicalize, origin_of, stable_hash64
+from ..functions.urlkit import (
+    Depth,
+    canonicalize,
+    origin_of,
+    origin_shard,
+    url_shard,
+)
 from ..stages.fetch import (
     build_page_store,
     make_fetch_task,
@@ -141,7 +147,7 @@ def _push_routed(frontier_handles, rows: list[dict]) -> list:
     byshard: dict[int, list[dict]] = {}
     nf = len(frontier_handles)
     for r in rows:
-        byshard.setdefault(stable_hash64(r["origin"]) % nf, []).append(r)
+        byshard.setdefault(origin_shard(r["origin"], nf), []).append(r)
     refs = []
     for s, rs in byshard.items():
         refs.append(
@@ -166,7 +172,7 @@ def _seen_check(seen_handles, urls, is_seed, depths) -> list[bool]:
     ns = len(seen_handles)
     byshard: dict[int, list[int]] = {}
     for i, u in enumerate(urls):
-        byshard.setdefault(stable_hash64(u) % ns, []).append(i)
+        byshard.setdefault(url_shard(u, ns), []).append(i)
     result = [False] * len(urls)
     refs, keys = [], []
     for s, idxs in byshard.items():
@@ -501,43 +507,16 @@ def run_crawl(
 
       return _link_stage
 
-    def _make_admit_stage(admit_wave: int):
-      def _admit_stage(batch) -> pa.Table:
-        """Seen-filter (J1) then route to frontier shards (routing by
-        origin hash = the wave's 'repartition by host' without a shuffle:
-        the actor call IS the route). Admits pushed during wave w are
-        first poppable at w+1 (their lazy-age ``born``)."""
-        urls = batch.column("target").to_pylist()
-        if not urls:
-            return pa.table({"admitted": pa.array([0], pa.int64()), "checked": pa.array([0], pa.int64())})
-        keys = batch.column("depth_key").to_pylist()
-        depths = [
-            (k // _SHIFT1, k % _SHIFT2, (k % _SHIFT1) // _SHIFT2) for k in keys
-        ]  # (tds, dts, dow) decode -> reorder below
-        rows_meta = []
-        for u, (tds, dts, dow) in zip(urls, depths):
-            rows_meta.append((u, origin_of(u), dow, dts, tds))
-        fresh = _seen_check(
-            seen_handles,
-            urls,
-            [False] * len(urls),
-            [(dow, dts, tds) for (_, _, dow, dts, tds) in rows_meta],
-        )
-        rows = [
-            {"url": u, "origin": o, "dow": dow, "dts": dts, "tds": tds,
-             "is_seed": False, "age": 0, "born": admit_wave + 1}
-            for (u, o, dow, dts, tds), f in zip(rows_meta, fresh)
-            if f and o is not None
-        ]
-        import ray as _ray
-
-        _ray.get(_push_routed(frontier_handles, rows))
-        return pa.table(
-            {"admitted": pa.array([len(rows)], pa.int64()),
-             "checked": pa.array([len(urls)], pa.int64())}
-        )
-
-      return _admit_stage
+    def _block_refs_of(ds) -> list:
+        """Materialized dataset -> flat list of object-store block refs."""
+        try:
+            return [
+                b
+                for bundle in ds.iter_internal_ref_bundles()
+                for b in bundle.block_refs
+            ]
+        except AttributeError:  # older Ray
+            return ds.get_internal_block_refs()
 
     def _recrawl_refill(at_wave: int) -> int:
         """A5 recrawl scan: re-frontier every PROCESSED url whose cooldown
@@ -612,20 +591,18 @@ def run_crawl(
         )
 
         emitted = wave_results.count()
-        # mark pass (T6/A3): the seen shards PULL the wave's blocks from
-        # the object store in parallel — each marks the urls it owns and
-        # returns their status counts (fetch tasks stay pure; no blocked
-        # ray.get in data tasks -> no cold-worker spawn storms)
-        try:
-            block_refs = [
-                b
-                for bundle in wave_results.iter_internal_ref_bundles()
-                for b in bundle.block_refs
-            ]
-        except AttributeError:  # older Ray
-            block_refs = wave_results.get_internal_block_refs()
+        # mark pass (T6/A3): the seen shards PULL the wave's COLUMN-PRUNED
+        # (url, status) side table in parallel — each marks the urls it
+        # owns and returns their status counts (fetch tasks stay pure; no
+        # blocked ray.get in data tasks -> no cold-worker spawn storms).
+        # The projection drops text/links/html-size columns BEFORE any
+        # block reaches a seen shard: on a multi-node cluster only the two
+        # tiny columns cross nodes (VERDICT r2 item 2).
+        status_refs = _block_refs_of(
+            wave_results.select_columns(["url", "status"]).materialize()
+        )
         mark_refs = [
-            s.mark_blocks.remote(block_refs, len(seen_handles), wave)
+            s.mark_blocks.remote(status_refs, len(seen_handles), wave)
             for s in seen_handles
         ]
         t_fetch = time.monotonic()
@@ -664,9 +641,19 @@ def run_crawl(
             lambda df: df.groupby("target", as_index=False)["depth_key"].min(),
             num_partitions=16,
         )
-        admit_tbl = deduped.map_batches(
-            _make_admit_stage(wave), batch_format="pyarrow"
-        ).to_pandas()
+        # admission (J1): materialize the deduped (target, depth_key)
+        # table — tiny, two columns — and let every seen shard PULL it,
+        # admit the urls it owns locally and push fresh ones shard-to-
+        # shard to the frontier. No map_batches task on the crawl path
+        # ever blocks on ray.get (VERDICT r2 item 3).
+        link_refs = _block_refs_of(deduped.materialize())
+        admit_refs = [
+            s.admit_blocks.remote(
+                link_refs, len(seen_handles), frontier_handles,
+                len(frontier_handles), wave,
+            )
+            for s in seen_handles
+        ]
 
         from collections import Counter as _Counter
 
@@ -674,11 +661,10 @@ def run_crawl(
         for c in ray.get(mark_refs):  # barrier: marks land before checkpoint
             status_counts_all.update(c)
         status_counts = {k: v for k, v in status_counts_all.items() if v}
-        if "admitted" in admit_tbl.columns:
-            admitted = int(admit_tbl["admitted"].sum())
-            checked = int(admit_tbl["checked"].sum())
-        else:  # empty wave: no link batches flowed at all
-            admitted = checked = 0
+        checked = admitted = 0
+        for ck, ad in ray.get(admit_refs):  # barrier: admits before checkpoint
+            checked += ck
+            admitted += ad
         expected_rows = max(1, admitted)
 
         t_passes = time.monotonic()

@@ -21,7 +21,13 @@ import pyarrow.parquet as pq
 
 from .config import CrawlConfig
 from .functions.robots import ALLOW_ALL, parse_robots
-from .functions.urlkit import Depth, canonicalize, origin_of, stable_hash64
+from .functions.urlkit import (
+    Depth,
+    canonicalize,
+    origin_of,
+    origin_shard,
+    url_shard,
+)
 from .stages.extract import extract_one
 from .state.frontier import FrontierShardState
 from .state.seen import KIND_ERROR, KIND_PROCESSED, SeenShardState
@@ -76,10 +82,10 @@ def simulate_crawl(
     blacklist = [re.compile(p) for p in cfg.blacklist]
 
     def seen_shard(u: str) -> SeenShardState:
-        return seen[stable_hash64(u) % num_seen_shards]
+        return seen[url_shard(u, num_seen_shards)]
 
     def frontier_shard(origin: str) -> FrontierShardState:
-        return frontier[stable_hash64(origin) % num_frontier_shards]
+        return frontier[origin_shard(origin, num_frontier_shards)]
 
     # seeds (+ web-graph Seed edges, S6)
     edge_rows = {"src": [], "dst": [], "kind": []}

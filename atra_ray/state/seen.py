@@ -5,8 +5,9 @@ The reference keeps a RocksDB column family of 44-byte ``RawLinkState``
 records keyed by URL, upserted through a merge operator
 (atra/src/link_state/db.rs:84-97, link_state/state/raw.rs:30-54). We shard
 that state across a FIXED number of Ray actors keyed by
-``stable_hash64(canonical_url) % num_shards`` (shard count independent of
-cluster size, so membership never migrates). Each shard holds:
+``url_shards_batch(canonical_url) % num_shards`` (a deterministic
+vectorized string hash; shard count independent of cluster size, so
+membership never migrates). Each shard holds:
 
 - a bloom filter (numpy bit array, double hashing from one blake2b-128
   digest) sized for its share of the frontier — at the 10^10-URL design
@@ -37,7 +38,16 @@ from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
+
+def _as_table(block) -> pa.Table:
+    """Object-store blocks may be Arrow tables or pandas DataFrames
+    (map_groups emits pandas); normalize for the vectorized pull passes."""
+    if isinstance(block, pa.Table):
+        return block
+    return pa.Table.from_pandas(block, preserve_index=False)
+
 
 KIND_DISCOVERED = 0
 KIND_RESERVED = 1
@@ -157,40 +167,134 @@ class SeenShardState:
         )
 
     def mark_blocks(self, block_refs, num_shards: int, wave: int) -> dict:
-        """Post-materialize mark pass (T6/A3): pull the wave's result
-        blocks straight from the object store (zero-copy Arrow reads),
-        mark the urls THIS shard owns (``stable_hash64(url) % num_shards
-        == shard_id``) and return their status counts. All shards pull in
-        parallel; fetch tasks never block on actors (the round-1 hidden
-        cost: blocked ray.get in data tasks makes Ray spawn cold
+        """Post-materialize mark pass (T6/A3): pull the wave's COLUMN-
+        PRUNED ``(url, status)`` side table from the object store (the
+        driver projects it off the materialized results — full-width
+        blocks with text/links never enter a seen shard), filter to the
+        urls THIS shard owns with one vectorized hash pass, and mark
+        them. All shards pull in parallel; fetch tasks never block on
+        actors (blocked ray.get in data tasks makes Ray spawn cold
         workers). Exactly-once by construction — marks derive from the
         single materialized copy of the wave, not from retried tasks."""
         import ray
 
-        from ..functions.urlkit import stable_hash64
+        return self.mark_tables(
+            map(_as_table, ray.get(list(block_refs))), num_shards, wave
+        )
+
+    def mark_tables(self, tables, num_shards: int, wave: int) -> dict:
+        """Pure core of the mark pass (actor-free, unit-testable)."""
+        from ..functions.urlkit import url_shards_batch
 
         counts = {"ok": 0, "miss": 0, "robots_denied": 0}
         ok_urls: list[str] = []
         err_urls: list[str] = []
-        for t in ray.get(list(block_refs)):
+        for t in tables:
             if t.num_rows == 0:
                 continue
-            for url, status in zip(
-                t.column("url").to_pylist(), t.column("status").to_pylist()
-            ):
-                if stable_hash64(url) % num_shards != self.shard_id:
-                    continue
-                counts[status] = counts.get(status, 0) + 1
-                if status == "ok":
-                    ok_urls.append(url)
-                elif status == "miss":
-                    err_urls.append(url)
-                # robots_denied stays Discovered
+            # the contract of VERDICT r2 item 2: the pulled schema IS the
+            # pruned side table, never the wave's full result rows
+            assert set(t.column_names) <= {"url", "status"}, (
+                f"mark pass received unpruned block: {t.column_names}"
+            )
+            urls = t.column("url")
+            own = url_shards_batch(urls, num_shards) == self.shard_id
+            if not own.any():
+                continue
+            mine = t.filter(pa.array(own))
+            status = mine.column("status")
+            for st, n in zip(*pc.value_counts(status).flatten()):
+                counts[st.as_py()] = counts.get(st.as_py(), 0) + n.as_py()
+            ok_urls.extend(
+                mine.filter(pc.equal(status, "ok")).column("url").to_pylist()
+            )
+            err_urls.extend(
+                mine.filter(pc.equal(status, "miss")).column("url").to_pylist()
+            )
+            # robots_denied stays Discovered
         if ok_urls:
             self.mark(ok_urls, KIND_PROCESSED, wave)
         if err_urls:
             self.mark(err_urls, KIND_ERROR, wave)
         return counts
+
+    def admit_blocks(
+        self,
+        block_refs,
+        num_shards: int,
+        frontier_handles,
+        num_frontier: int,
+        wave: int,
+    ) -> tuple[int, int]:
+        """J1 admission as a PULL pass (VERDICT r2 item 3): the driver
+        materializes the wave's deduped link table (tiny: target +
+        packed depth key) and every seen shard pulls the blocks, admits
+        the urls it owns LOCALLY (no ray.get against other actors from
+        inside a data task — check_and_add is a plain method call here)
+        and pushes the fresh ones straight to the owning frontier shards
+        (shard-to-shard, same shape as refill_recrawl). Returns
+        (checked, admitted) counts for lineage."""
+        import ray
+
+        from ..functions.urlkit import (
+            origin_shards_batch,
+            origins_batch,
+            url_shards_batch,
+        )
+
+        _S1, _S2 = 1 << 42, 1 << 21
+        checked = 0
+        admitted = 0
+        push_refs = []
+        for t in map(_as_table, ray.get(list(block_refs))):
+            if t.num_rows == 0:
+                continue
+            urls_col = t.column("target")
+            own = url_shards_batch(urls_col, num_shards) == self.shard_id
+            if not own.any():
+                continue
+            mine = t.filter(pa.array(own))
+            urls = mine.column("target").to_pylist()
+            keys = np.asarray(mine.column("depth_key"), dtype=np.int64)
+            tds = keys // _S1
+            dow = (keys % _S1) // _S2
+            dts = keys % _S2
+            checked += len(urls)
+            fresh = self.check_and_add(
+                urls,
+                [False] * len(urls),
+                list(zip(dow.tolist(), dts.tolist(), tds.tolist())),
+            )
+            fmask = np.asarray(fresh, dtype=bool)
+            if not fmask.any():
+                continue
+            f_urls = [u for u, f in zip(urls, fresh) if f]
+            f_origins = origins_batch(f_urls)
+            keep = [i for i, o in enumerate(f_origins) if o is not None]
+            if not keep:
+                continue
+            f_urls = [f_urls[i] for i in keep]
+            f_origins = [f_origins[i] for i in keep]
+            fi = np.flatnonzero(fmask)[keep]
+            shards = origin_shards_batch(f_origins, num_frontier)
+            admitted += len(f_urls)
+            for sh in np.unique(shards):
+                m = shards == sh
+                idx = np.flatnonzero(m)
+                push_refs.append(
+                    frontier_handles[int(sh)].push.remote(
+                        [f_urls[i] for i in idx],
+                        [f_origins[i] for i in idx],
+                        dow[fi[m]].tolist(),
+                        dts[fi[m]].tolist(),
+                        tds[fi[m]].tolist(),
+                        [False] * len(idx),
+                        [0] * len(idx),
+                        [wave + 1] * len(idx),
+                    )
+                )
+        ray.get(push_refs)
+        return checked, admitted
 
     def refill_recrawl(
         self,
@@ -208,32 +312,36 @@ class SeenShardState:
         the seen actor; ``frontier_handles`` are Ray actor handles."""
         import ray
 
-        from ..functions.urlkit import origin_of, stable_hash64
+        from ..functions.urlkit import origin_shards_batch, origins_batch
 
         t = self.recrawlable(wave, interval_s, wave_seconds)
         if t.num_rows == 0:
             return 0
-        byshard: dict[int, list[tuple]] = {}
-        for r in t.to_pylist():
-            origin = origin_of(r["url"])
-            if origin is None:
-                continue
-            byshard.setdefault(stable_hash64(origin) % num_frontier, []).append(
-                (r["url"], origin, r["dow"], r["dts"], r["tds"], r["is_seed"])
-            )
-        refs, n = [], 0
-        for sh, rows in byshard.items():
-            n += len(rows)
+        urls = t.column("url").to_pylist()
+        origins = origins_batch(urls)  # PSL walk once per unique host
+        keep = [i for i, o in enumerate(origins) if o is not None]
+        if not keep:
+            return 0
+        urls = [urls[i] for i in keep]
+        origins = [origins[i] for i in keep]
+        dow = np.asarray(t.column("dow"))[keep]
+        dts = np.asarray(t.column("dts"))[keep]
+        tds = np.asarray(t.column("tds"))[keep]
+        seeds = np.asarray(t.column("is_seed"))[keep]
+        shards = origin_shards_batch(origins, num_frontier)
+        refs, n = [], len(urls)
+        for sh in np.unique(shards):
+            idx = np.flatnonzero(shards == sh)
             refs.append(
-                frontier_handles[sh].push.remote(
-                    [r[0] for r in rows],
-                    [r[1] for r in rows],
-                    [r[2] for r in rows],
-                    [r[3] for r in rows],
-                    [r[4] for r in rows],
-                    [r[5] for r in rows],
-                    [0] * len(rows),
-                    [wave + 1] * len(rows),
+                frontier_handles[int(sh)].push.remote(
+                    [urls[i] for i in idx],
+                    [origins[i] for i in idx],
+                    dow[idx].tolist(),
+                    dts[idx].tolist(),
+                    tds[idx].tolist(),
+                    seeds[idx].tolist(),
+                    [0] * len(idx),
+                    [wave + 1] * len(idx),
                 )
             )
         ray.get(refs)

@@ -117,3 +117,49 @@ def test_frontier_emits_arrow_schema():
     assert isinstance(t, pa.Table)
     assert t.num_rows == 0
     assert "host_seq" in t.column_names
+
+
+def test_mark_tables_rejects_unpruned_blocks():
+    """The mark pass contract (VERDICT r2 item 2): seen shards only ever
+    receive the column-pruned (url, status) side table — a full-width
+    result block (text/links on board) must be refused loudly."""
+    s = SeenShardState(0)
+    full = pa.table(
+        {
+            "url": ["https://h/a"],
+            "status": ["ok"],
+            "text": ["never ship me to a seen shard"],
+        }
+    )
+    try:
+        s.mark_tables([full], 1, 0)
+        raise SystemExit("unpruned block accepted")
+    except AssertionError:
+        pass
+    pruned = pa.table({"url": ["https://h/a"], "status": ["ok"]})
+    counts = s.mark_tables([pruned], 1, 0)
+    assert counts["ok"] == 1
+    assert s.exact["https://h/a"][0] == KIND_PROCESSED
+
+
+def test_mark_tables_vectorized_ownership():
+    """Each shard marks exactly the urls it owns; the union over shards
+    covers every row once (routing = url_shards_batch)."""
+    from atra_ray.functions.urlkit import url_shards_batch
+
+    urls = [f"https://h{i}.example/p{i}" for i in range(64)]
+    status = ["ok" if i % 3 else "miss" for i in range(64)]
+    t = pa.table({"url": urls, "status": status})
+    num = 4
+    shards = [SeenShardState(i) for i in range(num)]
+    total = {}
+    for s in shards:
+        c = s.mark_tables([t], num, 5)
+        for k, v in c.items():
+            total[k] = total.get(k, 0) + v
+    assert total["ok"] == sum(1 for st in status if st == "ok")
+    assert total["miss"] == sum(1 for st in status if st == "miss")
+    owner = url_shards_batch(urls, num)
+    for i, u in enumerate(urls):
+        assert u in shards[int(owner[i])].exact
+        assert sum(u in s.exact for s in shards) == 1
