@@ -110,6 +110,8 @@ class CrawlHandles:
         store_dir: str | None = None,
         num_partitions: int = 8,
         num_store_actors: int = 4,
+        seen_max_resident: int | None = None,
+        seen_spill_root: str | None = None,
     ):
         import ray  # noqa: F401
 
@@ -124,7 +126,17 @@ class CrawlHandles:
             )
             for i in range(num_frontier)
         ]
-        self.seen = [SeenShard.remote(j, num_bits=seen_bits) for j in range(num_seen)]
+        self.seen = [
+            SeenShard.remote(
+                j,
+                num_bits=seen_bits,
+                max_resident=seen_max_resident,
+                spill_dir=(
+                    f"{seen_spill_root}/shard-{j}" if seen_spill_root else None
+                ),
+            )
+            for j in range(num_seen)
+        ]
         self.stores = []
         if store_dir is not None:
             PageStoreShard = make_pagestore_actor_cls()
@@ -222,6 +234,7 @@ def run_crawl(
     resume: bool = False,
     checkpoint_every: int = 1,
     page_store_dir: str | None = None,
+    seen_max_resident: int | None = None,
 ) -> dict:
     """Run (or resume) a crawl; returns a summary dict. Ray must already be
     initialised by the caller (never initialised here)."""
@@ -238,7 +251,19 @@ def run_crawl(
         page_store_partitions,
     )
 
-    handles = CrawlHandles(num_frontier_shards, num_seen_shards, cfg, seen_bits)
+    # seen_max_resident caps each seen shard's resident record cache
+    # (bloom-negative fast path + Parquet-spill exact lookups beyond it);
+    # None keeps everything resident — right whenever the shard's share
+    # of the frontier fits in its node's heap. Spill segments live under
+    # the crawl's out dir, i.e. the same (shared at multi-node) storage
+    # as checkpoints.
+    handles = CrawlHandles(
+        num_frontier_shards, num_seen_shards, cfg, seen_bits,
+        seen_max_resident=seen_max_resident,
+        seen_spill_root=(
+            str(out / "seen_spill") if seen_max_resident is not None else None
+        ),
+    )
     frontier, seen = handles.frontier, handles.seen
 
     # robots parsed ONCE driver-side: crawl-delays feed the frontier

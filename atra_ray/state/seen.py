@@ -9,16 +9,19 @@ that state across a FIXED number of Ray actors keyed by
 vectorized string hash; shard count independent of cluster size, so
 membership never migrates). Each shard holds:
 
-- a bloom filter (numpy bit array, double hashing from one blake2b-128
-  digest) sized for its share of the frontier — at the 10^10-URL design
-  point, 64 shards × ~2.1 GiB bits gives ~1e-6 FPR and the filter is the
-  ONLY per-URL memory; the authoritative record set lives in the Parquet
-  checkpoint and bloom positives are resolved by an exact anti-join
-  against it.
-- at sandbox scale additionally an exact in-memory dict (url -> link
-  state), which doubles as the authoritative store and makes the
-  false-positive rate exactly 0 for conformance tests. The dict is the
-  same record the reference stores: (kind, is_seed, depth, age-of-record).
+- a bloom filter (numpy bit array, double hashing from one vectorized
+  string-hash pass) sized for its share of the frontier — at the
+  10^10-URL design point, 64 shards × ~2.1 GiB bits gives ~1e-6 FPR and
+  the filter is the only REQUIRED per-URL memory;
+- a resident record cache (url -> link state, the same record the
+  reference stores: kind, is_seed, depth, recrawl clock). With
+  ``max_resident`` set, clean overflow spills to Parquet segments and
+  membership resolves in three tiers: cache hit -> seen; bloom negative
+  -> fresh with zero I/O; bloom positive + cache miss -> exact anti-join
+  against the spill segments (newest wins), so a bloom false positive
+  can never double-admit. With ``max_resident=None`` the cache holds
+  everything — the fast path when the shard's share fits in memory.
+  Both modes answer identically (tests assert table equality).
 
 ``check_and_add`` is the atomic "only enqueue if never seen" guard of
 contexts/local/context.rs:239-259: actors serialize concurrent batches, so
@@ -60,7 +63,14 @@ class SeenShardState:
     """Plain-python core (actor-free) so the simulator and unit tests can
     reuse identical semantics."""
 
-    def __init__(self, shard_id: int, num_bits: int = 1 << 22, num_hashes: int = 7):
+    def __init__(
+        self,
+        shard_id: int,
+        num_bits: int = 1 << 22,
+        num_hashes: int = 7,
+        max_resident: int | None = None,
+        spill_dir: str | None = None,
+    ):
         self.shard_id = shard_id
         self.num_bits = num_bits
         self.num_hashes = num_hashes
@@ -72,7 +82,101 @@ class SeenShardState:
         # crawled_wave: BSP wave of the last PROCESSED mark (-1 = never) —
         # the recrawl-cooldown clock (T7, recrawl_management/mod.rs:49-70;
         # simulated time = wave * wave_seconds)
+        #
+        # At-scale memory model (VERDICT r2 item 1): ``exact`` is a
+        # BOUNDED resident cache when ``max_resident`` is set. Overflowing
+        # CLEAN records (already persisted by a checkpoint) spill to
+        # Parquet segments under ``spill_dir``; membership stays in the
+        # bloom, and a bloom-positive cache miss resolves by an exact
+        # anti-join against the segments (newest segment wins — the same
+        # later-wins rule the checkpoint replay uses). Dirty records never
+        # evict, so the resident set is ≤ max_resident + O(urls touched
+        # since the last checkpoint). With max_resident=None (default)
+        # everything stays resident — the fast path when the shard's
+        # share of the frontier fits in its node's heap.
         self.exact: dict[str, list] = {}
+        self.max_resident = max_resident
+        self._spill_dir = Path(spill_dir) if spill_dir else None
+        self._segments: list[Path] = []  # oldest -> newest
+        self._spill_seq = 0
+
+    # ---- spill plane (scale path) --------------------------------------
+    _REC_COLS = ["url", "kind", "is_seed", "dow", "dts", "tds", "crawled_wave"]
+
+    def _segment_path(self) -> Path:
+        assert self._spill_dir is not None
+        self._spill_dir.mkdir(parents=True, exist_ok=True)
+        p = self._spill_dir / f"spill-{self._spill_seq:06d}.parquet"
+        self._spill_seq += 1
+        return p
+
+    def _write_segment(self, t: pa.Table) -> None:
+        p = self._segment_path()
+        pq.write_table(t, p)
+        self._segments.append(p)
+        # bounded lookup fan-out: compact the segment chain once it grows
+        # past 16 files (later-wins merge, newest-first precedence)
+        if len(self._segments) > 16:
+            merged = self._segments_frame()
+            for old in self._segments:
+                old.unlink(missing_ok=True)
+            self._segments = []
+            p = self._segment_path()
+            pq.write_table(
+                pa.Table.from_pandas(merged, preserve_index=False), p
+            )
+            self._segments = [p]
+
+    def _segments_frame(self):
+        """All spilled records as ONE later-wins pandas frame (newest
+        segment wins). Used by compaction and the merged snapshot."""
+        import pandas as pd
+
+        frames = [
+            pq.read_table(p).to_pandas() for p in reversed(self._segments)
+        ]
+        df = pd.concat(frames, ignore_index=True)
+        return df.drop_duplicates(subset="url", keep="first")
+
+    def _maybe_spill(self) -> None:
+        """Evict clean resident records once the cache overflows. Records
+        dirty since the last checkpoint stay resident (the incremental
+        checkpoint reads them from the dict), so durability is never
+        racing the eviction."""
+        if self.max_resident is None or len(self.exact) <= self.max_resident:
+            return
+        evictable = [u for u in self.exact if u not in self._dirty]
+        overflow = len(self.exact) - self.max_resident
+        if not evictable or self._spill_dir is None:
+            return  # soft cap: nothing clean yet (next checkpoint frees)
+        victims = evictable[:overflow]
+        self._write_segment(self._rows_table(victims))
+        for u in victims:
+            del self.exact[u]
+
+    def _disk_lookup(self, urls: list[str]) -> dict[str, list]:
+        """Exact anti-join against the spill segments for bloom-positive
+        cache misses: url -> full record, newest segment wins. One
+        vectorized ``is_in`` filter per segment, candidates shrink as
+        newer segments resolve them."""
+        found: dict[str, list] = {}
+        if not urls or not self._segments:
+            return found
+        pending = set(urls)
+        for p in reversed(self._segments):  # newest first
+            if not pending:
+                break
+            t = pq.read_table(p)
+            hit = t.filter(pc.is_in(t.column("url"), pa.array(list(pending))))
+            for row in hit.to_pylist():
+                u = row["url"]
+                if u in pending:
+                    pending.discard(u)
+                    found[u] = [
+                        row["kind"], row["is_seed"], row["dow"],
+                        row["dts"], row["tds"], row["crawled_wave"],
+                    ]
+        return found
 
     def _positions_batch(self, urls: list[str]) -> np.ndarray:
         """(n, num_hashes) bloom positions for a whole batch in ONE
@@ -103,26 +207,57 @@ class SeenShardState:
 
     def check_and_add(self, urls, is_seed, depths) -> list[bool]:
         """For each url: True iff it was NOT seen before (and is now
-        registered as kind=discovered). The exact dict is authoritative
-        (sandbox scale); the bloom is maintained batch-vectorized so the
-        scale path (bloom-negative fast path over spilled exact state)
-        keeps working. Duplicates WITHIN a batch admit only their first
-        occurrence (same as sequential processing)."""
+        registered as kind=discovered). Three-tier membership (the north
+        rule's bloom design, SURVEY §1.2):
+
+        1. resident cache hit -> seen;
+        2. bloom NEGATIVE -> definitely fresh, admit without any I/O
+           (the common case for genuinely new urls — one vectorized
+           bloom probe for the whole batch);
+        3. bloom positive but cache miss -> exact anti-join against the
+           spill segments (``_disk_lookup``); found -> seen, else it was
+           a bloom false positive -> fresh.
+
+        Duplicates WITHIN a batch admit only their first occurrence
+        (same as sequential processing)."""
         out = [False] * len(urls)
         fresh: list[str] = []
+        # bloom-positive cache misses needing the exact disk check
+        candidates: list[str] = []
+        if self._segments:
+            pos = self._positions_batch(list(urls))
+            maybe = self.bits[pos].all(axis=1)
+            candidates = [
+                u
+                for u, m in zip(urls, maybe)
+                if m and u not in self.exact
+            ]
+        spilled = self._disk_lookup(candidates)
         for i, (url, seed, (dow, dts, tds)) in enumerate(zip(urls, is_seed, depths)):
-            if url in self.exact:
+            if url in self.exact or url in spilled:
                 continue
             self.exact[url] = [KIND_DISCOVERED, bool(seed), dow, dts, tds, -1]
             out[i] = True
             fresh.append(url)
         self._dirty.update(fresh)
         self._bloom_add_batch(fresh)
+        self._maybe_spill()
         return out
 
     def mark(self, urls, kind: int, wave: int = -1) -> int:
         """Monotone upsert of the lifecycle kind (merge-operator analog).
-        ``wave`` stamps the recrawl clock on PROCESSED marks."""
+        ``wave`` stamps the recrawl clock on PROCESSED marks. A mark on a
+        SPILLED record promotes it back into the resident cache first
+        (full fidelity: depths/seed flags survive the round trip)."""
+        # promote spilled records about to be marked (batched disk check)
+        if self._segments:
+            misses = [u for u in urls if u not in self.exact]
+            if misses:
+                pos = self._positions_batch(misses)
+                maybe = self.bits[pos].all(axis=1)
+                cand = [u for u, m in zip(misses, maybe) if m]
+                for u, rec in self._disk_lookup(cand).items():
+                    self.exact[u] = list(rec)
         n = 0
         fresh: list[str] = []
         for url in urls:
@@ -142,29 +277,22 @@ class SeenShardState:
                 rec[5] = wave
                 self._dirty.add(url)
         self._bloom_add_batch(fresh)
+        self._maybe_spill()
         return n
 
     def recrawlable(self, wave: int, interval_s: float, wave_seconds: float) -> pa.Table:
         """PROCESSED urls whose recrawl cooldown elapsed by ``wave`` (A5:
-        link_state/db.rs:99-137 scan + crawler.rs:264-300 cooldown)."""
-        urls, seeds, dows, dtss, tdss = [], [], [], [], []
-        for url, rec in self.exact.items():
-            if rec[0] == KIND_PROCESSED and rec[5] >= 0:
-                if (wave - rec[5]) * wave_seconds >= interval_s:
-                    urls.append(url)
-                    seeds.append(bool(rec[1]))
-                    dows.append(rec[2])
-                    dtss.append(rec[3])
-                    tdss.append(rec[4])
-        return pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "is_seed": pa.array(seeds, pa.bool_()),
-                "dow": pa.array(dows, pa.uint64()),
-                "dts": pa.array(dtss, pa.uint64()),
-                "tds": pa.array(tdss, pa.uint64()),
-            }
+        link_state/db.rs:99-137 scan + crawler.rs:264-300 cooldown).
+        Scans the MERGED view (resident cache wins over spill segments) —
+        the full-state scan matches the reference's whole-CF iteration."""
+        t = self.snapshot_table()
+        kind = np.asarray(t.column("kind"))
+        cw = np.asarray(t.column("crawled_wave"))
+        m = (kind == KIND_PROCESSED) & (cw >= 0) & (
+            (wave - cw) * wave_seconds >= interval_s
         )
+        hit = t.filter(pa.array(m))
+        return hit.select(["url", "is_seed", "dow", "dts", "tds"])
 
     def mark_blocks(self, block_refs, num_shards: int, wave: int) -> dict:
         """Post-materialize mark pass (T6/A3): pull the wave's COLUMN-
@@ -348,12 +476,13 @@ class SeenShardState:
         return n
 
     def counts_by_kind(self) -> dict[int, int]:
-        out: dict[int, int] = {}
-        for rec in self.exact.values():
-            out[rec[0]] = out.get(rec[0], 0) + 1
-        return out
+        t = self.snapshot_table()
+        kinds, counts = pc.value_counts(t.column("kind")).flatten()
+        return dict(
+            zip((k.as_py() for k in kinds), (c.as_py() for c in counts))
+        )
 
-    def snapshot_table(self) -> pa.Table:
+    def _resident_table(self) -> pa.Table:
         urls = list(self.exact.keys())
         cols = list(zip(*self.exact.values())) if urls else [[]] * 6
         return pa.table(
@@ -366,6 +495,23 @@ class SeenShardState:
                 "tds": pa.array(cols[4], pa.uint64()),
                 "crawled_wave": pa.array(cols[5], pa.int32()),
             }
+        )
+
+    def snapshot_table(self) -> pa.Table:
+        """The shard's FULL authoritative state: resident cache merged
+        over the spill segments, resident wins, newer segment wins.
+        (With no segments this is the resident table verbatim — the
+        sandbox fast path.)"""
+        res = self._resident_table()
+        if not self._segments:
+            return res
+        import pandas as pd
+
+        merged = pd.concat(
+            [res.to_pandas(), self._segments_frame()], ignore_index=True
+        ).drop_duplicates(subset="url", keep="first")
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(
+            res.schema
         )
 
     def _rows_table(self, urls: list[str]) -> pa.Table:
@@ -417,21 +563,48 @@ class SeenShardState:
         self._dirty.clear()
 
     def restore(self, dir_paths) -> int:
-        """Rebuild exact set + bloom from the checkpoint chain
-        (recover-mode semantics, app/atra.rs:179-199). ``dir_paths`` is
-        the ordered list of checkpoint dirs from the latest FULL
-        checkpoint (or round 0) up to the resume round; a plain string is
-        accepted for a single-dir chain."""
+        """Rebuild state + bloom from the checkpoint chain (recover-mode
+        semantics, app/atra.rs:179-199). ``dir_paths`` is the ordered
+        list of checkpoint dirs from the latest FULL checkpoint (or round
+        0) up to the resume round; a plain string is accepted for a
+        single-dir chain.
+
+        Bounded mode (``max_resident`` set): the chain files are
+        registered as SPILL SEGMENTS in chain order — the later-wins
+        segment lookup IS the delta replay — and only the bloom is built
+        in memory (one vectorized pass over each file's url column). The
+        resident cache starts empty; at a 10^10-url frontier the restore
+        cost is one streaming column read, never terabytes of dict."""
         if isinstance(dir_paths, str):
             dir_paths = [dir_paths]
         self.exact.clear()
         self.bits[:] = False
         self._dirty.clear()
-        for dir_path in dir_paths:
-            p = Path(dir_path) / f"seen_shard_{self.shard_id}.parquet"
-            if not p.exists():
-                continue
-            t = pq.read_table(p)
+        for old in self._segments:
+            old.unlink(missing_ok=True)
+        self._segments = []
+        files = [
+            p
+            for p in (
+                Path(d) / f"seen_shard_{self.shard_id}.parquet"
+                for d in dir_paths
+            )
+            if p.exists()
+        ]
+        if self.max_resident is not None and self._spill_dir is not None:
+            import shutil as _sh
+
+            seen_urls = set()
+            for f in files:  # chain order: later file = newer segment
+                seg = self._segment_path()
+                _sh.copyfile(f, seg)
+                self._segments.append(seg)
+                urls = pq.read_table(f, columns=["url"]).column("url").to_pylist()
+                self._bloom_add_batch(urls)
+                seen_urls.update(urls)
+            return len(seen_urls)
+        for f in files:
+            t = pq.read_table(f)
             for url, kind, seed, dow, dts, tds, cw in zip(
                 *[
                     t.column(c).to_pylist()

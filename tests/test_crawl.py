@@ -303,3 +303,27 @@ def test_blacklist_hot_append(fixtures_small, tmp_path):
     # stopped (UrlChecker semantics), so nothing host3 after wave 0
     assert fetched_after == []
     assert s2["waves"] >= 1
+
+
+def test_capped_seen_memory_equals_unbounded(ray_session, fixtures_small, tmp_path, crawl_pair):
+    """VERDICT r3 item 1 done-criterion: cap each seen shard's resident
+    record cache far below the corpus size (~240 urls over 8 shards with
+    a 8-record cap) and the crawl's authoritative link state must be
+    IDENTICAL to the unbounded run — bloom fast path, Parquet spill and
+    exact anti-join answering exactly like the all-resident dict."""
+    _, _, full_out = crawl_pair
+    seeds = (fixtures_small / "seeds.txt").read_text().split()
+    out = str(tmp_path / "capped")
+    run_crawl(
+        str(fixtures_small / "pages.parquet"),
+        str(fixtures_small / "robots.parquet"),
+        seeds,
+        CFG,
+        out,
+        seen_max_resident=8,
+    )
+    capped = _seen_map(pq.read_table(Path(out) / "link_state.parquet"))
+    full = _seen_map(pq.read_table(Path(full_out) / "link_state.parquet"))
+    assert capped == full
+    # spill actually engaged (corpus >> cap)
+    assert list(Path(out, "seen_spill").rglob("spill-*.parquet"))

@@ -163,3 +163,86 @@ def test_mark_tables_vectorized_ownership():
     for i, u in enumerate(urls):
         assert u in shards[int(owner[i])].exact
         assert sum(u in s.exact for s in shards) == 1
+
+
+def _drive(shard, cycles=6, per=40, chk_dir=None):
+    """Admit/mark/checkpoint cycles with cross-cycle duplicate probes."""
+    answers = []
+    for c in range(cycles):
+        urls = [f"https://h{i % 7}.example/c{c}/p{i}" for i in range(per)]
+        dups = [f"https://h{i % 7}.example/c{max(0, c - 2)}/p{i}" for i in range(0, per, 3)]
+        batch = urls + dups
+        fresh = shard.check_and_add(
+            batch, [False] * len(batch), [(1, 0, c)] * len(batch)
+        )
+        answers.append(tuple(fresh))
+        shard.mark(urls[::2], KIND_PROCESSED, wave=c)
+        shard.mark(urls[1::4], KIND_ERROR, wave=c)
+        if chk_dir is not None:
+            shard.checkpoint(f"{chk_dir}/round={c}")
+    return answers
+
+
+def test_seen_bounded_cache_matches_unbounded(tmp_path):
+    """The at-scale memory model (bloom fast path + Parquet spill + exact
+    anti-join) answers IDENTICALLY to the all-resident shard, while the
+    resident cache stays bounded on a corpus larger than the cap."""
+    cap = 50
+    capped = SeenShardState(
+        0, max_resident=cap, spill_dir=str(tmp_path / "spill")
+    )
+    plain = SeenShardState(0)
+    a1 = _drive(capped, chk_dir=str(tmp_path / "chk"))
+    a2 = _drive(plain)
+    assert a1 == a2
+    # 240 distinct urls were admitted; the capped shard keeps at most
+    # cap + the since-last-checkpoint dirty set resident
+    assert len(plain.exact) == 240
+    assert len(capped.exact) < 240
+    assert len(capped.exact) <= cap + 80  # cap + one cycle's dirty slack
+    # authoritative state identical (merged view vs resident view)
+    import pandas as pd
+
+    t1 = capped.snapshot_table().to_pandas().sort_values("url").reset_index(drop=True)
+    t2 = plain.snapshot_table().to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(t1, t2)
+    assert capped.counts_by_kind() == plain.counts_by_kind()
+    # recrawl scan sees spilled PROCESSED records too
+    r1 = capped.recrawlable(10, 1.0, 5.0).to_pandas().sort_values("url").reset_index(drop=True)
+    r2 = plain.recrawlable(10, 1.0, 5.0).to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(r1, r2)
+
+
+def test_seen_bounded_restore_stays_bounded(tmp_path):
+    """Bounded-mode restore registers the checkpoint chain as spill
+    segments and rebuilds only the bloom — the resident cache starts
+    empty and membership answers stay exact."""
+    src = SeenShardState(0)
+    _drive(src, chk_dir=str(tmp_path / "chk"))
+    chain = [str(tmp_path / "chk" / f"round={c}") for c in range(6)]
+    r = SeenShardState(
+        0, max_resident=50, spill_dir=str(tmp_path / "rspill")
+    )
+    n = r.restore(chain)
+    assert n == 240
+    assert len(r.exact) == 0  # nothing resident after restore
+    # every restored url is seen; a new url is fresh
+    old = [f"https://h{i % 7}.example/c3/p{i}" for i in range(40)]
+    flags = r.check_and_add(
+        old + ["https://new.example/x"], [False] * 41, [(0, 0, 0)] * 41
+    )
+    assert flags == [False] * 40 + [True]
+    src.check_and_add(
+        old + ["https://new.example/x"], [False] * 41, [(0, 0, 0)] * 41
+    )
+    # marks on spilled records promote with full fidelity
+    r.mark([old[0]], KIND_PROCESSED, wave=9)
+    assert r.exact[old[0]][0] == KIND_PROCESSED
+    assert r.exact[old[0]][5] == 9
+    src.mark([old[0]], KIND_PROCESSED, wave=9)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        r.snapshot_table().to_pandas().sort_values("url").reset_index(drop=True),
+        src.snapshot_table().to_pandas().sort_values("url").reset_index(drop=True),
+    )
