@@ -67,6 +67,11 @@ class RobotsRules:
     # (is_allow, raw_pattern) rules of the matched group
     rules: tuple[tuple[bool, str], ...] = ()
     crawl_delay: float | None = None
+    # ``Sitemap:`` declarations — file-wide per RFC 9309 §2.3 / the
+    # sitemaps.org protocol (not scoped to any user-agent group); the
+    # crawler seeds sitemap expansion from these (crawler/sitemaps.rs:43-49
+    # reads robot.sitemaps() first)
+    sitemaps: tuple[str, ...] = ()
     _compiled: tuple = field(default=None, repr=False, compare=False)  # type: ignore[assignment]
 
     def _rules_compiled(self):
@@ -124,12 +129,19 @@ def parse_robots(body: bytes | str | None, user_agent: str = "atra-ray") -> Robo
             groups.append((cur_agents, cur_rules, cur_delay))
         cur_agents, cur_rules, cur_delay = [], [], None
 
+    sitemap_urls: list[str] = []
     for line in body.splitlines():
         line = line.split("#", 1)[0].strip()
         if not line or ":" not in line:
             continue
         key, _, val = line.partition(":")
         key, val = key.strip().lower(), val.strip()
+        if key == "sitemap":
+            # file-wide directive: collected regardless of group position
+            # and never alters group-parsing state
+            if val:
+                sitemap_urls.append(val)
+            continue
         if key == "user-agent":
             if not last_was_agent:
                 flush()
@@ -160,5 +172,11 @@ def parse_robots(body: bytes | str | None, user_agent: str = "atra-ray") -> Robo
                 chosen = (rules, delay)
                 break
     if chosen is None:
+        if sitemap_urls:
+            return RobotsRules(sitemaps=tuple(sitemap_urls))
         return ALLOW_ALL
-    return RobotsRules(rules=tuple(chosen[0]), crawl_delay=chosen[1])
+    return RobotsRules(
+        rules=tuple(chosen[0]),
+        crawl_delay=chosen[1],
+        sitemaps=tuple(sitemap_urls),
+    )

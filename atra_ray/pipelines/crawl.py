@@ -270,6 +270,7 @@ def run_crawl(
     # politeness clocks (T1); the parsed rule set is broadcast (ray.put)
     # to the stateless fetch tasks (T3's cache analog)
     robots_ref = None
+    robots_rules = None
     if robots_path and cfg.respect_robots_txt:
         from ..functions.robots import parse_robots
 
@@ -360,16 +361,18 @@ def run_crawl(
         rows = [r for r, f in zip(rows, fresh) if f]
         ray.get(_push_routed(frontier, rows))
         if cfg.use_sitemaps and sitemaps_path:
-            from ..functions.sitemaps import sitemap_candidates
-
-            smt = pq.read_table(sitemaps_path)
-            sm_map = dict(
-                zip(
-                    smt.column("host").to_pylist(),
-                    smt.column("sitemap_xml").to_pylist(),
-                )
+            from ..functions.sitemaps import (
+                sitemap_candidates,
+                sitemap_lookup_from_table,
             )
-            cand = [dict(c, born=0) for c in sitemap_candidates(rows, sm_map, cfg)]
+
+            sm_map = sitemap_lookup_from_table(pq.read_table(sitemaps_path))
+            cand = [
+                dict(c, born=0)
+                for c in sitemap_candidates(
+                    rows, sm_map, cfg, robots_by_host=robots_rules,
+                )
+            ]
             sm_fresh = _seen_check(
                 seen,
                 [c["url"] for c in cand],

@@ -107,13 +107,16 @@ def simulate_crawl(
             edge_rows["kind"].append("seed")
 
     if cfg.use_sitemaps and sitemaps_path:
-        from .functions.sitemaps import sitemap_candidates
-
-        smt = pq.read_table(sitemaps_path)
-        sm_map = dict(
-            zip(smt.column("host").to_pylist(), smt.column("sitemap_xml").to_pylist())
+        from .functions.sitemaps import (
+            sitemap_candidates,
+            sitemap_lookup_from_table,
         )
-        for c in sitemap_candidates(seed_rows, sm_map, cfg):
+
+        sm_map = sitemap_lookup_from_table(pq.read_table(sitemaps_path))
+        for c in sitemap_candidates(
+            seed_rows, sm_map, cfg,
+            robots_by_host=robots if cfg.respect_robots_txt else None,
+        ):
             if seen_shard(c["url"]).check_and_add(
                 [c["url"]], [False], [(c["dow"], c["dts"], c["tds"])]
             )[0]:

@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 42
-GENERATOR_VERSION = "12"  # bump when generation rules change (invalidates caches)
+GENERATOR_VERSION = "13"  # bump when generation rules change (invalidates caches)
 EPOCH_US = 1_729_036_800_000_000  # 2024-10-16T00:00:00Z in microseconds
 
 _LANGS = ("eng", "deu", "fra", "spa", "ita", "nld", "swe", "pol")
@@ -730,39 +730,82 @@ def generate(out_dir: str | os.PathLike, sf: float, force: bool = False) -> Path
             continue
         rh.append(host_name(h))
         if cls == "allow":
-            rb.append(b"User-agent: *\nAllow: /\n")
+            body = b"User-agent: *\nAllow: /\n"
         elif cls == "disallow_blocked":
-            rb.append(b"User-agent: *\nDisallow: /blocked/\n")
+            body = b"User-agent: *\nDisallow: /blocked/\n"
         else:
-            rb.append(b"User-agent: *\nCrawl-delay: 2\n")
+            body = b"User-agent: *\nCrawl-delay: 2\n"
+        if h % 12 == 0:
+            # index-tree hosts: the root sitemap is discoverable ONLY via
+            # the robots ``Sitemap:`` declaration (RFC 9309 file-wide
+            # directive) — exercises the robots->sitemap discovery path
+            body += f"Sitemap: https://{host_name(h)}/sitemap.xml\n".encode()
+        rb.append(body)
     pq.write_table(
         pa.table({"host": pa.array(rh, pa.string()),
                   "robots_txt": pa.array(rb, pa.binary())}),
         out / "robots.parquet",
     )
 
-    # sitemaps.parquet: hosts h%6==0 publish a sitemap listing up to 10 of
+    # sitemaps.parquet: hosts h%6==0 publish sitemaps covering up to 10 of
     # their pages — including ones unreachable via links (the value of
     # sitemap expansion); served as a side table like robots (the sandbox
-    # fetches from tables, not HTTP)
-    sm_h, sm_b = [], []
-    for h in range(hosts):
-        if h % 6 != 0:
-            continue
-        locs = [
-            f"https://{host_name(h)}{_page_path(h, k)}"
-            for k in range(min(counts[h], 10))
-        ]
-        xml = (
+    # fetches from tables, not HTTP). One row per sitemap DOCUMENT
+    # (host, sitemap_url, is_root, sitemap_xml). h%12==0 hosts publish a
+    # TWO-LEVEL <sitemapindex> tree (root index -> child index -> leaf
+    # urlsets) whose root is declared via robots ``Sitemap:`` when robots
+    # exist (is_root only for robots-missing hosts); other h%6==0 hosts
+    # keep the flat single-urlset layout keyed by host.
+    def _urlset(locs):
+        return (
             '<?xml version="1.0" encoding="UTF-8"?>\n'
             '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
             + "\n".join(f"  <url><loc>{u}</loc></url>" for u in locs)
             + "\n</urlset>\n"
-        )
+        ).encode()
+
+    def _smindex(children):
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            + "\n".join(f"  <sitemap><loc>{u}</loc></sitemap>" for u in children)
+            + "\n</sitemapindex>\n"
+        ).encode()
+
+    sm_h, sm_u, sm_r, sm_b = [], [], [], []
+
+    def _sm_row(h, url, is_root, xml):
         sm_h.append(host_name(h))
-        sm_b.append(xml.encode())
+        sm_u.append(url)
+        sm_r.append(is_root)
+        sm_b.append(xml)
+
+    for h in range(hosts):
+        if h % 6 != 0:
+            continue
+        base = f"https://{host_name(h)}"
+        locs = [
+            f"{base}{_page_path(h, k)}" for k in range(min(counts[h], 10))
+        ]
+        if h % 12 == 0:
+            half = max(1, len(locs) // 2)
+            leaves = [locs[:half]] + ([locs[half:]] if locs[half:] else [])
+            leaf_urls = [f"{base}/sitemap-leaf-{i}.xml" for i in range(len(leaves))]
+            # root discoverable via robots Sitemap: (except robots-missing
+            # hosts, which fall back to the conventional host-root entry)
+            _sm_row(
+                h, f"{base}/sitemap.xml", _robots_class(h) == "missing",
+                _smindex([f"{base}/sitemap-idx.xml"]),
+            )
+            _sm_row(h, f"{base}/sitemap-idx.xml", False, _smindex(leaf_urls))
+            for lu, ls in zip(leaf_urls, leaves):
+                _sm_row(h, lu, False, _urlset(ls))
+        else:
+            _sm_row(h, f"{base}/sitemap.xml", True, _urlset(locs))
     pq.write_table(
         pa.table({"host": pa.array(sm_h, pa.string()),
+                  "sitemap_url": pa.array(sm_u, pa.string()),
+                  "is_root": pa.array(sm_r, pa.bool_()),
                   "sitemap_xml": pa.array(sm_b, pa.binary())}),
         out / "sitemaps.parquet",
     )

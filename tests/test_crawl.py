@@ -216,6 +216,14 @@ def test_sitemap_expansion(ray_session, fixtures_small, tmp_path):
     # without sitemaps, strictly fewer urls are discovered
     base = simulate_crawl(pages, robots, seeds, CFG)
     assert sim["seen"].num_rows > base["seen"].num_rows
+    # host0 publishes a TWO-LEVEL <sitemapindex> tree whose root is
+    # discoverable only through its robots ``Sitemap:`` declaration —
+    # the leaf urlsets' pages must still land in the engine's seen set
+    # (index recursion + robots discovery, VERDICT r2 item 8)
+    from atra_ray.sources.fixtures import _page_path
+
+    leaf_pages = {f"https://host0.example{_page_path(0, k)}" for k in range(10)}
+    assert leaf_pages <= set(a), "sitemapindex leaves missing from crawl_seen"
 
 
 def test_redirects_resolved(ray_session, fixtures_small, tmp_path):

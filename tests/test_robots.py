@@ -104,3 +104,77 @@ def test_encoded_slash_stays_distinct():
     r3 = parse_robots(b"User-agent: *\nDisallow: /%7Ejoe%2Fx\n")
     assert not r3.is_allowed("/~joe%2Fx")
     assert r3.is_allowed("/~joe/x")
+
+
+def test_robots_sitemap_discovery():
+    """``Sitemap:`` is a file-wide directive (RFC 9309 §2.3): collected
+    regardless of group position, and surviving even when no UA group
+    matches."""
+    body = (
+        b"Sitemap: https://a.example/sitemap.xml\n"
+        b"User-agent: *\nDisallow: /x\n"
+        b"Sitemap: https://a.example/sitemap-news.xml\n"
+    )
+    r = parse_robots(body, "atra-ray")
+    assert r.sitemaps == (
+        "https://a.example/sitemap.xml",
+        "https://a.example/sitemap-news.xml",
+    )
+    assert not r.is_allowed("/x")
+    only_other_group = b"User-agent: bingbot\nDisallow: /\nSitemap: https://b.example/s.xml\n"
+    r2 = parse_robots(only_other_group, "atra-ray")
+    assert r2.sitemaps == ("https://b.example/s.xml",)
+    assert r2.is_allowed("/anything")
+
+
+def test_parse_sitemap_urlset_vs_index():
+    from atra_ray.functions.sitemaps import parse_sitemap
+
+    urlset = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://h/p1</loc></url><url><loc>https://h/p2</loc></url>"
+        "</urlset>"
+    )
+    assert parse_sitemap(urlset) == (["https://h/p1", "https://h/p2"], [])
+    index = (
+        '<?xml version="1.0"?>'
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sitemap><loc>https://h/a.xml</loc></sitemap>"
+        "<sitemap><loc>https://h/b.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    assert parse_sitemap(index) == ([], ["https://h/a.xml", "https://h/b.xml"])
+    # malformed XML: lenient link scan, no recursion
+    urls, children = parse_sitemap(b"<urlset><url><loc>https://h/p3</loc>")
+    assert children == [] and urls == ["https://h/p3"]
+
+
+def test_sitemap_candidates_recursion_capped():
+    """A self-referential index never loops: the visited set and depth cap
+    bound the walk."""
+    from atra_ray.config import CrawlConfig
+    from atra_ray.functions.sitemaps import sitemap_candidates
+
+    idx = (
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sitemap><loc>https://h.example/sitemap.xml</loc></sitemap>"
+        "<sitemap><loc>https://h.example/leaf.xml</loc></sitemap>"
+        "</sitemapindex>"
+    ).encode()
+    leaf = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://h.example/p9</loc></url></urlset>"
+    ).encode()
+    lookup = {
+        "h.example": idx,
+        "https://h.example/sitemap.xml": idx,  # self-loop
+        "https://h.example/leaf.xml": leaf,
+    }
+    cfg = CrawlConfig()
+    from atra_ray.config import BudgetSetting
+
+    cfg = CrawlConfig(budget=BudgetSetting(kind="absolute", depth=3))
+    rows = [{"url": "https://h.example/p0"}]
+    cand = sitemap_candidates(rows, lookup, cfg)
+    assert [c["url"] for c in cand] == ["https://h.example/p9"]
