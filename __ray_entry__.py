@@ -555,7 +555,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT b FROM exact_pairs)
         """,
-        # ann_lsh_topk / ann_ivf_topk / minhash / simhash / doc_language /
-        # gdbr: intentionally no SQL (approximate or heuristic operators) —
-        # rows-only checks.
+        # ann_lsh_topk / ann_ivf_topk / minhash / simhash: intentionally no
+        # SQL (approximate operators) — rows-only checks, with accuracy
+        # asserted in tests (recall vs the exact baselines).
+        # doc_language: the driver table's `lang` column is METADATA ONLY —
+        # every documents.text row draws from the same English-ish synthetic
+        # vocabulary regardless of its label (verified: detector says "eng"
+        # for 100% of rows at sf0.001/0.01), so an equality/accuracy oracle
+        # against documents.lang is impossible by construction. Language-id
+        # accuracy IS oracle-checked where truth exists: detect_language_pages
+        # must reproduce the fixture generator's truth label on every page of
+        # the de-correlated 8-language corpus (hash-MATCH), and
+        # tests/test_slice.py asserts the same in-repo.
     }

@@ -37,6 +37,32 @@ def test_slice_links_exact(fixtures_small):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_langid_matches_fixture_truth(fixtures_small):
+    """Detected language equals the generator's truth label on EVERY page of
+    the de-correlated corpus (M17 accuracy oracle: fixture prose is composed
+    from a vocabulary independent of the detector's trigram profiles, and
+    includes nld/swe/pol adversaries). The driver checks the same equality as
+    the detect_language_pages hash-MATCH; this is the in-repo equivalent.
+
+    Note the driver's documents.parquet carries NO such truth: its `lang`
+    column is uncorrelated with the text (all rows share one English-ish
+    vocabulary), which is why doc_language stays a rows-only query."""
+    df = (
+        extract_pages(str(fixtures_small / "pages.parquet"))
+        .select_columns(["url", "lang"])
+        .to_pandas()
+    )
+    got = dict(zip(df["url"], df["lang"]))
+    truth = pq.read_table(fixtures_small / "pages.parquet", columns=["url", "lang"])
+    truth_map = dict(zip(truth["url"].to_pylist(), truth["lang"].to_pylist()))
+    assert len(got) == len(truth_map)
+    wrong = {u: (got[u], t) for u, t in truth_map.items() if got[u] != t}
+    assert not wrong, f"{len(wrong)} misdetected: {dict(list(wrong.items())[:5])}"
+    # the corpus genuinely exercises the adversarial languages
+    assert {"nld", "swe", "pol"} <= set(truth_map.values())
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_slice_write_parquet_roundtrip(fixtures_small, tmp_path):
     out = tmp_path / "extracted"
     ds = extract_pages(str(fixtures_small / "pages.parquet"))
