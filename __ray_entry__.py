@@ -14,12 +14,16 @@ Three groups of queries:
 2. Training-data-pipeline operators over the driver's own testdata tables
    (documents/embeddings/events) with ANSI-SQL oracles over the registered
    views.
-3. Approximate operators (estimate-MinHash/SimHash/LSH-ANN/IVF-ANN and
-   the heuristic doc-language scorer) — no SQL equivalent; the driver
-   records rows-only checks for them.
+3. Deterministic sketch operators (estimate-MinHash, SimHash): the SQL
+   oracle recomputes the identical signatures (md5 token hashes + exact
+   modular arithmetic) and compares all O(N²) pairs.
+4. Approximate operators (LSH-ANN/IVF-ANN, whose bucketing depends on
+   float dot products / k-means, and the heuristic doc-language scorer
+   over metadata-only labels) — no SQL equivalent; the driver records
+   rows-only checks for them.
 
-25 queries total: 20 oracle-MATCH (SQL or generator/simulator oracle),
-5 rows-only by nature.
+26 queries total: 23 oracle-MATCH (SQL or generator/simulator oracle),
+3 rows-only by nature.
 """
 
 from __future__ import annotations
@@ -285,7 +289,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def minhash_dup_pairs(sf_dir):
         from atra_ray.stages.dedup import minhash_dup_pairs as _mh
 
-        return _mh(f"{sf_dir}/documents.parquet", threshold=0.5)
+        # bands=64 (rows of 2): candidate recall is effectively exact at
+        # the 0.5 estimate threshold, so the output equals the full O(N²)
+        # signature comparison the SQL oracle computes (see the operator
+        # docstring for the miss-probability arithmetic)
+        return _mh(f"{sf_dir}/documents.parquet", threshold=0.5, bands=64)
 
     def simhash_dup_pairs(sf_dir):
         from atra_ray.stages.dedup import simhash_dup_pairs as _sh
@@ -410,6 +418,107 @@ _NGRAM_JACCARD_SQL = r"""
           END >= 0.5
     )
 """
+
+# MinHash oracle: recompute the EXACT signature matrix in SQL — md5 token
+# hashes (DuckDB md5_number_lower == python md5 digest[8:] little-endian),
+# the same rolling-polynomial shingle combine mod 2^64 (UHUGEINT exact),
+# the same 31-bit Mersenne permutations (embedded perm params, exact BIGINT
+# arithmetic) — then compare ALL O(N²) doc pairs by signature-equality
+# fraction. The Ray side must produce the identical pair set + estimates
+# (its bands=64 LSH candidate recall is effectively exact at the 0.5
+# threshold; see stages/dedup.py:minhash_dup_pairs).
+_MINHASH_SQL = r"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\f\v]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, len(w) AS ntok, unnest(generate_series(1, len(w))) AS pos, w
+      FROM docs WHERE len(w) > 0
+    ), th AS (
+      SELECT doc_id, ntok, pos, md5_number_lower(w[pos]) AS h FROM tok
+    ), sh0 AS (
+      SELECT doc_id, ntok, pos, h,
+             lead(h,1) OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+             lead(h,2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+      FROM th
+    ), sh AS (
+      SELECT doc_id,
+        CASE least(ntok, 3)
+          WHEN 1 THEN h::UHUGEINT
+          WHEN 2 THEN ((h::UHUGEINT * 1099511628211::UHUGEINT)
+                       % 18446744073709551616::UHUGEINT + h1)
+                      % 18446744073709551616::UHUGEINT
+          ELSE ((((h::UHUGEINT * 1099511628211::UHUGEINT)
+                  % 18446744073709551616::UHUGEINT + h1)
+                 % 18446744073709551616::UHUGEINT * 1099511628211::UHUGEINT
+                 % 18446744073709551616::UHUGEINT + h2))
+               % 18446744073709551616::UHUGEINT
+        END AS s
+      FROM sh0 WHERE pos <= ntok - least(ntok, 3) + 1
+    ), us AS (
+      SELECT DISTINCT doc_id, (s % 2147483647::UHUGEINT)::BIGINT AS s31 FROM sh
+    ), perms(p, a, b) AS (VALUES {perms}),
+    sigs AS (
+      SELECT doc_id, p, min((s31 * a + b) % 2147483647) AS v
+      FROM us CROSS JOIN perms GROUP BY doc_id, p
+    ), est AS (
+      SELECT x.doc_id AS a, y.doc_id AS b,
+             sum(CASE WHEN x.v = y.v THEN 1 ELSE 0 END)::DOUBLE / 128 AS jaccard
+      FROM sigs x JOIN sigs y ON x.p = y.p AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT a, b, jaccard FROM est WHERE jaccard >= 0.5
+"""
+
+# SimHash oracle: recompute the 64-bit fingerprint in SQL (same md5 token
+# hashes, same weighted bit vote with the acc>0 tie rule) and apply the
+# operator's documented Manku-style contract over ALL O(N²) pairs:
+# Hamming <= max_hamming AND at least one shared 16-bit chunk (complete
+# recall for Hamming <= 3, chunk-pruned above — see
+# stages/dedup.py:simhash_dup_pairs).
+_SIMHASH_SQL = r"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\f\v]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(w) AS t FROM docs
+    ), th AS (
+      SELECT doc_id, md5_number_lower(t) AS h FROM tok
+    ), votes AS (
+      SELECT doc_id, bits.b AS bit,
+             CASE WHEN sum(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN 1::UBIGINT ELSE 0::UBIGINT END AS v
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bits
+      GROUP BY doc_id, bits.b
+    ), sig AS (
+      SELECT d.doc_id, coalesce(s.f, 0::UBIGINT) AS f
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, sum(v << bit)::UBIGINT AS f FROM votes GROUP BY doc_id
+      ) s USING (doc_id)
+    )
+    SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.f, y.f))::BIGINT AS hamming
+    FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.f, y.f)) <= 10
+      AND ((x.f & 65535) = (y.f & 65535)
+        OR ((x.f >> 16) & 65535) = ((y.f >> 16) & 65535)
+        OR ((x.f >> 32) & 65535) = ((y.f >> 32) & 65535)
+        OR ((x.f >> 48) & 65535) = ((y.f >> 48) & 65535))
+"""
+
+
+def _minhash_oracle_sql() -> str:
+    """Embed the (seeded, shared-config) permutation params as literals."""
+    from atra_ray.stages.dedup import _perm_params
+
+    a, b = _perm_params(128)
+    perms = ", ".join(
+        f"({p}, {int(a[p])}, {int(b[p])})" for p in range(128)
+    )
+    return _MINHASH_SQL.replace("{perms}", perms)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -555,9 +664,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT b FROM exact_pairs)
         """,
-        # ann_lsh_topk / ann_ivf_topk / minhash / simhash: intentionally no
-        # SQL (approximate operators) — rows-only checks, with accuracy
-        # asserted in tests (recall vs the exact baselines).
+        # deterministic sketch operators: full SQL recomputation of the
+        # signatures (md5 + exact modular arithmetic — see the template
+        # docstrings above)
+        "minhash_dup_pairs": _minhash_oracle_sql(),
+        "simhash_dup_pairs": _SIMHASH_SQL,
+        # ann_lsh_topk / ann_ivf_topk: intentionally no SQL (approximate
+        # operators whose bucketing depends on float dot products /
+        # k-means — not bit-reproducible in SQL) — rows-only checks, with
+        # accuracy asserted in tests (recall vs the exact baselines).
         # doc_language: the driver table's `lang` column is METADATA ONLY —
         # every documents.text row draws from the same English-ish synthetic
         # vocabulary regardless of its label (verified: detector says "eng"

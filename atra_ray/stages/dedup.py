@@ -75,22 +75,25 @@ def dedup_exact(docs_path: str) -> rd.Dataset:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+# 31-bit Mersenne prime: small enough that (s31 * a + b) stays < 2^62 and
+# every minhash permutation is EXACT uint64 arithmetic (no wraparound) — the
+# property that lets a DuckDB oracle recompute identical signatures in SQL.
+_MERSENNE31 = (1 << 31) - 1
 _POLY = np.uint64(1099511628211)  # FNV-ish odd multiplier (uint64 wraparound)
 
 
 def _token_hashes(toks: list[str]) -> np.ndarray:
-    """uint64 hash per token; blake2b runs once per UNIQUE token (documents
-    repeat words heavily — this is the difference between O(tokens) and
-    O(unique) digest calls)."""
+    """uint64 hash per token = DuckDB's ``md5_number_lower`` (bytes 8..16 of
+    the md5 digest, little-endian) so SQL oracles can reproduce signatures
+    bit-for-bit. The digest runs once per UNIQUE token (documents repeat
+    words heavily — this is the difference between O(tokens) and O(unique)
+    digest calls)."""
     uniq: dict[str, int] = {}
     out = np.empty(len(toks), dtype=np.uint64)
     for i, t in enumerate(toks):
         h = uniq.get(t)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-            )
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
             uniq[t] = h
         out[i] = h
     return out
@@ -120,24 +123,28 @@ def _shingles(text: str, n: int = 3) -> Iterable[int]:
 
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    a = rng.randint(1, _MERSENNE31, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE31, size=num_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
 def minhash_signatures(texts: list[str], num_perm: int = 128, ngram: int = 3) -> np.ndarray:
     """(len(texts), num_perm) uint64 signature matrix, vectorized per doc:
-    sig[p] = min over shingles s of (a_p * s + b_p mod M)."""
+    sig[p] = min over shingles s of (a_p * (s mod M31) + b_p) mod M31.
+
+    All arithmetic is exact (max operand product < 2^62), so the DuckDB
+    oracle can recompute the same values from the same perm params. Docs
+    with no shingles keep the uint64-max sentinel row."""
     a, b = _perm_params(num_perm)
     out = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i, t in enumerate(texts):
-            sh = np.unique(_shingle_hashes(t, ngram))
-            if len(sh) == 0:
-                continue
-            # (S, P) broadcast; uint64 wraparound then mod the Mersenne prime
-            v = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-            out[i] = v.min(axis=0)
+    m31 = np.uint64(_MERSENNE31)
+    for i, t in enumerate(texts):
+        sh = np.unique(_shingle_hashes(t, ngram)) % m31
+        if len(sh) == 0:
+            continue
+        # (S, P) broadcast — exact: (2^31-2)^2 + 2^31 < 2^62
+        v = (sh[:, None] * a[None, :] + b[None, :]) % m31
+        out[i] = v.min(axis=0)
     return out
 
 
@@ -190,7 +197,7 @@ def build_signature_store(
     st = os.stat(docs_path) if os.path.isfile(docs_path) else None
     key = hashlib.blake2b(
         f"{docs_path}|{st.st_mtime_ns if st else 0}|{st.st_size if st else 0}"
-        f"|{num_perm}|{ngram}|{num_partitions}|v2".encode(),
+        f"|{num_perm}|{ngram}|{num_partitions}|v3".encode(),
         digest_size=12,
     ).hexdigest()
     from pathlib import Path
@@ -382,7 +389,13 @@ def minhash_dup_pairs(
     the verify is TWO co-partitioned hash joins (pairs⋈sigs on a, then on
     b) with the estimate computed inside the second join's reduce task.
     No ``.to_pandas()``, no corpus-wide ``ray.put`` — the at-scale shape
-    the operator docstring promises (VERDICT r1 item 1)."""
+    the operator docstring promises (VERDICT r1 item 1).
+
+    Signatures are deterministic and SQL-reproducible (md5 token hashes,
+    exact 31-bit Mersenne permutations), so with ``bands`` sized for
+    effectively-exact recall at the threshold (bands=64 → rows of 2,
+    miss prob (1-est²)^64 ≈ 1e-8 at est=0.5) the output equals the full
+    O(N²) signature comparison — which is what the DuckDB oracle computes."""
     sig_store = build_signature_store(docs_path, num_perm, ngram, num_partitions)
     pairs = lsh_candidate_pairs(sig_store, bands, max_bucket, num_partitions)
 
@@ -586,8 +599,14 @@ def simhash64(text: str) -> int:
 
 
 def simhash_dup_pairs(docs_path: str, max_hamming: int = 3) -> rd.Dataset:
-    """Near-dup pairs by SimHash banding (4 × 16-bit chunks: any pair within
-    Hamming distance 3 shares at least one exact chunk) + Hamming verify."""
+    """Near-dup pairs by SimHash banding (4 × 16-bit chunks) + Hamming
+    verify — the Manku-style (WWW'07 \"Detecting Near-Duplicates for Web
+    Crawling\") contract: candidates must share at least one exact 16-bit
+    chunk, so recall is COMPLETE for Hamming distance <= 3 (pigeonhole)
+    and chunk-pruned above. The fingerprint is deterministic (md5 token
+    hashes, weighted bit vote), so the whole output — including the
+    pruning rule at max_hamming > 3 — is reproducible by the DuckDB
+    oracle's independent SQL recomputation."""
 
     def _sig(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id"), dtype=np.int64)

@@ -67,6 +67,39 @@ def test_minhash_estimates_jaccard():
     assert (sigs2[0] == sigs2[1]).all()
 
 
+def test_sketch_hashes_match_duckdb():
+    """The minhash/simhash SQL oracles recompute signatures in DuckDB; that
+    only works while the python token hash equals md5_number_lower and the
+    minhash permutation arithmetic is exact. Pin both equivalences."""
+    import duckdb
+
+    from atra_ray.stages.dedup import _perm_params, _shingle_hashes, _token_hashes
+
+    con = duckdb.connect()
+    toks = ["hello", "quick", "a", "1919", "brown-fox"]
+    py = _token_hashes(toks)
+    for t, h in zip(toks, py):
+        assert con.execute("SELECT md5_number_lower(?)", [t]).fetchone()[0] == int(h)
+
+    # rolling shingle combine mod 2^64 matches the UHUGEINT SQL expression
+    text = "the quick brown fox jumps"
+    th = [int(x) for x in _token_hashes(text.split())]
+    expect = []
+    for i in range(len(th) - 2):
+        acc = th[i]
+        for k in (1, 2):
+            acc = (acc * 1099511628211 + th[i + k]) % (1 << 64)
+        expect.append(acc)
+    assert [int(x) for x in _shingle_hashes(text)] == expect
+
+    # permutation arithmetic is exact (no uint64 wraparound): max product
+    # of (s31, a) plus b stays below 2^63
+    a, b = _perm_params(128)
+    m31 = (1 << 31) - 1
+    assert int(a.max()) < m31 and int(b.max()) < m31
+    assert (m31 - 1) * (m31 - 1) + (m31 - 1) < (1 << 63)
+
+
 def test_simhash_properties():
     a = simhash64("the quick brown fox jumps over the lazy dog " * 5)
     b = simhash64("the quick brown fox jumps over the lazy dog " * 5)
