@@ -95,6 +95,51 @@ def _stub_fsspec_http() -> None:
 _stub_fsspec_http()
 
 
+def _select_url_status_fn(block: "pa.Table") -> "pa.Table":
+    """Zero-copy (url, status) projection of one wave block — run as a raw
+    Ray task per block instead of a whole Dataset execution (each per-wave
+    execution costs a fixed ~0.3s of plan/schedule overhead; a 15-wave
+    crawl was paying ~5s total just to project two columns). The seen
+    shards pull ONLY these projected blocks (VERDICT r2 item 2)."""
+    return block.select(["url", "status"])
+
+
+def _small_wave_fn(fetch_fn, link_fn, bl_pats, *pop_blocks):
+    """Whole-wave fast path for SMALL waves (≲1k urls): poll-filter +
+    fetch/extract + link explode/filter + min-depth dedup in ONE Ray task,
+    reusing the IDENTICAL kernel closures the Dataset path maps
+    (make_fetch_task / _make_link_stage / the groupby-min reduce) — only
+    the orchestration differs, so results, marks and admissions are
+    byte-identical. Rationale: a wave costs 3 Dataset executions
+    (~0.3-0.7s fixed overhead each); crawl tails are long chains of
+    near-empty waves where that fixed cost dominated wall time.
+
+    Returns (emitted, status_block, deduped_links_block); the full results
+    table never enters the object store — the fetch kernel already wrote
+    it to the round's Parquet in-task."""
+    import numpy as np
+    import pandas as pd
+
+    blocks = [b for b in pop_blocks if b.num_rows]
+    t = pa.concat_tables(blocks) if blocks else pop_blocks[0].slice(0, 0)
+    if bl_pats and t.num_rows:
+        keep = np.ones(t.num_rows, dtype=bool)
+        for pat in bl_pats:
+            keep &= ~np.asarray(pc.match_substring_regex(t.column("url"), pat))
+        t = t.filter(pa.array(keep))
+    results = fetch_fn(t)
+    status = results.select(["url", "status"])
+    links = link_fn(results).to_pandas()
+    deduped = links.groupby("target", as_index=False)["depth_key"].min()
+    return (
+        results.num_rows,
+        status,
+        pa.Table.from_pandas(
+            deduped[["target", "depth_key"]], preserve_index=False
+        ),
+    )
+
+
 class CrawlHandles:
     """The crawl's distributed state: fixed-count shard actors, all created
     ONCE per crawl and reused across every wave (pool restarts per wave
@@ -235,6 +280,7 @@ def run_crawl(
     checkpoint_every: int = 1,
     page_store_dir: str | None = None,
     seen_max_resident: int | None = None,
+    small_wave_max: int | None = None,
 ) -> dict:
     """Run (or resume) a crawl; returns a summary dict. Ray must already be
     initialised by the caller (never initialised here)."""
@@ -569,10 +615,18 @@ def run_crawl(
 
     t0 = time.monotonic()
     total_fetched = 0
+    # raw-task wrappers for the per-wave hot path (see the module-level
+    # kernels' docstrings): projection per block, and the one-task
+    # small-wave path
+    _select_status = ray.remote(_select_url_status_fn)
+    _small_wave = ray.remote(num_returns=3)(_small_wave_fn)
     # expected rows of the NEXT wave (seeds now; admitted+refilled later):
     # sizes the wave's fan-out repartition so tiny waves don't pay a
-    # fixed 2x-concurrency shuffle, and big waves still use the full pool
+    # fixed 2x-concurrency shuffle, and big waves still use the full pool;
+    # below small_wave_max the wave skips Dataset execution entirely
     expected_rows = max(1, len(seeds))
+    if small_wave_max is None:
+        small_wave_max = max(1024, batch_size)
     wave = start_wave
     while True:
         if max_waves is not None and wave >= start_wave + max_waves:
@@ -591,34 +645,60 @@ def run_crawl(
         # block per frontier shard — far fewer than the CPU count — so the
         # (tiny, url+ints) rows are repartitioned to fan the fetch out to
         # the full pool; politeness was already enforced at pop time.
-        fanout = max(1, min(fetch_concurrency * 2, expected_rows // max(batch_size // 4, 1) + 1))
-        wave_ds = rd.from_arrow_refs(pop_refs).repartition(fanout)
-        if blacklist_path is not None and blacklist:
-            # fetch-time blacklist check (UrlChecker in crawler.rs:640-709):
-            # with hot-append (T4), URLs queued BEFORE a pattern landed must
-            # still be stopped at poll time, not only at link admission
-            _bl_now = [p.pattern for p in blacklist]
-
-            def _poll_filter(batch: pa.Table) -> pa.Table:
-                import numpy as np
-
-                keep = np.ones(batch.num_rows, dtype=bool)
-                for pat in _bl_now:
-                    keep &= ~np.asarray(
-                        pc.match_substring_regex(batch.column("url"), pat)
-                    )
-                return batch.filter(pa.array(keep))
-
-            wave_ds = wave_ds.map_batches(_poll_filter, batch_format="pyarrow")
-        wave_results = (
-            wave_ds
-            .map_batches(
-                make_wave_fetch(wave), batch_format="pyarrow", batch_size=batch_size
-            )
-            .materialize()  # pinned for the link pass
+        _bl_now = (
+            [p.pattern for p in blacklist]
+            if (blacklist_path is not None and blacklist)
+            else None
         )
+        use_small = expected_rows <= small_wave_max
+        if use_small:
+            # small-wave fast path: ONE raw task runs poll-filter + fetch +
+            # link stage + min-depth dedup (identical kernels; see
+            # _small_wave_fn) — crawl tails are chains of near-empty waves
+            # where the 3 Dataset executions' fixed overhead dominated
+            em_ref, st_ref, lk_ref = _small_wave.remote(
+                make_wave_fetch(wave), _make_link_stage(wave), _bl_now, *pop_refs
+            )
+            emitted = ray.get(em_ref)
+            t_fetch0_end = t_mark_launch = time.monotonic()
+            status_refs = [st_ref]
+            small_link_refs = [lk_ref]
+        else:
+            fanout = max(1, min(fetch_concurrency * 2, expected_rows // max(batch_size // 4, 1) + 1))
+            wave_ds = rd.from_arrow_refs(pop_refs).repartition(fanout)
+            if _bl_now:
+                # fetch-time blacklist check (UrlChecker in
+                # crawler.rs:640-709): with hot-append (T4), URLs queued
+                # BEFORE a pattern landed must still be stopped at poll
+                # time, not only at link admission
+                def _poll_filter(batch: pa.Table) -> pa.Table:
+                    import numpy as np
 
-        emitted = wave_results.count()
+                    keep = np.ones(batch.num_rows, dtype=bool)
+                    for pat in _bl_now:
+                        keep &= ~np.asarray(
+                            pc.match_substring_regex(batch.column("url"), pat)
+                        )
+                    return batch.filter(pa.array(keep))
+
+                wave_ds = wave_ds.map_batches(_poll_filter, batch_format="pyarrow")
+            wave_results = (
+                wave_ds
+                .map_batches(
+                    make_wave_fetch(wave), batch_format="pyarrow", batch_size=batch_size
+                )
+                .materialize()  # pinned for the link pass
+            )
+
+            emitted = wave_results.count()
+            # column-pruned projection as one raw task per block (zero-copy
+            # Arrow select; a Dataset execution here cost a fixed ~0.3s/wave)
+            t_fetch0_end = time.monotonic()
+            status_refs = [
+                _select_status.remote(b) for b in _block_refs_of(wave_results)
+            ]
+            small_link_refs = None
+            t_mark_launch = time.monotonic()
         # mark pass (T6/A3): the seen shards PULL the wave's COLUMN-PRUNED
         # (url, status) side table in parallel — each marks the urls it
         # owns and returns their status counts (fetch tasks stay pure; no
@@ -626,11 +706,6 @@ def run_crawl(
         # The projection drops text/links/html-size columns BEFORE any
         # block reaches a seen shard: on a multi-node cluster only the two
         # tiny columns cross nodes (VERDICT r2 item 2).
-        t_fetch0_end = time.monotonic()
-        status_refs = _block_refs_of(
-            wave_results.select_columns(["url", "status"]).materialize()
-        )
-        t_mark_launch = time.monotonic()
         mark_refs = [
             s.mark_blocks.remote(status_refs, len(seen_handles), wave)
             for s in seen_handles
@@ -652,33 +727,40 @@ def run_crawl(
             wave += 1
             continue
 
-        from ..stages.shuffle import partitioned_map_groups
+        if small_link_refs is not None:
+            # small path already produced the deduped (target, depth_key)
+            # block inside the wave task
+            t_links0 = t_links = time.monotonic()
+            link_refs = small_link_refs
+        else:
+            from ..stages.shuffle import partitioned_map_groups
 
-        # results write + link-state mark + status counts already happened
-        # INSIDE the fetch tasks; the only remaining pass is the link
-        # chain. A1 min-depth dedup: hash-partitioned exchange keyed by
-        # target-url hash (low-cardinality partition ids for Ray,
-        # vectorized pandas min inside each partition — native groupby
-        # pays per-distinct-key Python cost, ruinous for URL keys).
-        # Web-graph edges are NOT a separate sink: they're a projection of
-        # the results' links column, derived on demand (dump.edges_of_crawl).
-        links_ds = wave_results.map_batches(
-            _make_link_stage(wave), batch_format="pyarrow"
-        )
-        deduped = partitioned_map_groups(
-            links_ds,
-            ["target"],
-            lambda df: df.groupby("target", as_index=False)["depth_key"].min(),
-            num_partitions=16,
-        )
-        # admission (J1): materialize the deduped (target, depth_key)
-        # table — tiny, two columns — and let every seen shard PULL it,
-        # admit the urls it owns locally and push fresh ones shard-to-
-        # shard to the frontier. No map_batches task on the crawl path
-        # ever blocks on ray.get (VERDICT r2 item 3).
-        t_links0 = time.monotonic()
-        link_refs = _block_refs_of(deduped.materialize())
-        t_links = time.monotonic()
+            # results write + link-state mark + status counts already
+            # happened INSIDE the fetch tasks; the only remaining pass is
+            # the link chain. A1 min-depth dedup: hash-partitioned exchange
+            # keyed by target-url hash (low-cardinality partition ids for
+            # Ray, vectorized pandas min inside each partition — native
+            # groupby pays per-distinct-key Python cost, ruinous for URL
+            # keys). Web-graph edges are NOT a separate sink: they're a
+            # projection of the results' links column, derived on demand
+            # (dump.edges_of_crawl).
+            links_ds = wave_results.map_batches(
+                _make_link_stage(wave), batch_format="pyarrow"
+            )
+            deduped = partitioned_map_groups(
+                links_ds,
+                ["target"],
+                lambda df: df.groupby("target", as_index=False)["depth_key"].min(),
+                num_partitions=16,
+            )
+            # admission (J1): materialize the deduped (target, depth_key)
+            # table — tiny, two columns — and let every seen shard PULL it,
+            # admit the urls it owns locally and push fresh ones shard-to-
+            # shard to the frontier. No map_batches task on the crawl path
+            # ever blocks on ray.get (VERDICT r2 item 3).
+            t_links0 = time.monotonic()
+            link_refs = _block_refs_of(deduped.materialize())
+            t_links = time.monotonic()
         admit_refs = [
             s.admit_blocks.remote(
                 link_refs, len(seen_handles), frontier_handles,
@@ -707,6 +789,7 @@ def run_crawl(
             {
                 "round": wave,
                 "emitted": emitted,
+                "small_path": use_small,
                 "status": status_counts,
                 "links_checked": checked,
                 "links_admitted": admitted,
