@@ -10,9 +10,12 @@ driver-side BSP rounds ("waves"):
         results  = wave →  map_batches(fetch task pool)      (fetch ⋈ pages + extract)
         write      results → out/results/round=w/            (Parquet, resumable)
         mark       crawled urls in seen shards               (link-state upsert)
-        links    = explode(results.links) → budget/blacklist filter
-                   → groupby(target).min(depth)              (wave-level dedup, A1)
-                   → SeenShard.check_and_add                 (global exactly-once)
+        links    = per-block tasks: explode(results.links) → budget/
+                   blacklist filter → local min(depth) combine → split by
+                   seen-shard url hash                       (map side, A1)
+                   → SeenShard.admit_blocks: global min + check_and_add
+                     (ownership = url-hash partition ⇒ per-shard min is
+                     the global min; global exactly-once)
                    → FrontierShard.push (routed by origin hash)
         checkpoint frontier + seen + lineage → out/chk/round=w/ (+_SUCCESS)
 
@@ -25,10 +28,13 @@ Scale notes (10^10 frontier / 256 nodes):
   politeness budget: ≤ max_per_host × active_hosts rows), reused for the
   write, the mark pass and the link pass — three streaming passes over
   object-store blocks instead of three re-fetches.
-- shuffles: the only all-to-all is the per-wave `groupby(target)` link
-  dedup, whose input has already been budget/blacklist-filtered inside
-  map_batches (combiner-style) — at web scale keys are salted by the url
-  hash the groupby itself keys on, so skew = hot-page in-degree only.
+- shuffles: NONE in the steady-state wave loop. The link-candidate
+  exchange is map-side-split by seen-shard url hash (each shard pulls
+  only its own split — the table crosses the network exactly once), and
+  the A1 global min-depth dedup folds into the shards' admission pass,
+  because shard ownership is itself a url-hash partition. Input was
+  already budget/blacklist-filtered + locally combined in the map tasks,
+  so skew = hot-page in-degree only.
 - resume: max round with a _SUCCESS marker wins; seen shards rebuild
   their blooms from the authoritative Parquet (recover-mode semantics,
   app/atra.rs:179-199 — unfinished work re-enters the frontier because
@@ -102,6 +108,37 @@ def _select_url_status_fn(block: "pa.Table") -> "pa.Table":
     crawl was paying ~5s total just to project two columns). The seen
     shards pull ONLY these projected blocks (VERDICT r2 item 2)."""
     return block.select(["url", "status"])
+
+
+def _link_combine_fn(link_fn, num_shards, block):
+    """Map-side link pass for one wave block, as a raw Ray task: explode/
+    filter links (the identical ``_link_stage`` kernel the Dataset path
+    used) + LOCAL min-depth combine + split by seen-shard url hash.
+    There is no reduce exchange anymore: seen-shard ownership is itself a
+    url-hash partition, so the per-shard min taken inside
+    ``SeenShardState.admit_blocks`` IS the global min (A1). Each shard
+    pulls ONLY its own split — on a multi-node cluster the candidate
+    table crosses the network exactly once, same as the old exchange,
+    minus a whole Dataset execution (+ sort) per wave."""
+    from ..functions.urlkit import url_shards_batch
+
+    links = link_fn(block)
+    if links.num_rows == 0:
+        empty = pa.table(
+            {
+                "target": pa.array([], pa.string()),
+                "depth_key": pa.array([], pa.int64()),
+            }
+        )
+        return [empty] * num_shards
+    dd = links.to_pandas().groupby("target", as_index=False)["depth_key"].min()
+    t = pa.Table.from_pandas(
+        dd[["target", "depth_key"]], preserve_index=False
+    )
+    if num_shards == 1:
+        return [t]
+    sh = url_shards_batch(t.column("target"), num_shards)
+    return [t.filter(pa.array(sh == s)) for s in range(num_shards)]
 
 
 def _small_wave_fn(fetch_fn, link_fn, bl_pats, *pop_blocks):
@@ -620,6 +657,13 @@ def run_crawl(
     # small-wave path
     _select_status = ray.remote(_select_url_status_fn)
     _small_wave = ray.remote(num_returns=3)(_small_wave_fn)
+    _num_seen = len(seen_handles)
+    if _num_seen == 1:
+        _link_combine = ray.remote(
+            lambda fn, n, b: _link_combine_fn(fn, n, b)[0]
+        )
+    else:
+        _link_combine = ray.remote(num_returns=_num_seen)(_link_combine_fn)
     # expected rows of the NEXT wave (seeds now; admitted+refilled later):
     # sizes the wave's fan-out repartition so tiny waves don't pay a
     # fixed 2x-concurrency shuffle, and big waves still use the full pool;
@@ -694,9 +738,8 @@ def run_crawl(
             # column-pruned projection as one raw task per block (zero-copy
             # Arrow select; a Dataset execution here cost a fixed ~0.3s/wave)
             t_fetch0_end = time.monotonic()
-            status_refs = [
-                _select_status.remote(b) for b in _block_refs_of(wave_results)
-            ]
+            wave_block_refs = _block_refs_of(wave_results)
+            status_refs = [_select_status.remote(b) for b in wave_block_refs]
             small_link_refs = None
             t_mark_launch = time.monotonic()
         # mark pass (T6/A3): the seen shards PULL the wave's COLUMN-PRUNED
@@ -728,45 +771,46 @@ def run_crawl(
             continue
 
         if small_link_refs is not None:
-            # small path already produced the deduped (target, depth_key)
-            # block inside the wave task
+            # small path already produced the combined (target, depth_key)
+            # block inside the wave task; every shard pulls it (tiny) and
+            # keeps its own rows
             t_links0 = t_links = time.monotonic()
-            link_refs = small_link_refs
+            link_refs_by_shard = [small_link_refs] * _num_seen
         else:
-            from ..stages.shuffle import partitioned_map_groups
-
             # results write + link-state mark + status counts already
             # happened INSIDE the fetch tasks; the only remaining pass is
-            # the link chain. A1 min-depth dedup: hash-partitioned exchange
-            # keyed by target-url hash (low-cardinality partition ids for
-            # Ray, vectorized pandas min inside each partition — native
-            # groupby pays per-distinct-key Python cost, ruinous for URL
-            # keys). Web-graph edges are NOT a separate sink: they're a
-            # projection of the results' links column, derived on demand
-            # (dump.edges_of_crawl).
-            links_ds = wave_results.map_batches(
-                _make_link_stage(wave), batch_format="pyarrow"
-            )
-            deduped = partitioned_map_groups(
-                links_ds,
-                ["target"],
-                lambda df: df.groupby("target", as_index=False)["depth_key"].min(),
-                num_partitions=16,
-            )
-            # admission (J1): materialize the deduped (target, depth_key)
-            # table — tiny, two columns — and let every seen shard PULL it,
-            # admit the urls it owns locally and push fresh ones shard-to-
-            # shard to the frontier. No map_batches task on the crawl path
-            # ever blocks on ray.get (VERDICT r2 item 3).
+            # the link chain, as RAW TASKS per materialized block:
+            # explode/filter + local min-depth combine + split by
+            # seen-shard url hash (_link_combine_fn). The former
+            # partitioned exchange is gone — seen-shard ownership is
+            # itself a url-hash partition, so the per-shard min inside
+            # admit_blocks IS the global A1 min, and each shard pulls
+            # only its own split. Web-graph edges are NOT a separate
+            # sink: they're a projection of the results' links column,
+            # derived on demand (dump.edges_of_crawl).
             t_links0 = time.monotonic()
-            link_refs = _block_refs_of(deduped.materialize())
+            _link_stage_fn = _make_link_stage(wave)
+            outs = [
+                _link_combine.remote(_link_stage_fn, _num_seen, b)
+                for b in wave_block_refs
+            ]
+            if _num_seen == 1:
+                link_refs_by_shard = [outs]
+            else:
+                link_refs_by_shard = [
+                    [o[s] for o in outs] for s in range(_num_seen)
+                ]
             t_links = time.monotonic()
+        # admission (J1): seen shards pull their candidate splits, dedup,
+        # admit locally and push shard-to-shard to the frontier. No
+        # map_batches task on the crawl path ever blocks on ray.get
+        # (VERDICT r2 item 3).
         admit_refs = [
             s.admit_blocks.remote(
-                link_refs, len(seen_handles), frontier_handles,
+                link_refs_by_shard[i], len(seen_handles), frontier_handles,
                 len(frontier_handles), wave,
             )
-            for s in seen_handles
+            for i, s in enumerate(seen_handles)
         ]
 
         from collections import Counter as _Counter

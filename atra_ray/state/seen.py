@@ -354,14 +354,18 @@ class SeenShardState:
         num_frontier: int,
         wave: int,
     ) -> tuple[int, int]:
-        """J1 admission as a PULL pass (VERDICT r2 item 3): the driver
-        materializes the wave's deduped link table (tiny: target +
-        packed depth key) and every seen shard pulls the blocks, admits
-        the urls it owns LOCALLY (no ray.get against other actors from
-        inside a data task — check_and_add is a plain method call here)
-        and pushes the fresh ones straight to the owning frontier shards
-        (shard-to-shard, same shape as refill_recrawl). Returns
-        (checked, admitted) counts for lineage."""
+        """J1 admission as a PULL pass (VERDICT r2 item 3): every seen
+        shard pulls the wave's PER-BLOCK link-candidate tables (tiny:
+        target + packed depth key, already combiner-deduped within each
+        block), keeps the urls it owns, takes the GLOBAL min depth per
+        target — ownership is a url-hash partition, so a per-shard min IS
+        the global min; no cross-shard exchange needed — then admits
+        LOCALLY (no ray.get against other actors from inside a data task —
+        check_and_add is a plain method call here) and pushes the fresh
+        urls straight to the owning frontier shards (shard-to-shard, same
+        shape as refill_recrawl). Returns (checked, admitted) counts for
+        lineage; checked counts DEDUPED candidates (parity with the old
+        pre-deduped exchange)."""
         import ray
 
         from ..functions.urlkit import (
@@ -371,56 +375,60 @@ class SeenShardState:
         )
 
         _S1, _S2 = 1 << 42, 1 << 21
-        checked = 0
-        admitted = 0
-        push_refs = []
+        mine_parts = []
         for t in map(_as_table, ray.get(list(block_refs))):
             if t.num_rows == 0:
                 continue
-            urls_col = t.column("target")
-            own = url_shards_batch(urls_col, num_shards) == self.shard_id
-            if not own.any():
-                continue
-            mine = t.filter(pa.array(own))
-            urls = mine.column("target").to_pylist()
-            keys = np.asarray(mine.column("depth_key"), dtype=np.int64)
-            tds = keys // _S1
-            dow = (keys % _S1) // _S2
-            dts = keys % _S2
-            checked += len(urls)
-            fresh = self.check_and_add(
-                urls,
-                [False] * len(urls),
-                list(zip(dow.tolist(), dts.tolist(), tds.tolist())),
-            )
-            fmask = np.asarray(fresh, dtype=bool)
-            if not fmask.any():
-                continue
+            own = url_shards_batch(t.column("target"), num_shards) == self.shard_id
+            if own.any():
+                mine_parts.append(t.select(["target", "depth_key"]).filter(pa.array(own)))
+        if not mine_parts:
+            return 0, 0
+        mine = (
+            pa.concat_tables(mine_parts)
+            .to_pandas()
+            .groupby("target", as_index=False)["depth_key"]
+            .min()
+        )
+        urls = mine["target"].tolist()
+        keys = mine["depth_key"].to_numpy(dtype=np.int64)
+        tds = keys // _S1
+        dow = (keys % _S1) // _S2
+        dts = keys % _S2
+        checked = len(urls)
+        admitted = 0
+        push_refs = []
+        fresh = self.check_and_add(
+            urls,
+            [False] * len(urls),
+            list(zip(dow.tolist(), dts.tolist(), tds.tolist())),
+        )
+        fmask = np.asarray(fresh, dtype=bool)
+        if fmask.any():
             f_urls = [u for u, f in zip(urls, fresh) if f]
             f_origins = origins_batch(f_urls)
             keep = [i for i, o in enumerate(f_origins) if o is not None]
-            if not keep:
-                continue
-            f_urls = [f_urls[i] for i in keep]
-            f_origins = [f_origins[i] for i in keep]
-            fi = np.flatnonzero(fmask)[keep]
-            shards = origin_shards_batch(f_origins, num_frontier)
-            admitted += len(f_urls)
-            for sh in np.unique(shards):
-                m = shards == sh
-                idx = np.flatnonzero(m)
-                push_refs.append(
-                    frontier_handles[int(sh)].push.remote(
-                        [f_urls[i] for i in idx],
-                        [f_origins[i] for i in idx],
-                        dow[fi[m]].tolist(),
-                        dts[fi[m]].tolist(),
-                        tds[fi[m]].tolist(),
-                        [False] * len(idx),
-                        [0] * len(idx),
-                        [wave + 1] * len(idx),
+            if keep:
+                f_urls = [f_urls[i] for i in keep]
+                f_origins = [f_origins[i] for i in keep]
+                fi = np.flatnonzero(fmask)[keep]
+                shards = origin_shards_batch(f_origins, num_frontier)
+                admitted = len(f_urls)
+                for sh in np.unique(shards):
+                    m = shards == sh
+                    idx = np.flatnonzero(m)
+                    push_refs.append(
+                        frontier_handles[int(sh)].push.remote(
+                            [f_urls[i] for i in idx],
+                            [f_origins[i] for i in idx],
+                            dow[fi[m]].tolist(),
+                            dts[fi[m]].tolist(),
+                            tds[fi[m]].tolist(),
+                            [False] * len(idx),
+                            [0] * len(idx),
+                            [wave + 1] * len(idx),
+                        )
                     )
-                )
         ray.get(push_refs)
         return checked, admitted
 
