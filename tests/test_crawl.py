@@ -116,7 +116,11 @@ def test_budget_limits_depth(crawl_pair):
     assert max(seen.column("tds").to_pylist()) < 3  # absolute depth 3
 
 
-def test_blacklist_filters_host(ray_session, fixtures_small, tmp_path):
+@pytest.mark.parametrize("small_wave_max", [None, 0])
+def test_blacklist_filters_host(ray_session, fixtures_small, tmp_path, small_wave_max):
+    """Both orchestration paths (small-wave raw task: default at this
+    corpus size; Dataset path: forced via small_wave_max=0) must apply
+    the blacklist at link admission AND at poll time."""
     cfg = CrawlConfig(
         budget=BudgetSetting(kind="absolute", depth=2),
         blacklist=(r"host3\.example",),
@@ -135,6 +139,7 @@ def test_blacklist_filters_host(ray_session, fixtures_small, tmp_path):
         seeds,
         cfg,
         out,
+        small_wave_max=small_wave_max,
     )
     engine_seen = _seen_map(pq.read_table(Path(out) / "link_state.parquet"))
     assert engine_seen == _seen_map(sim["seen"])
