@@ -210,6 +210,7 @@ def make_fetch_task(
     redirects_ref=None,
     results_dir: str | None = None,
     wave: int = -1,
+    slim_output: bool = False,
 ):
     """Build the fetch+extract map_batches function for ONE WAVE.
 
@@ -334,6 +335,14 @@ def make_fetch_task(
             ).hexdigest()
             os.makedirs(results_dir, exist_ok=True)
             pq.write_table(result, Path(results_dir) / f"batch-{bid}.parquet")
+        if slim_output:
+            # the crawl's downstream passes need ONLY (url, status, links):
+            # status projection for the mark pass, links for admission. The
+            # full row (text/encoding/format/...) already went to the
+            # round's Parquet above — shipping the text column back through
+            # the object store would be pure serialization cost (~MBs per
+            # block) for data nothing reads.
+            return result.select(["url", "status", "links"])
         return result
 
     return fetch_extract
