@@ -203,6 +203,8 @@ class CrawlHandles:
         num_store_actors: int = 4,
         seen_max_resident: int | None = None,
         seen_spill_root: str | None = None,
+        frontier_max_resident: int | None = None,
+        frontier_spill_root: str | None = None,
     ):
         import ray  # noqa: F401
 
@@ -214,6 +216,12 @@ class CrawlHandles:
                 delay_s=cfg.delay_s,
                 max_per_host_per_wave=cfg.max_pages_per_host_per_wave,
                 max_queue_age=cfg.max_queue_age,
+                max_resident_per_origin=frontier_max_resident,
+                spill_dir=(
+                    f"{frontier_spill_root}/shard-{i}"
+                    if frontier_spill_root
+                    else None
+                ),
             )
             for i in range(num_frontier)
         ]
@@ -326,6 +334,7 @@ def run_crawl(
     checkpoint_every: int = 1,
     page_store_dir: str | None = None,
     seen_max_resident: int | None = None,
+    frontier_max_resident: int | None = None,
     small_wave_max: int | None = None,
 ) -> dict:
     """Run (or resume) a crawl; returns a summary dict. Ray must already be
@@ -349,11 +358,20 @@ def run_crawl(
     # of the frontier fits in its node's heap. Spill segments live under
     # the crawl's out dir, i.e. the same (shared at multi-node) storage
     # as checkpoints.
+    # frontier_max_resident symmetrically caps each origin's resident
+    # priority-heap head (cold tail in Parquet spill segments, exact
+    # refill — state/frontier.py module docstring).
     handles = CrawlHandles(
         num_frontier_shards, num_seen_shards, cfg, seen_bits,
         seen_max_resident=seen_max_resident,
         seen_spill_root=(
             str(out / "seen_spill") if seen_max_resident is not None else None
+        ),
+        frontier_max_resident=frontier_max_resident,
+        frontier_spill_root=(
+            str(out / "frontier_spill")
+            if frontier_max_resident is not None
+            else None
         ),
     )
     frontier, seen = handles.frontier, handles.seen

@@ -24,6 +24,28 @@ the reference's missed-host cache.
 Politeness runs on SIMULATED time (BASELINE.md protocol): correctness tests
 verify ordering/rate structure; wall-clock benches measure compute, not
 sleeps.
+
+At-scale memory model (the 10^10-URL frontier of the north rule; mirrors
+the reference's FILE-BACKED queue, queue/file.rs): with
+``max_resident_per_origin`` set, each origin keeps only its best ~R
+entries in the heap; colder entries live in append-only Parquet spill
+segments under ``spill_dir``. The split is EXACT, not approximate, via
+the invariant *every resident entry < every spilled entry of its origin*
+(priority order ``(tds, dow, url)``):
+
+- a push worse than the origin's best spilled entry goes STRAIGHT to
+  spill (deep links are cold by construction);
+- heap overflow (> 2R) sorts once and spills the worst half — amortized
+  O(log R) per push;
+- when a wave drains an origin's heap with spilled entries remaining,
+  the shard runs a BATCHED refill pass: one scan over its segments
+  reloads the top R per needy origin and compacts the rest. Politeness
+  makes refills rare — an origin emits ≤ capacity/wave, so a full head
+  lasts ~R/capacity waves.
+
+``pop_wave`` output is therefore byte-identical to the unbounded
+frontier (test_frontier_spill_equals_unbounded), and ``count()`` /
+termination include spilled entries.
 """
 
 from __future__ import annotations
@@ -61,18 +83,108 @@ class FrontierShardState:
         wave_seconds: float | None = None,
         max_per_host_per_wave: int = 64,
         max_queue_age: int = 20,
+        max_resident_per_origin: int | None = None,
+        spill_dir: str | None = None,
     ):
         self.shard_id = shard_id
         self.default_delay = delay_s
         self.max_per_host = max_per_host_per_wave
         self.wave_seconds = wave_seconds if wave_seconds is not None else delay_s * max_per_host_per_wave
         self.max_queue_age = max_queue_age
-        # origin -> heap of [tds, dow, url, dts, is_seed, age]
+        # origin -> heap of [tds, dow, url, dts, is_seed, age, born]
         self.queues: dict[str, list] = defaultdict(list)
         self.delays: dict[str, float] = {}      # robots crawl-delay overrides (T3→T1)
         self.host_seq: dict[str, int] = defaultdict(int)   # per-origin emit counter
         self.last_access: dict[str, float] = {}  # origin -> simulated ts (T7)
         self.dropped_by_age = 0
+        # ---- spill plane (None = unbounded resident heaps) ----
+        self.max_resident = max_resident_per_origin
+        self.spill_dir = Path(spill_dir) if spill_dir is not None else None
+        if self.max_resident is not None and self.spill_dir is None:
+            raise ValueError("max_resident_per_origin requires spill_dir")
+        if self.spill_dir is not None:
+            self.spill_dir.mkdir(parents=True, exist_ok=True)
+        self._spill_buf: list[tuple] = []   # rows awaiting a segment write
+        self._spill_seq = 0
+        self.spilled_count: dict[str, int] = {}
+        self.spilled_best: dict[str, tuple] = {}  # origin -> min (tds, dow, url)
+
+    # ---- spill plane ----------------------------------------------------
+    _SPILL_COLS = ("url", "origin", "dow", "dts", "tds", "is_seed", "age", "born")
+
+    def _spill_rows(self, origin: str, entries) -> None:
+        """Move entries (heap-format lists) of one origin to the spill
+        buffer, maintaining spilled_count/spilled_best."""
+        best = self.spilled_best.get(origin)
+        for tds, dow, url, dts, seed, age, born in entries:
+            self._spill_buf.append((url, origin, dow, dts, tds, seed, age, born))
+            key = (tds, dow, url)
+            if best is None or key < best:
+                best = key
+        self.spilled_best[origin] = best
+        self.spilled_count[origin] = self.spilled_count.get(origin, 0) + len(entries)
+        if len(self._spill_buf) >= 65536:
+            self._flush_spill()
+
+    def _flush_spill(self) -> None:
+        if not self._spill_buf:
+            return
+        cols = list(zip(*self._spill_buf))
+        t = pa.table(
+            {
+                "url": pa.array(cols[0], pa.string()),
+                "origin": pa.array(cols[1], pa.string()),
+                "dow": pa.array(cols[2], pa.int64()),
+                "dts": pa.array(cols[3], pa.int64()),
+                "tds": pa.array(cols[4], pa.int64()),
+                "is_seed": pa.array(cols[5], pa.bool_()),
+                "age": pa.array(cols[6], pa.int64()),
+                "born": pa.array(cols[7], pa.int64()),
+            }
+        )
+        pq.write_table(t, self.spill_dir / f"spill-{self._spill_seq:06d}.parquet")
+        self._spill_seq += 1
+        self._spill_buf.clear()
+
+    def _spilled_tables(self):
+        self._flush_spill()
+        segs = sorted(self.spill_dir.glob("spill-*.parquet")) if self.spill_dir else []
+        return [pq.read_table(s) for s in segs], segs
+
+    def _refill(self, needy: list[str]) -> None:
+        """ONE batched scan over this shard's spill segments: reload the
+        top max_resident entries of every needy origin into its heap and
+        compact everything else into a fresh segment set. Exact by the
+        resident≤spilled invariant — the reloaded top-K becomes the new
+        resident head, the remainder's min becomes the new spilled_best."""
+        tables, segs = self._spilled_tables()
+        needy_set = set(needy)
+        keep_rows: list[tuple] = []
+        by_origin: dict[str, list] = {o: [] for o in needy_set}
+        for t in tables:
+            for url, origin, dow, dts, tds, seed, age, born in zip(
+                *(t.column(c).to_pylist() for c in self._SPILL_COLS)
+            ):
+                if origin in needy_set:
+                    by_origin[origin].append([tds, dow, url, dts, seed, age, born])
+                else:
+                    keep_rows.append((url, origin, dow, dts, tds, seed, age, born))
+        for s in segs:
+            s.unlink()
+        self._spill_buf = keep_rows
+        for origin in needy_set:
+            rows = sorted(by_origin[origin])
+            head = rows[: self.max_resident]
+            tail = rows[self.max_resident:]
+            q = self.queues[origin]
+            for e in head:
+                heapq.heappush(q, e)
+            self.spilled_count.pop(origin, None)
+            self.spilled_best.pop(origin, None)
+            if tail:
+                self._spill_rows(origin, tail)
+        if self._spill_buf:
+            self._flush_spill()
 
     # ---- configuration --------------------------------------------------
     def set_delays(self, delays: dict[str, float]) -> None:
@@ -94,13 +206,28 @@ class FrontierShardState:
         if borns is None:
             borns = [0] * len(urls)
         n = 0
+        R = self.max_resident
         for url, origin, dow, dts, tds, seed, age, born in zip(
             urls, origins, dows, dtss, tdss, is_seeds, ages, borns
         ):
-            heapq.heappush(
-                self.queues[origin], [tds, dow, url, dts, bool(seed), age, born]
-            )
+            entry = [tds, dow, url, dts, bool(seed), age, born]
+            if R is not None:
+                best = self.spilled_best.get(origin)
+                if best is not None and (tds, dow, url) >= best:
+                    # worse than the best spilled entry -> straight to
+                    # spill (keeps the resident<=spilled invariant)
+                    self._spill_rows(origin, [entry])
+                    n += 1
+                    continue
+            q = self.queues[origin]
+            heapq.heappush(q, entry)
             n += 1
+            if R is not None and len(q) > 2 * R:
+                # amortized overflow: sort once, keep the best R resident,
+                # spill the worse half
+                q.sort()
+                self.queues[origin] = q[:R]
+                self._spill_rows(origin, q[R:])
         return n
 
     # ---- wave emission --------------------------------------------------
@@ -114,22 +241,51 @@ class FrontierShardState:
         iterated in sorted order over NON-EMPTY heaps only (empty heaps
         are deleted — the frontier never rescans dead origins).
         Deterministic: heaps give a total order."""
-        cols = {k: [] for k in ("url", "origin", "dow", "dts", "tds", "is_seed", "age", "wave", "host_seq")}
         now = wave * self.wave_seconds
-        for origin in sorted(self.queues.keys()):
-            q = self.queues[origin]
-            capacity = min(self.max_per_host, max(1, int(self.wave_seconds / self._delay_for(origin))))
-            emitted = 0
-            while q and emitted < capacity:
-                tds, dow, url, dts, seed, age0, born = heapq.heappop(q)
-                eff_age = age0 + (wave - born)
-                if eff_age > self.max_queue_age:
-                    self.dropped_by_age += 1
-                    continue
-                seq = self.host_seq[origin]
-                self.host_seq[origin] = seq + 1
+        emitted_by: dict[str, int] = {}
+        rows_by: dict[str, list] = {}   # origin -> emitted row tuples
+        all_origins = sorted(
+            set(self.queues.keys())
+            | {o for o, c in self.spilled_count.items() if c}
+        )
+        pending = all_origins
+        while pending:
+            needy = []
+            for origin in pending:
+                q = self.queues.get(origin)
+                capacity = min(self.max_per_host, max(1, int(self.wave_seconds / self._delay_for(origin))))
+                emitted = emitted_by.get(origin, 0)
+                out = rows_by.setdefault(origin, [])
+                while q and emitted < capacity:
+                    tds, dow, url, dts, seed, age0, born = heapq.heappop(q)
+                    eff_age = age0 + (wave - born)
+                    if eff_age > self.max_queue_age:
+                        self.dropped_by_age += 1
+                        continue
+                    seq = self.host_seq[origin]
+                    self.host_seq[origin] = seq + 1
+                    out.append((url, origin, dow, dts, tds, seed, eff_age, seq))
+                    emitted += 1
+                    self.last_access[origin] = now + emitted * self._delay_for(origin)
+                emitted_by[origin] = emitted
+                if q is not None and not q:
+                    del self.queues[origin]
+                if emitted < capacity and not self.queues.get(origin) and self.spilled_count.get(origin):
+                    # head drained with politeness capacity left and cold
+                    # entries spilled -> exactness requires a refill before
+                    # this origin's wave batch is complete
+                    needy.append(origin)
+            if not needy:
+                break
+            self._refill(needy)
+            pending = needy
+        # assemble in stable sorted-origin order so refill passes never
+        # change the emitted table (bounded == unbounded byte-identical)
+        cols = {k: [] for k in ("url", "origin", "dow", "dts", "tds", "is_seed", "age", "wave", "host_seq")}
+        for origin in all_origins:
+            for url, o, dow, dts, tds, seed, eff_age, seq in rows_by.get(origin, ()):
                 cols["url"].append(url)
-                cols["origin"].append(origin)
+                cols["origin"].append(o)
                 cols["dow"].append(dow)
                 cols["dts"].append(dts)
                 cols["tds"].append(tds)
@@ -137,21 +293,21 @@ class FrontierShardState:
                 cols["age"].append(eff_age)
                 cols["wave"].append(wave)
                 cols["host_seq"].append(seq)
-                emitted += 1
-                self.last_access[origin] = now + emitted * self._delay_for(origin)
-            if not q:
-                del self.queues[origin]
         return pa.table(
             {name: pa.array(vals, FRONTIER_SCHEMA.field(name).type) for name, vals in cols.items()}
         )
 
     def count(self) -> int:
-        return sum(len(q) for q in self.queues.values())
+        # spilled entries are pending work — termination must see them
+        return sum(len(q) for q in self.queues.values()) + sum(
+            self.spilled_count.values()
+        )
 
     def stats(self) -> dict:
         return {
             "shard": self.shard_id,
             "pending": self.count(),
+            "spilled": sum(self.spilled_count.values()),
             "origins": len([q for q in self.queues.values() if q]),
             "dropped_by_age": self.dropped_by_age,
         }
@@ -174,6 +330,15 @@ class FrontierShardState:
         t = pa.table({k: pa.array(v) for k, v in cols.items()}) if cols["url"] else pa.table(
             {k: pa.array([], pa.string() if k in ("url", "origin") else pa.int64()) for k in cols}
         )
+        if self.spilled_count:
+            # the checkpoint is the full pending set: resident + spilled
+            # (restore() re-pushes everything and the spill plane
+            # re-engages on overflow). At web scale you would hard-link
+            # the immutable spill segments instead of rewriting rows.
+            spilled, _ = self._spilled_tables()
+            t = pa.concat_tables(
+                [t.cast(spilled[0].schema), *spilled]
+            ) if spilled else t
         pq.write_table(t, p / f"frontier_shard_{self.shard_id}.parquet")
         meta = {
             "host_seq": dict(self.host_seq),
@@ -188,6 +353,14 @@ class FrontierShardState:
         t = pq.read_table(p / f"frontier_shard_{self.shard_id}.parquet")
         meta = json.loads((p / f"frontier_shard_{self.shard_id}.json").read_text())
         self.queues.clear()
+        # reset the spill plane — the checkpoint parquet carries the FULL
+        # pending set; push() below re-spills past the resident bound
+        self._spill_buf.clear()
+        self.spilled_count.clear()
+        self.spilled_best.clear()
+        if self.spill_dir is not None:
+            for s in self.spill_dir.glob("spill-*.parquet"):
+                s.unlink()
         if t.num_rows:
             self.push(
                 t.column("url").to_pylist(),

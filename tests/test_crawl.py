@@ -350,6 +350,29 @@ def test_big_wave_path_equals_small_path(ray_session, fixtures_small, tmp_path, 
     assert to_map(big) == to_map(small)
 
 
+def test_capped_frontier_equals_unbounded(ray_session, fixtures_small, tmp_path, crawl_pair):
+    """At-scale frontier memory model (the reference's file-backed queue
+    analog): cap each origin's resident heap at 2 entries — far below the
+    per-origin queue depths this corpus produces — and the crawl's link
+    state and crawl order must be IDENTICAL to the unbounded run (exact
+    Parquet-spill refill, state/frontier.py)."""
+    _, _, full_out = crawl_pair
+    seeds = (fixtures_small / "seeds.txt").read_text().split()
+    out = str(tmp_path / "fcapped")
+    run_crawl(
+        str(fixtures_small / "pages.parquet"),
+        str(fixtures_small / "robots.parquet"),
+        seeds,
+        CFG,
+        out,
+        frontier_max_resident=2,
+    )
+    assert _seen_map(pq.read_table(Path(out) / "link_state.parquet")) == _seen_map(
+        pq.read_table(Path(full_out) / "link_state.parquet")
+    )
+    assert Path(out, "frontier_spill").exists()
+
+
 def test_capped_seen_memory_equals_unbounded(ray_session, fixtures_small, tmp_path, crawl_pair):
     """VERDICT r3 item 1 done-criterion: cap each seen shard's resident
     record cache far below the corpus size (~240 urls over 8 shards with

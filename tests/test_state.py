@@ -246,3 +246,86 @@ def test_seen_bounded_restore_stays_bounded(tmp_path):
         r.snapshot_table().to_pandas().sort_values("url").reset_index(drop=True),
         src.snapshot_table().to_pandas().sort_values("url").reset_index(drop=True),
     )
+
+
+def test_frontier_spill_equals_unbounded(tmp_path):
+    """At-scale frontier memory model: cap each origin's resident heap at
+    4 entries (cold tail in Parquet spill segments) and every pop_wave
+    table, count() and final drain must be IDENTICAL to the unbounded
+    frontier — the resident<=spilled invariant + exact batched refill.
+    Workload exercises direct-to-spill pushes (worse than spilled best),
+    overflow spills, multi-wave refills and age-drops inside spill."""
+    import random
+
+    rng = random.Random(7)
+    kw = dict(delay_s=1.0, wave_seconds=4.0, max_per_host_per_wave=4,
+              max_queue_age=6)
+    ref = FrontierShardState(0, **kw)
+    cap = FrontierShardState(
+        0, **kw, max_resident_per_origin=4, spill_dir=str(tmp_path / "sp")
+    )
+
+    def push_batch(f, rows):
+        f.push(
+            [r[0] for r in rows], [r[1] for r in rows],
+            [r[2] for r in rows], [r[3] for r in rows], [r[4] for r in rows],
+            [r[5] for r in rows], [r[6] for r in rows],
+            borns=[r[7] for r in rows],
+        )
+
+    # 3 origins x 60 entries, interleaved pushes across waves with mixed
+    # priorities so late pushes land both above and below the spill line
+    rows = []
+    for i in range(180):
+        o = f"h{i % 3}.example"
+        tds = rng.randint(0, 5)
+        rows.append(
+            (f"https://{o}/p{i}", o, rng.randint(0, 3), tds, tds, False, 0, 0)
+        )
+    push_batch(ref, rows[:90])
+    push_batch(cap, rows[:90])
+    assert ref.count() == cap.count()
+
+    spilled_seen = 0
+    wave = 0
+    while ref.count() or cap.count():
+        t_ref = ref.pop_wave(wave)
+        t_cap = cap.pop_wave(wave)
+        assert t_ref.equals(t_cap), f"wave {wave} diverged"
+        if wave == 1:  # mid-crawl pushes (worse AND better than spilled)
+            push_batch(ref, rows[90:])
+            push_batch(cap, rows[90:])
+        spilled_seen = max(spilled_seen, sum(cap.spilled_count.values()))
+        assert ref.count() == cap.count()
+        wave += 1
+        assert wave < 100
+    assert spilled_seen > 0, "cap never engaged — test is vacuous"
+    assert ref.dropped_by_age == cap.dropped_by_age
+
+
+def test_frontier_spill_checkpoint_restore(tmp_path):
+    """Checkpoint of a spilling frontier carries the FULL pending set;
+    restore into a fresh capped shard reproduces the unbounded shard's
+    pops exactly."""
+    kw = dict(delay_s=1.0, wave_seconds=2.0, max_per_host_per_wave=2)
+    ref = FrontierShardState(1, **kw)
+    cap = FrontierShardState(
+        1, **kw, max_resident_per_origin=2, spill_dir=str(tmp_path / "sp")
+    )
+    urls = [f"https://h.example/p{i:03d}" for i in range(30)]
+    for f in (ref, cap):
+        f.push(urls, ["h.example"] * 30, [0] * 30, [1] * 30, [1] * 30,
+               [False] * 30, [0] * 30, borns=[0] * 30)
+    ref.pop_wave(0)
+    cap.pop_wave(0)
+    chk = tmp_path / "chk"
+    cap.checkpoint(str(chk))
+    r = FrontierShardState(
+        1, **kw, max_resident_per_origin=2, spill_dir=str(tmp_path / "sp2")
+    )
+    r.restore(str(chk))
+    assert r.count() == ref.count()
+    for w in range(1, 20):
+        assert ref.pop_wave(w).equals(r.pop_wave(w))
+        if not ref.count():
+            break
