@@ -22,7 +22,7 @@ Three groups of queries:
    over metadata-only labels) — no SQL equivalent; the driver records
    rows-only checks for them.
 
-26 queries total: 23 oracle-MATCH (SQL or generator/simulator oracle),
+29 queries total: 26 oracle-MATCH (SQL or generator/simulator oracle),
 3 rows-only by nature.
 """
 
@@ -333,6 +333,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _md(path)
 
+    def line_dedup(sf_dir):
+        # corpus-level duplicated-line removal (CCNet-style boilerplate
+        # strip): heavy-hitter line set via combiner + partitioned sum,
+        # broadcast, stateless strip pass
+        from atra_ray.stages.cleaning import line_dedup_clean
+
+        fx = _fixture_dir(sf_dir)
+        return line_dedup_clean(str(fx / "pages.parquet"), max_freq=5)
+
+    def page_repetition(sf_dir):
+        from atra_ray.stages.cleaning import page_repetition as _pr
+
+        fx = _fixture_dir(sf_dir)
+        return _pr(str(fx / "pages.parquet"))
+
+    def gopher_quality(sf_dir):
+        from atra_ray.stages.cleaning import gopher_quality as _gq
+
+        return _gq(f"{sf_dir}/documents.parquet")
+
     def events_windowed(sf_dir):
         import pandas as pd
         import ray.data as rd
@@ -379,6 +399,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_language": doc_language,
         "media_decode": media_decode,
         "events_windowed": events_windowed,
+        "line_dedup": line_dedup,
+        "page_repetition": page_repetition,
+        "gopher_quality": gopher_quality,
     }
 
 
@@ -663,6 +686,60 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT b FROM exact_pairs)
+        """,
+        # corpus-level duplicated-line removal: the heavy-hitter line set
+        # (occurrence count > 5, whitespace-only lines exempt) is dropped
+        # from every doc; docs losing every line vanish. The SQL recomputes
+        # the global line frequency and re-aggregates each doc in line
+        # order — exact string semantics both sides.
+        "line_dedup": f"""
+            WITH p AS (SELECT url, text FROM read_parquet('{fx}/pages.parquet/*.parquet')
+                       WHERE text IS NOT NULL),
+            lines AS (
+              SELECT url, unnest(string_split(text, chr(10))) AS ln,
+                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS ord
+              FROM p),
+            freq AS (SELECT ln, count(*) AS n FROM lines WHERE trim(ln) <> '' GROUP BY ln)
+            SELECT l.url, string_agg(l.ln, chr(10) ORDER BY l.ord) AS text_clean
+            FROM lines l LEFT JOIN freq f USING (ln)
+            WHERE f.n IS NULL OR f.n <= 5
+            GROUP BY l.url
+        """,
+        # Gopher repetition signals per doc (duplicate-line fraction and
+        # duplicated-line character fraction over non-whitespace lines)
+        "page_repetition": f"""
+            WITH p AS (SELECT url, text FROM read_parquet('{fx}/pages.parquet/*.parquet')
+                       WHERE text IS NOT NULL),
+            lines AS (SELECT url, unnest(string_split(text, chr(10))) AS ln FROM p),
+            nl AS (SELECT url, ln FROM lines WHERE trim(ln) <> ''),
+            per AS (SELECT url, count(*) AS n_lines, count(DISTINCT ln) AS n_distinct,
+                           sum(length(ln)) AS chars_all FROM nl GROUP BY url),
+            dch AS (SELECT url, sum(length(ln)) AS chars_distinct
+                    FROM (SELECT DISTINCT url, ln FROM nl) GROUP BY url)
+            SELECT per.url, n_lines::BIGINT AS n_lines,
+                   n_distinct::BIGINT AS n_distinct_lines,
+                   (n_lines - n_distinct) / n_lines::DOUBLE AS dup_line_frac,
+                   (chars_all - chars_distinct) / chars_all::DOUBLE AS dup_line_char_frac
+            FROM per JOIN dch USING (url)
+        """,
+        # Gopher quality rules (word-count bounds, mean word length,
+        # alpha-word fraction); the letterless-word count is subtractive on
+        # both sides because RE2 has no lookahead (identical patterns)
+        "gopher_quality": r"""
+            WITH s AS (SELECT doc_id,
+              len(regexp_extract_all(text, '[^ \t\n\r\f]+')) AS n_words,
+              len(regexp_extract_all(
+                    regexp_replace(text, '[^ \t\n\r\f]*[A-Za-z][^ \t\n\r\f]*', '', 'g'),
+                    '[^ \t\n\r\f]+')) AS n_letterless,
+              length(regexp_replace(text, '[ \t\n\r\f]+', '', 'g')) AS chars_no_ws
+             FROM documents)
+            SELECT doc_id, n_words::BIGINT AS n_words,
+             chars_no_ws / greatest(n_words, 1)::DOUBLE AS mean_word_len,
+             (n_words - n_letterless) / greatest(n_words, 1)::DOUBLE AS frac_alpha_words,
+             (n_words BETWEEN 50 AND 100000
+              AND chars_no_ws / greatest(n_words, 1)::DOUBLE BETWEEN 3.0 AND 10.0
+              AND (n_words - n_letterless) / greatest(n_words, 1)::DOUBLE >= 0.8) AS passes
+            FROM s
         """,
         # deterministic sketch operators: full SQL recomputation of the
         # signatures (md5 + exact modular arithmetic — see the template

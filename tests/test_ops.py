@@ -455,3 +455,109 @@ def test_store_root_honored(ray_session, tmp_path, monkeypatch):
     # signature + text + drop stores all landed under the custom root
     kinds = {p.name.split("-")[0] for p in root.iterdir()}
     assert "drop" in kinds and len(list(root.iterdir())) >= 3
+
+
+# ---------------------------------------------------------------------------
+# cleaning stage: corpus-level line dedup, repetition signals, Gopher rules
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def lined_pages_parquet(tmp_path_factory):
+    """Pages-shaped table (url, text) with known cross-doc boilerplate."""
+    p = tmp_path_factory.mktemp("lined") / "pages.parquet"
+    boiler = "ACCEPT COOKIES TO CONTINUE"
+    texts = [
+        f"{boiler}\nunique prose line one\nunique prose line two",
+        f"{boiler}\ndifferent article text here\n{boiler}",
+        f"{boiler}\nrepeated inside\nrepeated inside\ntail line",
+        boiler,                      # only boilerplate -> doc vanishes
+        "   \nno boilerplate at all\n ",  # ws-only lines survive untouched
+        None,                        # null text -> excluded
+    ]
+    t = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(len(texts))], pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, p)
+    return str(p)
+
+
+def test_line_dedup_strips_corpus_boilerplate(ray_session, lined_pages_parquet):
+    from atra_ray.stages.cleaning import line_dedup_clean
+
+    out = {
+        r["url"]: r["text_clean"]
+        for r in line_dedup_clean(lined_pages_parquet, max_freq=3).take_all()
+    }
+    # 5 occurrences of the banner > max_freq=3 -> stripped everywhere
+    assert out["u0"] == "unique prose line one\nunique prose line two"
+    assert out["u1"] == "different article text here"
+    # within-doc repeats below the corpus threshold are kept
+    assert out["u2"] == "repeated inside\nrepeated inside\ntail line"
+    assert "u3" not in out            # all lines dropped -> doc vanishes
+    assert out["u4"] == "   \nno boilerplate at all\n "  # ws lines exempt
+    assert "u5" not in out            # null text excluded
+
+
+def test_line_dedup_keeps_everything_below_threshold(ray_session, lined_pages_parquet):
+    from atra_ray.stages.cleaning import line_dedup_clean
+
+    out = {
+        r["url"]: r["text_clean"]
+        for r in line_dedup_clean(lined_pages_parquet, max_freq=100).take_all()
+    }
+    assert out["u0"].startswith("ACCEPT COOKIES")
+    assert len(out) == 5              # only the null-text doc is excluded
+
+
+def test_page_repetition_fractions(ray_session, lined_pages_parquet):
+    from atra_ray.stages.cleaning import page_repetition
+
+    rows = {r["url"]: r for r in page_repetition(lined_pages_parquet).take_all()}
+    r = rows["u2"]  # lines: boiler, repeated inside x2, tail line
+    assert r["n_lines"] == 4 and r["n_distinct_lines"] == 3
+    assert r["dup_line_frac"] == pytest.approx(0.25)
+    chars_all = len("ACCEPT COOKIES TO CONTINUE") + 2 * len("repeated inside") + len("tail line")
+    chars_distinct = chars_all - len("repeated inside")
+    assert r["dup_line_char_frac"] == pytest.approx(
+        (chars_all - chars_distinct) / chars_all
+    )
+    assert rows["u0"]["dup_line_frac"] == 0.0
+    assert "u5" not in rows           # null text excluded
+    # u4 has one non-ws line
+    assert rows["u4"]["n_lines"] == 1
+
+
+def test_gopher_quality_rules(ray_session, tmp_path):
+    from atra_ray.stages.cleaning import gopher_quality
+
+    texts = {
+        0: " ".join(["word"] * 60),                  # passes all rules
+        1: " ".join(["word"] * 10),                  # too few words
+        2: " ".join(["ab"] * 60),                    # mean word len 2 < 3
+        3: " ".join(["word"] * 48 + ["12", "99"] * 6),  # alpha frac 0.8 exactly
+        4: " ".join(["word"] * 12 + ["123"] * 48),   # alpha frac 0.2 < 0.8
+        5: " ".join(["extraordinarily"] * 60),       # mean word len 15 > 10
+    }
+    p = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+            }
+        ),
+        p,
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality(str(p)).take_all()}
+    assert rows[0]["passes"] and rows[0]["n_words"] == 60
+    assert not rows[1]["passes"]
+    assert not rows[2]["passes"]
+    assert rows[3]["passes"] and rows[3]["frac_alpha_words"] == pytest.approx(0.8)
+    assert not rows[4]["passes"]
+    assert not rows[5]["passes"]
+    # mixed alnum words count as alpha words (contain a letter)
+    assert rows[3]["n_words"] == 60
