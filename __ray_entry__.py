@@ -22,7 +22,7 @@ Three groups of queries:
    over metadata-only labels) — no SQL equivalent; the driver records
    rows-only checks for them.
 
-29 queries total: 26 oracle-MATCH (SQL or generator/simulator oracle),
+31 queries total: 28 oracle-MATCH (SQL or generator/simulator oracle),
 3 rows-only by nature.
 """
 
@@ -353,6 +353,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _gq(f"{sf_dir}/documents.parquet")
 
+    def pack_sequences(sf_dir):
+        # global token offsets + fixed-length training-sequence ids via a
+        # distributed two-level prefix scan (per-range totals -> driver
+        # prefix -> per-range vectorized cumsum)
+        from atra_ray.stages.packing import pack_sequences as _ps
+
+        return _ps(f"{sf_dir}/documents.parquet", seq_len=2048)
+
+    def doc_split(sf_dir):
+        from atra_ray.stages.packing import doc_split as _dsp
+
+        return _dsp(f"{sf_dir}/documents.parquet")
+
     def events_windowed(sf_dir):
         import pandas as pd
         import ray.data as rd
@@ -402,6 +415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": line_dedup,
         "page_repetition": page_repetition,
         "gopher_quality": gopher_quality,
+        "pack_sequences": pack_sequences,
+        "doc_split": doc_split,
     }
 
 
@@ -740,6 +755,30 @@ def oracle_sql() -> dict[str, str]:
               AND chars_no_ws / greatest(n_words, 1)::DOUBLE BETWEEN 3.0 AND 10.0
               AND (n_words - n_letterless) / greatest(n_words, 1)::DOUBLE >= 0.8) AS passes
             FROM s
+        """,
+        # sequence packing: the SQL window cumsum over doc_id order is the
+        # single-node statement of the engine's two-level prefix scan
+        "pack_sequences": r"""
+            WITH c AS (SELECT doc_id,
+              len(regexp_extract_all(text, '[^ \t\n\r\f]+'))::BIGINT AS n_tokens
+              FROM documents),
+            s AS (SELECT doc_id, n_tokens,
+              sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens AS token_offset
+              FROM c)
+            SELECT doc_id, n_tokens, token_offset::BIGINT AS token_offset,
+                   (token_offset // 2048)::BIGINT AS seq_id FROM s
+        """,
+        # hash split: md5_number_lower(str(doc_id)) % 100, identical bytes
+        # both sides (same digest[8:] little-endian hash as the MinHash
+        # oracle)
+        "doc_split": """
+            SELECT doc_id,
+                   (md5_number_lower(doc_id::VARCHAR) % 100)::BIGINT AS bucket,
+                   CASE WHEN md5_number_lower(doc_id::VARCHAR) % 100 < 10
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents
         """,
         # deterministic sketch operators: full SQL recomputation of the
         # signatures (md5 + exact modular arithmetic — see the template

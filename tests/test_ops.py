@@ -561,3 +561,97 @@ def test_gopher_quality_rules(ray_session, tmp_path):
     assert not rows[5]["passes"]
     # mixed alnum words count as alpha words (contain a letter)
     assert rows[3]["n_words"] == 60
+
+
+# ---------------------------------------------------------------------------
+# packing stage: two-level prefix scan + deterministic hash split
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_prefix_scan(ray_session, tmp_path):
+    from atra_ray.stages.packing import pack_sequences
+
+    # token counts 3, 5, 2, 7, 4 -> offsets 0, 3, 8, 10, 17 (doc_id order)
+    texts = ["a b c", "a b c d e", "x y", "a b c d e f g", "p q r s"]
+    p = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 3, 7, 0, 20], pa.int64()),
+                "text": pa.array(
+                    [texts[3], texts[1], texts[2], texts[0], texts[4]], pa.string()
+                ),
+            }
+        ),
+        p,
+    )
+    # doc order by id: 0->"a b c"(3), 3->"a b c d e"(5), 7->"x y"(2),
+    # 10->7 tokens, 20->4 tokens
+    rows = {r["doc_id"]: r for r in pack_sequences(str(p), seq_len=8, num_ranges=3).take_all()}
+    assert [rows[i]["token_offset"] for i in (0, 3, 7, 10, 20)] == [0, 3, 8, 10, 17]
+    assert [rows[i]["seq_id"] for i in (0, 3, 7, 10, 20)] == [0, 0, 1, 1, 2]
+    assert rows[10]["n_tokens"] == 7
+
+
+def test_pack_sequences_matches_window_cumsum(ray_session, tmp_path):
+    """Many ranges/partitions must agree with a single-node window scan."""
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    n = 400
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(1, 50, n)]
+    p = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(0, 2 * n, 2), pa.int64()),  # gaps
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        p,
+    )
+    from atra_ray.stages.packing import pack_sequences
+
+    got = (
+        pack_sequences(str(p), seq_len=128, num_ranges=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        r"""
+        WITH c AS (SELECT doc_id,
+          len(regexp_extract_all(text, '[^ \t\n\r\f]+'))::BIGINT AS n_tokens
+          FROM read_parquet('"""
+        + str(p)
+        + r"""')),
+        s AS (SELECT doc_id, n_tokens,
+          sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS token_offset
+          FROM c)
+        SELECT doc_id, n_tokens, token_offset::BIGINT AS token_offset,
+               (token_offset // 128)::BIGINT AS seq_id FROM s ORDER BY doc_id
+        """
+    ).df()
+    assert got[["doc_id", "n_tokens", "token_offset", "seq_id"]].equals(
+        want[["doc_id", "n_tokens", "token_offset", "seq_id"]]
+    )
+
+
+def test_doc_split_deterministic_and_disjoint(ray_session, tmp_path):
+    import hashlib as _hl
+
+    from atra_ray.stages.packing import doc_split
+
+    p = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(200), pa.int64())}), p
+    )
+    rows = {r["doc_id"]: r for r in doc_split(str(p), val_pct=10).take_all()}
+    assert len(rows) == 200
+    for i in (0, 7, 199):
+        b = int.from_bytes(_hl.md5(str(i).encode()).digest()[8:], "little") % 100
+        assert rows[i]["bucket"] == b
+        assert rows[i]["split"] == ("val" if b < 10 else "train")
+    splits = {r["split"] for r in rows.values()}
+    assert splits == {"train", "val"}
