@@ -71,56 +71,68 @@ def line_dedup_clean(
        shuffle the full corpus a second time.
     2. stateless filter ``map_batches`` against the broadcast frozenset.
     """
-    import pandas as pd
-
-    from .shuffle import partitioned_map_groups
+    from .shuffle import hash_reduce_small
 
     def _partial(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        counts: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            if not t:
-                continue
-            counts.update(ln for ln in t.split("\n") if ln.strip())
+        # vectorized: split every doc into lines, flatten, drop
+        # whitespace-only lines, then one Arrow hash-aggregate per batch
+        lines = pc.list_flatten(
+            pc.split_pattern(pc.drop_null(batch.column("text")), "\n")
+        )
+        lines = lines.filter(pc.not_equal(pc.utf8_trim_whitespace(lines), ""))
+        g = pa.table({"ln": lines}).group_by("ln").aggregate([("ln", "count")])
         return pa.table(
-            {
-                "ln": pa.array(list(counts.keys()), pa.string()),
-                "n": pa.array(list(counts.values()), pa.int64()),
-            }
+            {"ln": g.column("ln"), "n": pc.cast(g.column("ln_count"), pa.int64())}
         )
 
-    def _sum(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("ln", as_index=False, sort=False)["n"].sum()
-        return out[out["n"] > max_freq]
+    def _sum(t: pa.Table) -> pa.Table:
+        g = t.group_by("ln").aggregate([("n", "sum")])
+        return g.filter(pc.greater(g.column("n_sum"), max_freq)).select(["ln"])
 
-    heavy = partitioned_map_groups(
+    heavy = hash_reduce_small(
         rd.read_parquet(pages_path, columns=["text"]).map_batches(
             _partial, batch_format="pyarrow"
         ),
         ["ln"],
         _sum,
         num_partitions=num_partitions,
-    ).take_all()  # heavy-hitter lines only — bounded by boilerplate volume
-    drop_ref = ray.put(frozenset(r["ln"] for r in heavy))
+    )  # heavy-hitter lines only — bounded by boilerplate volume
+    drop_ref = ray.put(
+        heavy.column("ln").combine_chunks()
+        if heavy.num_columns
+        else pa.array([], pa.string())
+    )
     docs = rd.read_parquet(pages_path, columns=["url", "text"])
 
     def _strip(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         drop = ray.get(drop_ref)
-        urls, cleaned = [], []
-        for url, t in zip(
-            batch.column("url").to_pylist(), batch.column("text").to_pylist()
-        ):
-            if t is None:
-                continue
-            kept = [ln for ln in t.split("\n") if ln not in drop]
-            if kept:
-                urls.append(url)
-                cleaned.append("\n".join(kept))
+        batch = batch.filter(pc.is_valid(batch.column("text")))
+        text = batch.column("text").combine_chunks()
+        split = pc.split_pattern(text, "\n")
+        flat = pc.list_flatten(split)
+        parents = pc.list_parent_indices(split)
+        keep = pc.invert(pc.is_in(flat, value_set=drop))
+        flat_k = flat.filter(keep)
+        # rebuild per-doc line lists from the surviving (line, parent)
+        # pairs: parent indices are monotone, so kept-line counts per doc
+        # give the new list offsets directly
+        counts = np.bincount(
+            parents.filter(keep).to_numpy(zero_copy_only=False),
+            minlength=len(batch),
+        )
+        offsets = np.zeros(len(batch) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), flat_k),
+            "\n",
+        )
+        doc_keep = counts > 0  # docs losing every line vanish
         return pa.table(
             {
-                "url": pa.array(urls, pa.string()),
-                "text_clean": pa.array(cleaned, pa.string()),
+                "url": batch.column("url").filter(pa.array(doc_keep)),
+                "text_clean": pc.cast(joined.filter(pa.array(doc_keep)), pa.string()),
             }
         )
 
@@ -140,34 +152,68 @@ def page_repetition(pages_path: str) -> rd.Dataset:
     a downstream filter drops docs over a threshold."""
 
     def _rep(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        urls, n_l, n_d, frac, cfrac = [], [], [], [], []
-        for url, t in zip(
-            batch.column("url").to_pylist(), batch.column("text").to_pylist()
-        ):
-            if t is None:
-                continue
-            lines = [ln for ln in t.split("\n") if ln.strip()]
-            if not lines:
-                continue
-            counts = Counter(lines)
-            n_lines = len(lines)
-            n_distinct = len(counts)
-            chars_all = sum(len(ln) for ln in lines)
-            chars_distinct = sum(len(ln) for ln in counts)
-            urls.append(url)
-            n_l.append(n_lines)
-            n_d.append(n_distinct)
-            frac.append((n_lines - n_distinct) / n_lines)
-            cfrac.append((chars_all - chars_distinct) / chars_all)
+        # vectorized: explode (doc, line) pairs, drop whitespace-only
+        # lines, two Arrow hash-aggregates — (doc, line) then (doc) —
+        # give occurrence counts and distinct-line stats per doc
+        batch = batch.filter(pc.is_valid(batch.column("text")))
+        split = pc.split_pattern(batch.column("text").combine_chunks(), "\n")
+        flat = pc.list_flatten(split)
+        parents = pc.list_parent_indices(split)
+        mask = pc.not_equal(pc.utf8_trim_whitespace(flat), "")
+        flat = flat.filter(mask)
+        per_line = (
+            pa.table(
+                {
+                    "doc": parents.filter(mask),
+                    "chars": pc.cast(pc.utf8_length(flat), pa.int64()),
+                    "ln": flat,
+                }
+            )
+            .group_by(["doc", "ln"])
+            .aggregate([("ln", "count"), ("chars", "max")])
+        )
+        per_doc = (
+            pa.table(
+                {
+                    "doc": per_line.column("doc"),
+                    "occ": per_line.column("ln_count"),
+                    # chars of this distinct line, and chars over all its
+                    # occurrences
+                    "chars_distinct": per_line.column("chars_max"),
+                    "chars_all": pc.multiply(
+                        per_line.column("chars_max"),
+                        pc.cast(per_line.column("ln_count"), pa.int64()),
+                    ),
+                }
+            )
+            .group_by("doc")
+            .aggregate(
+                [
+                    ("occ", "sum"),
+                    ("occ", "count"),
+                    ("chars_all", "sum"),
+                    ("chars_distinct", "sum"),
+                ]
+            )
+            .sort_by("doc")
+        )
+        n_lines = pc.cast(per_doc.column("occ_sum"), pa.int64())
+        n_distinct = pc.cast(per_doc.column("occ_count"), pa.int64())
+        chars_all = pc.cast(per_doc.column("chars_all_sum"), pa.float64())
+        chars_distinct = pc.cast(per_doc.column("chars_distinct_sum"), pa.float64())
+        n_lines_f = pc.cast(n_lines, pa.float64())
         return pa.table(
             {
-                "url": pa.array(urls, pa.string()),
-                "n_lines": pa.array(n_l, pa.int64()),
-                "n_distinct_lines": pa.array(n_d, pa.int64()),
-                "dup_line_frac": pa.array(frac, pa.float64()),
-                "dup_line_char_frac": pa.array(cfrac, pa.float64()),
+                "url": batch.column("url").take(per_doc.column("doc")),
+                "n_lines": n_lines,
+                "n_distinct_lines": n_distinct,
+                "dup_line_frac": pc.divide(
+                    pc.cast(pc.subtract(n_lines, n_distinct), pa.float64()),
+                    n_lines_f,
+                ),
+                "dup_line_char_frac": pc.divide(
+                    pc.subtract(chars_all, chars_distinct), chars_all
+                ),
             }
         )
 

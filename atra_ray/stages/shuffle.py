@@ -21,9 +21,15 @@ from __future__ import annotations
 from typing import Callable
 
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["partitioned_map_groups", "partition_ids", "HASH_KEY_SEED"]
+__all__ = [
+    "partitioned_map_groups",
+    "hash_reduce_small",
+    "partition_ids",
+    "HASH_KEY_SEED",
+]
 
 HASH_KEY_SEED = "atra-ray-partition"
 
@@ -81,3 +87,68 @@ def partitioned_map_groups(
         .groupby("_part")
         .map_groups(_apply, batch_format="pandas")
     )
+
+
+def hash_reduce_small(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    reduce_fn: Callable[[pa.Table], pa.Table],
+    num_partitions: int = 16,
+) -> pa.Table:
+    """Hash-partitioned reduce for aggregations whose RESULT is small
+    (heavy-hitter sets, global frequency cutoffs, corpus stats): each input
+    block is split into ``num_partitions`` sub-tables by key hash in one
+    raw task (all rows of a key land in the same partition), one reduce
+    task per partition concatenates its splits and applies ``reduce_fn``,
+    and the driver concatenates the P small outputs into one Arrow table.
+
+    This replaces the sort-based ``groupby`` exchange for the
+    combine-then-threshold pattern — the sort's O(rows log rows) per-block
+    cost buys ordering nobody needs (measured: a 920k-row heavy-hitter sum
+    took ~35 s through the sort path, <2 s here). Rows still move exactly
+    once. Only use when ``reduce_fn`` output is driver-small; the return
+    value is materialized.
+    """
+    import numpy as np
+    import ray
+
+    if num_partitions < 2:
+        raise ValueError("num_partitions must be >= 2")
+
+    @ray.remote(num_returns=num_partitions)
+    def _split(block):
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        if block.num_rows == 0 or any(
+            k not in block.column_names for k in key_cols
+        ):
+            # Ray Data emits zero-row blocks with an EMPTY schema; a None
+            # sentinel keeps them out of the reduce concat
+            return (None,) * num_partitions
+        part = _part_id(
+            block.select(key_cols).to_pandas(), key_cols, num_partitions
+        ).to_numpy()
+        order = np.argsort(part, kind="stable")
+        sorted_block = block.take(pa.array(order))
+        bounds = np.searchsorted(part[order], np.arange(num_partitions + 1))
+        return tuple(
+            sorted_block.slice(bounds[p], bounds[p + 1] - bounds[p])
+            for p in range(num_partitions)
+        )
+
+    @ray.remote
+    def _reduce(*parts):
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
+        return reduce_fn(pa.concat_tables(parts))
+
+    block_refs = [
+        br for bundle in ds.iter_internal_ref_bundles() for br in bundle.block_refs
+    ]
+    if not block_refs:
+        return pa.table({})
+    splits = [_split.remote(b) for b in block_refs]
+    outs = [_reduce.remote(*(s[p] for s in splits)) for p in range(num_partitions)]
+    tables = [t for t in ray.get(outs) if t is not None]
+    return pa.concat_tables(tables) if tables else pa.table({})

@@ -221,6 +221,7 @@ def bench_suite(sf_dir: str, num_cpus: int) -> dict:
 
     docs = f"{sf_dir}/documents.parquet"
     embs = f"{sf_dir}/embeddings.parquet"
+    fx_pages = _fixture_dir(sf_dir) / "pages.parquet"
 
     timings: dict[str, float] = {}
     extras: dict = {"cpu_probe": {}}
@@ -247,6 +248,9 @@ def bench_suite(sf_dir: str, num_cpus: int) -> dict:
         elif name == "fetch_extract":
             extras["pages"] = rep["out"]
 
+    from atra_ray.stages.cleaning import line_dedup_clean
+    from atra_ray.stages.packing import pack_sequences
+
     suite = {
         "doc_quality": lambda: _consume(doc_quality(docs)),
         "dedup_exact": lambda: _consume(dedup_exact(docs)),
@@ -254,6 +258,13 @@ def bench_suite(sf_dir: str, num_cpus: int) -> dict:
         "ann_cosine_topk": lambda: _consume(
             ann_bruteforce_topk(embs, num_queries=10, k=10)
         ),
+        # corpus-level boilerplate strip over the full fixture page text
+        # (combiner + partitioned sum + broadcast + strip pass)
+        "line_dedup": lambda: _consume(
+            line_dedup_clean(str(fx_pages), max_freq=5)
+        ),
+        # global token offsets over documents (two-level prefix scan)
+        "pack_sequences": lambda: _consume(pack_sequences(docs, seq_len=2048)),
     }
     for name, fn in suite.items():
         t0 = time.perf_counter()
