@@ -22,7 +22,7 @@ Three groups of queries:
    over metadata-only labels) — no SQL equivalent; the driver records
    rows-only checks for them.
 
-31 queries total: 28 oracle-MATCH (SQL or generator/simulator oracle),
+34 queries total: 31 oracle-MATCH (SQL or generator/simulator oracle),
 3 rows-only by nature.
 """
 
@@ -366,6 +366,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _dsp(f"{sf_dir}/documents.parquet")
 
+    def pii_scrub(sf_dir):
+        # stateless RE2 scrub pass over the extracted-page store (the
+        # fixture plants deterministic email/phone/IP spans in plaintext
+        # pages)
+        from atra_ray.stages.curation import pii_scrub as _pii
+
+        fx = _fixture_dir(sf_dir)
+        return _pii(str(fx / "pages.parquet"))
+
+    def decontaminate(sf_dir):
+        # GPT-3-style n-gram decontamination: benchmark grams reduced via
+        # the sortless hash exchange, broadcast once, stateless probe
+        from atra_ray.stages.curation import decontaminate as _dec
+
+        return _dec(f"{sf_dir}/documents.parquet", ngram=8, bench_mod=50)
+
+    def stratified_sample(sf_dir):
+        # deterministic per-language sample: local top-K combiner + small
+        # per-group reduce (hash order, no RNG, no corpus shuffle)
+        from atra_ray.stages.curation import stratified_sample as _ss
+
+        return _ss(f"{sf_dir}/documents.parquet", per_group=20)
+
     def events_windowed(sf_dir):
         import pandas as pd
         import ray.data as rd
@@ -417,6 +440,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": gopher_quality,
         "pack_sequences": pack_sequences,
         "doc_split": doc_split,
+        "pii_scrub": pii_scrub,
+        "decontaminate": decontaminate,
+        "stratified_sample": stratified_sample,
     }
 
 
@@ -560,6 +586,10 @@ def _minhash_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from atra_ray.stages.curation import EMAIL_RE as _PII_EMAIL
+    from atra_ray.stages.curation import IP_RE as _PII_IP
+    from atra_ray.stages.curation import PHONE_RE as _PII_PHONE
+
     fx = _FX_TEST
     od = _ORACLE_DIR
     return {
@@ -769,6 +799,56 @@ def oracle_sql() -> dict[str, str]:
               FROM c)
             SELECT doc_id, n_tokens, token_offset::BIGINT AS token_offset,
                    (token_offset // 2048)::BIGINT AS seq_id FROM s
+        """,
+        # PII scrub: identical RE2 patterns both sides (pyarrow + DuckDB
+        # both run RE2), identical replace order email -> ip -> phone;
+        # counts over the ORIGINAL text; null text stays null
+        "pii_scrub": (
+            "SELECT url, regexp_replace(regexp_replace(regexp_replace(text, '"
+            + _PII_EMAIL
+            + "', '<EMAIL>', 'g'), '"
+            + _PII_IP
+            + "', '<IP>', 'g'), '"
+            + _PII_PHONE
+            + "', '<PHONE>', 'g') AS text_scrubbed, "
+            "len(regexp_extract_all(text, '" + _PII_EMAIL + "'))::BIGINT AS n_emails, "
+            "len(regexp_extract_all(text, '" + _PII_PHONE + "'))::BIGINT AS n_phones, "
+            "len(regexp_extract_all(text, '" + _PII_IP + "'))::BIGINT AS n_ips "
+            f"FROM read_parquet('{fx}/pages.parquet/*.parquet')"
+        ),
+        # n-gram decontamination: the SQL recomputes every lowercased
+        # word-8-gram with a window string_agg and joins train-side grams
+        # against the benchmark split's distinct grams
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+              FROM documents),
+            words AS (
+              SELECT doc_id, unnest(l) AS w,
+                     unnest(generate_series(1, len(l))) AS ord FROM toks),
+            grams AS (
+              SELECT doc_id,
+                string_agg(w, ' ') OVER (PARTITION BY doc_id ORDER BY ord
+                    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS g,
+                count(*) OVER (PARTITION BY doc_id ORDER BY ord
+                    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS glen
+              FROM words),
+            g8 AS (SELECT doc_id, g FROM grams WHERE glen = 8),
+            bench AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 50 = 0)
+            SELECT t.doc_id, count(DISTINCT t.g)::BIGINT AS n_hits
+            FROM g8 t JOIN bench b USING (g)
+            WHERE t.doc_id % 50 <> 0
+            GROUP BY t.doc_id
+        """,
+        # stratified sample: deterministic hash-order top-K per language
+        # (same md5_number_lower scheme as doc_split / the MinHash oracle)
+        "stratified_sample": """
+            WITH r AS (
+              SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang
+                    ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id) AS rk
+              FROM documents)
+            SELECT doc_id, lang, rk::BIGINT AS rk FROM r WHERE rk <= 20
         """,
         # hash split: md5_number_lower(str(doc_id)) % 100, identical bytes
         # both sides (same digest[8:] little-endian hash as the MinHash

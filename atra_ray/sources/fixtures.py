@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 42
-GENERATOR_VERSION = "13"  # bump when generation rules change (invalidates caches)
+GENERATOR_VERSION = "14"  # bump when generation rules change (invalidates caches)
 EPOCH_US = 1_729_036_800_000_000  # 2024-10-16T00:00:00Z in microseconds
 
 _LANGS = ("eng", "deu", "fra", "spa", "ita", "nld", "swe", "pol")
@@ -454,16 +454,28 @@ def _gen_page(h: int, k: int, hosts: int, counts: list[int], salt: int = 0):
 
 
 def _gen_plaintext_page(h: int, k: int, hosts: int, counts: list[int]):
-    """M12 path: a plain-text page with bare URLs in the prose."""
+    """M12 path: a plain-text page with bare URLs in the prose. Every 3rd
+    page carries a deterministic PII span (email, phone, dotted-quad IP)
+    so the pii_scrub operator has real signal; the tokens are scheme-less
+    (never linkified) and short relative to the prose (never flip the
+    trigram language id)."""
     rng = random.Random(_page_seed(h, k) ^ 0x5EED)
     host = host_name(h)
     url = f"https://{host}/notes{k}.txt"
     h2 = (h + 1 + rng.randrange(hosts - 1)) % hosts
     target = f"https://{host_name(h2)}{_page_path(h2, 0)}"
     lang = _LANGS[h % len(_LANGS)]
+    pii = ""
+    if k % 3 == 0:
+        pii = (
+            f"contact u{h}k{k}@mail{h % 97}.example"
+            f" tel +1 555 {1000 + (h * 31 + k) % 9000}"
+            f" node 10.{h % 200}.{k % 200}.{(h * 7 + k) % 250} "
+        )
     body_text = (
         " ".join(_words(rng, lang, 18))
         + f" see {target} for more "
+        + pii
         + " ".join(_words(rng, lang, 14))
     )
     return url, body_text.encode("utf-8"), body_text, lang, [(target, "plain_text", "outgoing")]
