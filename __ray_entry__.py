@@ -744,7 +744,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT url, unnest(string_split(text, chr(10))) AS ln,
                      unnest(generate_series(1, len(string_split(text, chr(10))))) AS ord
               FROM p),
-            freq AS (SELECT ln, count(*) AS n FROM lines WHERE trim(ln) <> '' GROUP BY ln)
+            freq AS (SELECT ln, count(*) AS n FROM lines
+                     WHERE trim(ln, ' ' || chr(9) || chr(13) || chr(12) || chr(11)) <> ''
+                     GROUP BY ln)
             SELECT l.url, string_agg(l.ln, chr(10) ORDER BY l.ord) AS text_clean
             FROM lines l LEFT JOIN freq f USING (ln)
             WHERE f.n IS NULL OR f.n <= 5
@@ -756,7 +758,8 @@ def oracle_sql() -> dict[str, str]:
             WITH p AS (SELECT url, text FROM read_parquet('{fx}/pages.parquet/*.parquet')
                        WHERE text IS NOT NULL),
             lines AS (SELECT url, unnest(string_split(text, chr(10))) AS ln FROM p),
-            nl AS (SELECT url, ln FROM lines WHERE trim(ln) <> ''),
+            nl AS (SELECT url, ln FROM lines
+                   WHERE trim(ln, ' ' || chr(9) || chr(13) || chr(12) || chr(11)) <> ''),
             per AS (SELECT url, count(*) AS n_lines, count(DISTINCT ln) AS n_distinct,
                            sum(length(ln)) AS chars_all FROM nl GROUP BY url),
             dch AS (SELECT url, sum(length(ln)) AS chars_distinct

@@ -103,8 +103,12 @@ _LABEL_GROUPS = (
      "csiso58gb231280", "iso-ir-58", "x-gbk"),
     ("gb18030", "gb18030"),
     ("big5", "big5", "big5-hkscs", "cn-big5", "csbig5", "x-x-big5"),
-    ("euc_kr", "euc-kr", "cseuckr", "csksc56011987", "iso-ir-149", "korean",
-     "ks_c_5601-1987", "ks_c_5601-1989", "ksc5601", "ksc_5601", "windows-949"),
+    # WHATWG EUC-KR is defined as the windows-949 superset (encoding_rs
+    # EUC_KR == cp949); Python's euc_kr codec rejects the ~8.8k extension
+    # sequences cp949 decodes
+    ("cp949", "euc-kr", "euc_kr", "cseuckr", "csksc56011987", "iso-ir-149",
+     "korean", "ks_c_5601-1987", "ks_c_5601-1989", "ksc5601", "ksc_5601",
+     "windows-949"),
     ("utf-16-le", "utf-16", "utf-16le", "csunicode", "ucs-2", "unicode",
      "unicodefeff", "iso-10646-ucs-2"),
     ("utf-16-be", "utf-16be"),
@@ -164,7 +168,7 @@ def _try_decode(body: bytes, codec: str) -> tuple[str, bool]:
 # the byte-compatible iso8859-2/cp1252 for the Central-European letters)
 _DETECT_CANDIDATES = (
     "cp1251", "koi8-r", "koi8-u", "shift_jis", "euc_jp", "gb18030", "big5",
-    "euc_kr", "cp1250", "cp1252", "iso8859-2", "cp866",
+    "cp949", "cp1250", "cp1252", "iso8859-2", "cp866",
     "iso8859-7", "cp1255", "cp1256", "cp874", "cp1254",
 )
 
@@ -177,7 +181,7 @@ _TLD_HINTS = {
     "jp": ("shift_jis", "euc_jp"),
     "cn": ("gb18030",), "sg": ("gb18030",),
     "tw": ("big5",), "hk": ("big5",),
-    "kr": ("euc_kr",),
+    "kr": ("cp949",),
     "pl": ("cp1250", "iso8859-2"), "cz": ("cp1250", "iso8859-2"),
     "hu": ("cp1250", "iso8859-2"), "sk": ("cp1250", "iso8859-2"),
     "ro": ("cp1250", "iso8859-2"), "hr": ("cp1250", "iso8859-2"),

@@ -98,6 +98,8 @@ def sitemap_candidates(
     url-keyed entries up to MAX_INDEX_DEPTH levels."""
     blacklist = [re.compile(p) for p in cfg.blacklist]
     out, seen_local = [], set()
+    # many seeds share a host: walk + parse each host's sitemap tree ONCE
+    walk_cache: dict[tuple, list[str]] = {}
     for r in seed_rows:
         host = r["url"].split("/")[2] if "://" in r["url"] else ""
         roots: list[str] = []
@@ -106,23 +108,28 @@ def sitemap_candidates(
             roots.extend(getattr(rules, "sitemaps", ()))
         if host in sitemap_xml_by_key:
             roots.append(host)
-        # BFS over the index tree; visited-set dedups shared children
-        frontier, visited, page_urls = list(dict.fromkeys(roots)), set(), []
-        depth = 0
-        while frontier and depth < MAX_INDEX_DEPTH:
-            nxt: list[str] = []
-            for key in frontier:
-                if key in visited or len(visited) >= MAX_SITEMAPS_PER_HOST:
-                    continue
-                visited.add(key)
-                xml = sitemap_xml_by_key.get(key)
-                if xml is None:
-                    continue
-                urls, children = parse_sitemap(xml)
-                page_urls.extend(urls)
-                nxt.extend(children)
-            frontier = nxt
-            depth += 1
+        roots = list(dict.fromkeys(roots))
+        cache_key = (host, tuple(roots))
+        page_urls = walk_cache.get(cache_key)
+        if page_urls is None:
+            # BFS over the index tree; visited-set dedups shared children
+            frontier, visited, page_urls = list(roots), set(), []
+            depth = 0
+            while frontier and depth < MAX_INDEX_DEPTH:
+                nxt: list[str] = []
+                for key in frontier:
+                    if key in visited or len(visited) >= MAX_SITEMAPS_PER_HOST:
+                        continue
+                    visited.add(key)
+                    xml = sitemap_xml_by_key.get(key)
+                    if xml is None:
+                        continue
+                    urls, children = parse_sitemap(xml)
+                    page_urls.extend(urls)
+                    nxt.extend(children)
+                frontier = nxt
+                depth += 1
+            walk_cache[cache_key] = page_urls
         for raw in sorted(dict.fromkeys(page_urls)):
             packed = pack_link(r["url"], Depth(0, 0, 0), raw)
             if packed is None:

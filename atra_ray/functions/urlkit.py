@@ -64,6 +64,15 @@ _PSL_EXCEPTION: set[str] = set()
 def _idna_forms(rule: str) -> tuple[str, ...]:
     if rule.isascii():
         return (rule,)
+    # prefer UTS-46 (the PSL's own canonical mapping; measured identical
+    # to IDNA2003 on the current 466 unicode rules, but UTS-46 also covers
+    # rules the 2003 codec rejects); fall back to the stdlib codec
+    try:
+        import idna
+
+        return (rule, idna.encode(rule, uts46=True).decode("ascii"))
+    except Exception:
+        pass
     try:
         return (rule, rule.encode("idna").decode("ascii"))
     except UnicodeError:

@@ -864,7 +864,13 @@ def run_crawl(
             checked += ck
             admitted += ad
         t_admit = time.monotonic()
-        expected_rows = max(1, admitted)
+        # size the next wave by the frontier BACKLOG, not this wave's new
+        # admissions: politeness-capped crawls carry large backlogs across
+        # waves with ~0 fresh admits, and sizing on `admitted` alone would
+        # funnel a full backlog wave through the single-task small path.
+        # Overestimate is safe (big path merely fans out small data).
+        backlog = sum(ray.get([f.count.remote() for f in frontier]))
+        expected_rows = max(1, backlog)
 
         t_passes = time.monotonic()
         total_fetched += status_counts.get("ok", 0)

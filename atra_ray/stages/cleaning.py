@@ -39,6 +39,10 @@ __all__ = [
 
 _WS_CLASS = r"[ \t\n\r\f]"
 _WORD_RE = r"[^ \t\n\r\f]+"
+# explicit ASCII class for "whitespace-only line" so the engine and the
+# DuckDB oracles classify identically (utf8_trim_whitespace strips Unicode
+# whitespace; DuckDB trim() strips spaces only — both diverge on "\t")
+_LINE_WS = " \t\r\f\v"
 # a maximal non-whitespace run containing at least one ASCII letter; used
 # subtractively (strip alpha words, count what remains) because RE2 has no
 # lookahead to anchor "word with NO letter" directly
@@ -79,7 +83,7 @@ def line_dedup_clean(
         lines = pc.list_flatten(
             pc.split_pattern(pc.drop_null(batch.column("text")), "\n")
         )
-        lines = lines.filter(pc.not_equal(pc.utf8_trim_whitespace(lines), ""))
+        lines = lines.filter(pc.not_equal(pc.utf8_trim(lines, _LINE_WS), ""))
         g = pa.table({"ln": lines}).group_by("ln").aggregate([("ln", "count")])
         return pa.table(
             {"ln": g.column("ln"), "n": pc.cast(g.column("ln_count"), pa.int64())}
@@ -159,7 +163,7 @@ def page_repetition(pages_path: str) -> rd.Dataset:
         split = pc.split_pattern(batch.column("text").combine_chunks(), "\n")
         flat = pc.list_flatten(split)
         parents = pc.list_parent_indices(split)
-        mask = pc.not_equal(pc.utf8_trim_whitespace(flat), "")
+        mask = pc.not_equal(pc.utf8_trim(flat, _LINE_WS), "")
         flat = flat.filter(mask)
         per_line = (
             pa.table(

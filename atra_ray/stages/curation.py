@@ -26,7 +26,6 @@ Shapes at scale:
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -176,16 +175,12 @@ def decontaminate(
 
 
 def _md5_low64(vals: list) -> np.ndarray:
-    """DuckDB ``md5_number_lower``-compatible 64-bit hash: digest bytes
-    8..16 little-endian of the decimal string (same scheme as
-    packing.doc_split and the MinHash oracle)."""
-    return np.array(
-        [
-            int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:], "little")
-            for v in vals
-        ],
-        dtype=np.uint64,
-    )
+    """Vectorized wrapper over the shared DuckDB-compatible hash
+    (functions.hashing.md5_low64 — single point of truth for the
+    cross-oracle byte layout)."""
+    from ..functions.hashing import md5_low64
+
+    return np.array([md5_low64(str(v)) for v in vals], dtype=np.uint64)
 
 
 def stratified_sample(

@@ -88,12 +88,14 @@ def _token_hashes(toks: list[str]) -> np.ndarray:
     bit-for-bit. The digest runs once per UNIQUE token (documents repeat
     words heavily — this is the difference between O(tokens) and O(unique)
     digest calls)."""
+    from ..functions.hashing import md5_low64
+
     uniq: dict[str, int] = {}
     out = np.empty(len(toks), dtype=np.uint64)
     for i, t in enumerate(toks):
         h = uniq.get(t)
         if h is None:
-            h = int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
+            h = md5_low64(t)
             uniq[t] = h
         out[i] = h
     return out
@@ -139,6 +141,8 @@ def minhash_signatures(texts: list[str], num_perm: int = 128, ngram: int = 3) ->
     out = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     m31 = np.uint64(_MERSENNE31)
     for i, t in enumerate(texts):
+        if not t:  # null/empty text -> sentinel row (dropped by the store)
+            continue
         sh = np.unique(_shingle_hashes(t, ngram)) % m31
         if len(sh) == 0:
             continue
@@ -197,7 +201,7 @@ def build_signature_store(
     st = os.stat(docs_path) if os.path.isfile(docs_path) else None
     key = hashlib.blake2b(
         f"{docs_path}|{st.st_mtime_ns if st else 0}|{st.st_size if st else 0}"
-        f"|{num_perm}|{ngram}|{num_partitions}|v3".encode(),
+        f"|{num_perm}|{ngram}|{num_partitions}|v4".encode(),
         digest_size=12,
     ).hexdigest()
     from pathlib import Path
@@ -209,9 +213,15 @@ def build_signature_store(
 
     def _sig(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        sigs = minhash_signatures(
-            batch.column("text").to_pylist(), num_perm, ngram
-        ).view(np.int64)  # int64 view: uint64 > 2^63-1 breaks pandas<->Arrow
+        raw = minhash_signatures(batch.column("text").to_pylist(), num_perm, ngram)
+        # drop shingle-less docs (empty/whitespace-only text): their rows
+        # are the uint64-max sentinel — MinHash is undefined on an empty
+        # set, the SQL oracle's `WHERE len(w) > 0` excludes them, and
+        # keeping them would pair every empty doc with every other at
+        # estimate 1.0 (exact dedup owns empty-vs-empty duplicates)
+        keep = raw[:, 0] != np.iinfo(np.uint64).max
+        ids = ids[keep]
+        sigs = raw[keep].view(np.int64)  # int64 view: uint64 > 2^63-1 breaks pandas<->Arrow
         part = partition_ids(
             pd.DataFrame({"doc_id": ids}), ["doc_id"], num_partitions
         ).to_numpy()

@@ -18,7 +18,6 @@ train/val split must have.
 
 from __future__ import annotations
 
-import hashlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -125,14 +124,10 @@ def doc_split(docs_path: str, val_pct: int = 10) -> rd.Dataset:
     'train'. Pure per-row kernel; stable under any repartitioning."""
 
     def _split(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_low64
+
         ids = batch.column("doc_id").to_pylist()
-        buckets = [
-            int.from_bytes(
-                hashlib.md5(str(i).encode()).digest()[8:], "little"
-            )
-            % 100
-            for i in ids
-        ]
+        buckets = [md5_low64(str(i)) % 100 for i in ids]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

@@ -321,10 +321,13 @@ class SeenShardState:
             if t.num_rows == 0:
                 continue
             # the contract of VERDICT r2 item 2: the pulled schema IS the
-            # pruned side table, never the wave's full result rows
-            assert set(t.column_names) <= {"url", "status"}, (
-                f"mark pass received unpruned block: {t.column_names}"
-            )
+            # pruned side table, never the wave's full result rows (a hard
+            # raise, not an assert — the network-amplification guard must
+            # survive python -O)
+            if not set(t.column_names) <= {"url", "status"}:
+                raise ValueError(
+                    f"mark pass received unpruned block: {t.column_names}"
+                )
             urls = t.column("url")
             own = url_shards_batch(urls, num_shards) == self.shard_id
             if not own.any():

@@ -132,6 +132,28 @@ def test_minhash_dedup_finds_near_dups(docs_parquet):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_minhash_excludes_shingleless_docs(tmp_path):
+    """Empty/whitespace-only docs carry the uint64-max sentinel signature;
+    they must never pair with each other (the SQL oracle's len(w) > 0
+    excludes them — exact dedup owns empty-vs-empty duplicates)."""
+    import pyarrow.parquet as pq
+    from atra_ray.stages.dedup import minhash_dup_pairs
+
+    p = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(["", "   ", None, "real prose text here"], pa.string()),
+            }
+        ),
+        p,
+    )
+    pairs = minhash_dup_pairs(str(p), threshold=0.5).to_pandas()
+    assert len(pairs) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_simhash_pairs(docs_parquet):
     from atra_ray.stages.dedup import simhash_dup_pairs
 
@@ -500,6 +522,33 @@ def test_line_dedup_strips_corpus_boilerplate(ray_session, lined_pages_parquet):
     assert "u3" not in out            # all lines dropped -> doc vanishes
     assert out["u4"] == "   \nno boilerplate at all\n "  # ws lines exempt
     assert "u5" not in out            # null text excluded
+
+
+def test_line_dedup_tab_only_lines_are_whitespace(ray_session, tmp_path):
+    """Tab/CR/FF-only lines classify as whitespace-only (exempt from
+    counting and dropping) — the explicit ASCII class both the engine and
+    the DuckDB oracle use (plain trim() would diverge on '\\t')."""
+    import pyarrow.parquet as pq
+    from atra_ray.stages.cleaning import line_dedup_clean
+
+    p = tmp_path / "pages.parquet"
+    texts = ["\t\nkeep one", "\t\nkeep two", "\t\nkeep three", "\t"]
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([f"u{i}" for i in range(len(texts))], pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        p,
+    )
+    out = {
+        r["url"]: r["text_clean"]
+        for r in line_dedup_clean(str(p), max_freq=2).take_all()
+    }
+    # "\t" appears 4x > max_freq but is whitespace-only -> never dropped
+    assert out["u0"] == "\t\nkeep one"
+    assert out["u3"] == "\t"
 
 
 def test_line_dedup_keeps_everything_below_threshold(ray_session, lined_pages_parquet):

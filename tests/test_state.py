@@ -134,7 +134,7 @@ def test_mark_tables_rejects_unpruned_blocks():
     try:
         s.mark_tables([full], 1, 0)
         raise SystemExit("unpruned block accepted")
-    except AssertionError:
+    except ValueError:  # hard raise (survives python -O, unlike assert)
         pass
     pruned = pa.table({"url": ["https://h/a"], "status": ["ok"]})
     counts = s.mark_tables([pruned], 1, 0)
