@@ -22,7 +22,7 @@ Three groups of queries:
    over metadata-only labels) — no SQL equivalent; the driver records
    rows-only checks for them.
 
-34 queries total: 31 oracle-MATCH (SQL or generator/simulator oracle),
+35 queries total: 32 oracle-MATCH (SQL or generator/simulator oracle),
 3 rows-only by nature.
 """
 
@@ -389,6 +389,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _ss(f"{sf_dir}/documents.parquet", per_group=20)
 
+    def weighted_sample(sf_dir):
+        # token-proportional deterministic subsample (integer-exact hash
+        # threshold, stateless, no shuffle)
+        from atra_ray.stages.curation import weighted_sample as _ws
+
+        return _ws(f"{sf_dir}/documents.parquet", cap_tokens=500)
+
     def events_windowed(sf_dir):
         import pandas as pd
         import ray.data as rd
@@ -443,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": pii_scrub,
         "decontaminate": decontaminate,
         "stratified_sample": stratified_sample,
+        "weighted_sample": weighted_sample,
     }
 
 
@@ -852,6 +860,16 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id) AS rk
               FROM documents)
             SELECT doc_id, lang, rk::BIGINT AS rk FROM r WHERE rk <= 20
+        """,
+        # weighted subsample: keep iff h * cap < n_tokens * 2^64, exact
+        # UHUGEINT arithmetic mirroring the engine's Python-int comparison
+        "weighted_sample": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[^ \t\n\r\f]+'))::BIGINT AS n_tokens,
+                   (md5_number_lower(doc_id::VARCHAR)::UHUGEINT * 500
+                    < len(regexp_extract_all(text, '[^ \t\n\r\f]+'))::UHUGEINT
+                      * 18446744073709551616::UHUGEINT) AS keep
+            FROM documents
         """,
         # hash split: md5_number_lower(str(doc_id)) % 100, identical bytes
         # both sides (same digest[8:] little-endian hash as the MinHash

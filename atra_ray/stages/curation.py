@@ -37,6 +37,7 @@ __all__ = [
     "pii_scrub",
     "decontaminate",
     "stratified_sample",
+    "weighted_sample",
     "EMAIL_RE",
     "PHONE_RE",
     "IP_RE",
@@ -181,6 +182,47 @@ def _md5_low64(vals: list) -> np.ndarray:
     from ..functions.hashing import md5_low64
 
     return np.array([md5_low64(str(v)) for v in vals], dtype=np.uint64)
+
+
+def weighted_sample(
+    docs_path: str, cap_tokens: int = 500
+) -> rd.Dataset:
+    """(doc_id, n_tokens, keep): deterministic weighted subsample — every
+    document is kept with probability ``min(1, n_tokens / cap_tokens)``,
+    decided by its own hash (keep iff ``md5_low64(doc_id) * cap_tokens <
+    n_tokens * 2**64``), so the sample is stable across runs, machines
+    and partitionings (the corpus-mixing primitive: token-proportional
+    downsampling without RNG state). All-integer comparison — exactly
+    reproducible by the SQL oracle in UHUGEINT arithmetic. Stateless
+    per-row kernel, no shuffle."""
+    from ..functions.hashing import md5_low64
+
+    _WORD_RE = r"[^ \t\n\r\f]+"
+    shift = 1 << 64
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.count_substring_regex(batch.column("text"), _WORD_RE), pa.int64()
+        )
+        ids = batch.column("doc_id").to_pylist()
+        toks = n_tok.to_pylist()
+        # null text -> null n_tokens -> null keep (SQL NULL-comparison
+        # semantics, matching the oracle)
+        keep = [
+            None if t is None else md5_low64(str(i)) * cap_tokens < t * shift
+            for i, t in zip(ids, toks)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": n_tok,
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        _sample, batch_format="pyarrow"
+    )
 
 
 def stratified_sample(

@@ -148,6 +148,35 @@ def test_stratified_sample_deterministic_topk(ray_session, lang_docs_parquet):
     )
 
 
+def test_weighted_sample_deterministic_threshold(ray_session, tmp_path):
+    from atra_ray.functions.hashing import md5_low64
+    from atra_ray.stages.curation import weighted_sample
+
+    p = tmp_path / "docs.parquet"
+    texts = {
+        0: " ".join(["w"] * 600),   # >= cap -> always kept
+        1: " ".join(["w"] * 250),   # kept iff h < 2^64/2
+        2: "",                      # 0 tokens -> never kept
+        3: None,                    # null text -> never kept
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+            }
+        ),
+        p,
+    )
+    rows = {r["doc_id"]: r for r in weighted_sample(str(p), cap_tokens=500).take_all()}
+    assert rows[0]["keep"] is True
+    assert rows[1]["keep"] == (md5_low64("1") * 500 < 250 * (1 << 64))
+    assert rows[2]["keep"] is False
+    assert rows[3]["keep"] is None  # SQL NULL-comparison semantics
+    again = {r["doc_id"]: r["keep"] for r in weighted_sample(str(p)).take_all()}
+    assert again == {k: v["keep"] for k, v in rows.items()}
+
+
 def test_hash_reduce_small_sums_match_naive(ray_session):
     import ray.data as rd
     import pyarrow.compute as pc
