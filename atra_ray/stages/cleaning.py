@@ -89,6 +89,14 @@ def line_dedup_clean(
             {"ln": g.column("ln"), "n": pc.cast(g.column("ln_count"), pa.int64())}
         )
 
+    def _combine(t: pa.Table) -> pa.Table:
+        # associative partial sum (NO threshold — that's only valid on the
+        # final total), used at intermediate tree-combine levels
+        g = t.group_by("ln").aggregate([("n", "sum")])
+        return pa.table(
+            {"ln": g.column("ln"), "n": pc.cast(g.column("n_sum"), pa.int64())}
+        )
+
     def _sum(t: pa.Table) -> pa.Table:
         g = t.group_by("ln").aggregate([("n", "sum")])
         return g.filter(pc.greater(g.column("n_sum"), max_freq)).select(["ln"])
@@ -100,6 +108,7 @@ def line_dedup_clean(
         ["ln"],
         _sum,
         num_partitions=num_partitions,
+        combine_fn=_combine,
     )  # heavy-hitter lines only — bounded by boilerplate volume
     drop_ref = ray.put(
         heavy.column("ln").combine_chunks()

@@ -94,6 +94,8 @@ def hash_reduce_small(
     key_cols: list[str],
     reduce_fn: Callable[[pa.Table], pa.Table],
     num_partitions: int = 16,
+    combine_fn: Callable[[pa.Table], pa.Table] | None = None,
+    fan_in: int = 256,
 ) -> pa.Table:
     """Hash-partitioned reduce for aggregations whose RESULT is small
     (heavy-hitter sets, global frequency cutoffs, corpus stats): each input
@@ -108,6 +110,14 @@ def hash_reduce_small(
     took ~35 s through the sort path, <2 s here). Rows still move exactly
     once. Only use when ``reduce_fn`` output is driver-small; the return
     value is materialized.
+
+    At scale the input may span millions of blocks; a partition's splits
+    are tree-combined in groups of ``fan_in`` before the final
+    ``reduce_fn`` so no task ever takes an unbounded argument list.
+    Intermediate levels are a semantics-preserving concat by default; pass
+    an ASSOCIATIVE pre-aggregation as ``combine_fn`` (e.g. the group-sum
+    WITHOUT its final threshold) to shrink intermediate tables — never the
+    thresholding ``reduce_fn`` itself, which is not associative.
     """
     import numpy as np
     import ray
@@ -137,6 +147,14 @@ def hash_reduce_small(
         )
 
     @ray.remote
+    def _combine(*parts):
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
+        t = pa.concat_tables(parts)
+        return combine_fn(t) if combine_fn is not None else t
+
+    @ray.remote
     def _reduce(*parts):
         parts = [p for p in parts if p is not None]
         if not parts:
@@ -149,6 +167,14 @@ def hash_reduce_small(
     if not block_refs:
         return pa.table({})
     splits = [_split.remote(b) for b in block_refs]
-    outs = [_reduce.remote(*(s[p] for s in splits)) for p in range(num_partitions)]
+    outs = []
+    for p in range(num_partitions):
+        refs = [s[p] for s in splits]
+        while len(refs) > fan_in:  # tree-combine: bounded task fan-in
+            refs = [
+                _combine.remote(*refs[i : i + fan_in])
+                for i in range(0, len(refs), fan_in)
+            ]
+        outs.append(_reduce.remote(*refs))
     tables = [t for t in ray.get(outs) if t is not None]
     return pa.concat_tables(tables) if tables else pa.table({})

@@ -196,3 +196,11 @@ def test_hash_reduce_small_sums_match_naive(ray_session):
     for i in range(2000):
         expect[f"key{i % 37}"] = expect.get(f"key{i % 37}", 0) + i % 5
     assert got == expect
+    # tree-combine path (fan_in smaller than the block count), with and
+    # without an associative combine_fn — identical result
+    out2 = hash_reduce_small(ds, ["k"], _sum, num_partitions=4, fan_in=2)
+    assert dict(zip(out2.column("k").to_pylist(), out2.column("n").to_pylist())) == expect
+    out3 = hash_reduce_small(
+        ds, ["k"], _sum, num_partitions=4, fan_in=2, combine_fn=_sum
+    )
+    assert dict(zip(out3.column("k").to_pylist(), out3.column("n").to_pylist())) == expect
