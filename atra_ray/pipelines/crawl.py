@@ -684,6 +684,7 @@ def run_crawl(
     # kernels' docstrings): projection per block, and the one-task
     # small-wave path
     _small_wave = ray.remote(num_returns=3)(_small_wave_fn)
+    _table_rows = ray.remote(lambda t: t.num_rows)
     _num_seen = len(seen_handles)
     if _num_seen == 1:
         _select_status = ray.remote(
@@ -695,13 +696,9 @@ def run_crawl(
     else:
         _select_status = ray.remote(num_returns=_num_seen)(_select_url_status_fn)
         _link_combine = ray.remote(num_returns=_num_seen)(_link_combine_fn)
-    # expected rows of the NEXT wave (seeds now; admitted+refilled later):
-    # sizes the wave's fan-out repartition so tiny waves don't pay a
-    # fixed 2x-concurrency shuffle, and big waves still use the full pool;
-    # below small_wave_max the wave skips Dataset execution entirely
-    expected_rows = max(1, len(seeds))
     if small_wave_max is None:
         small_wave_max = max(1024, batch_size)
+    prev_admitted = len(seeds)  # last wave's fresh admissions (seeds now)
     wave = start_wave
     while True:
         if max_waves is not None and wave >= start_wave + max_waves:
@@ -725,7 +722,21 @@ def run_crawl(
             if (blacklist_path is not None and blacklist)
             else None
         )
-        use_small = expected_rows <= small_wave_max
+        # Path selection. When last wave's admissions alone guarantee a big
+        # wave, launch the Dataset path immediately — the driver never
+        # blocks on the pops, which overlap with fetch scheduling (barrier
+        # cost on a 128k-row wave ≈ 0.5 s, measured). Otherwise (small or
+        # ambiguous estimate — including the politeness-capped-backlog case
+        # where fresh admits are ~0 but the frontier still holds a full
+        # wave) pay one cheap barrier for the ACTUAL popped row count: an
+        # admits-only estimate would funnel the whole backlog wave through
+        # the single-task small path while the pool idles.
+        if prev_admitted > small_wave_max:
+            wave_rows = prev_admitted  # fan-out sizing only (lower bound)
+            use_small = False
+        else:
+            wave_rows = sum(ray.get([_table_rows.remote(r) for r in pop_refs]))
+            use_small = wave_rows <= small_wave_max
         if use_small:
             # small-wave fast path: ONE raw task runs poll-filter + fetch +
             # link stage + min-depth dedup (identical kernels; see
@@ -739,7 +750,7 @@ def run_crawl(
             status_refs_by_shard = [[st_ref]] * _num_seen
             small_link_refs = [lk_ref]
         else:
-            fanout = max(1, min(fetch_concurrency * 2, expected_rows // max(batch_size // 4, 1) + 1))
+            fanout = max(1, min(fetch_concurrency * 2, wave_rows // max(batch_size // 4, 1) + 1))
             wave_ds = rd.from_arrow_refs(pop_refs).repartition(fanout)
             if _bl_now:
                 # fetch-time blacklist check (UrlChecker in
@@ -802,7 +813,7 @@ def run_crawl(
                         lineage.append(
                             {"wave": wave, "recrawl_refill": refilled}
                         )
-                        expected_rows = max(1, refilled)
+                        prev_admitted = refilled
                         wave += 1
                         continue
                 break
@@ -863,14 +874,8 @@ def run_crawl(
         for ck, ad in ray.get(admit_refs):  # barrier: admits before checkpoint
             checked += ck
             admitted += ad
+        prev_admitted = admitted
         t_admit = time.monotonic()
-        # size the next wave by the frontier BACKLOG, not this wave's new
-        # admissions: politeness-capped crawls carry large backlogs across
-        # waves with ~0 fresh admits, and sizing on `admitted` alone would
-        # funnel a full backlog wave through the single-task small path.
-        # Overestimate is safe (big path merely fans out small data).
-        backlog = sum(ray.get([f.count.remote() for f in frontier]))
-        expected_rows = max(1, backlog)
 
         t_passes = time.monotonic()
         total_fetched += status_counts.get("ok", 0)
