@@ -116,6 +116,41 @@ def test_budget_limits_depth(crawl_pair):
     assert max(seen.column("tds").to_pylist()) < 3  # absolute depth 3
 
 
+def test_backlog_waves_use_big_path(ray_session, fixtures_small, tmp_path):
+    """Politeness-capped crawls carry a BACKLOG: later waves pop many rows
+    while admitting ~0 fresh links. Path selection must key on the wave's
+    actual popped rows, never on last-wave admissions — a backlog wave
+    funneled through the single-task small path would serialize the whole
+    fetch. Also conformance-checks the capped crawl against the simulator."""
+    cfg = CrawlConfig(
+        budget=BudgetSetting(kind="absolute", depth=3),
+        max_pages_per_host_per_wave=2,  # tight cap -> multi-wave backlog
+    )
+    seeds = (fixtures_small / "seeds.txt").read_text().split()
+    out = str(tmp_path / "backlog")
+    eng = run_crawl(
+        str(fixtures_small / "pages.parquet"),
+        str(fixtures_small / "robots.parquet"),
+        seeds,
+        cfg,
+        out,
+        small_wave_max=4,
+    )
+    waves = [l for l in eng["lineage"] if "small_path" in l]
+    assert any(l["emitted"] > 4 for l in waves)  # backlog waves exist
+    for l in waves:
+        if l["emitted"] > 4:
+            assert l["small_path"] is False, l
+    sim = simulate_crawl(
+        str(fixtures_small / "pages.parquet"),
+        str(fixtures_small / "robots.parquet"),
+        seeds,
+        cfg,
+    )
+    engine_seen = _seen_map(pq.read_table(Path(out) / "link_state.parquet"))
+    assert engine_seen == _seen_map(sim["seen"])
+
+
 @pytest.mark.parametrize("small_wave_max", [None, 0])
 def test_blacklist_filters_host(ray_session, fixtures_small, tmp_path, small_wave_max):
     """Both orchestration paths (small-wave raw task: default at this
