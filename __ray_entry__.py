@@ -22,7 +22,7 @@ Three groups of queries:
    over metadata-only labels) — no SQL equivalent; the driver records
    rows-only checks for them.
 
-35 queries total: 32 oracle-MATCH (SQL or generator/simulator oracle),
+36 queries total: 33 oracle-MATCH (SQL or generator/simulator oracle),
 3 rows-only by nature.
 """
 
@@ -300,6 +300,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _sh(f"{sf_dir}/documents.parquet", max_hamming=10)
 
+    def dup_clusters(sf_dir):
+        # transitive duplicate clustering: connected components over the
+        # verified pair graph via distributed min-label propagation (BSP);
+        # same pair definition as minhash_dup_pairs (threshold 0.5,
+        # bands=64 -> effectively-exact recall), so the SQL oracle can
+        # recompute the identical graph and close it with a recursive CTE
+        from atra_ray.stages.dedup import dup_clusters as _dc
+
+        return _dc(f"{sf_dir}/documents.parquet", threshold=0.5, bands=64)
+
     def ngram_jaccard_dup_pairs(sf_dir):
         from atra_ray.stages.dedup import ngram_jaccard_dup_pairs as _nj
 
@@ -437,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann_lsh_topk,
         "minhash_dup_pairs": minhash_dup_pairs,
         "simhash_dup_pairs": simhash_dup_pairs,
+        "dup_clusters": dup_clusters,
         "dedup_minhash": dedup_minhash,
         "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
         "doc_language": doc_language,
@@ -591,6 +602,26 @@ def _minhash_oracle_sql() -> str:
         f"({p}, {int(a[p])}, {int(b[p])})" for p in range(128)
     )
     return _MINHASH_SQL.replace("{perms}", perms)
+
+
+def _dup_clusters_oracle_sql() -> str:
+    """Same pair graph as the MinHash oracle, closed transitively with a
+    recursive CTE; cluster = min doc_id reachable from each node."""
+    sql = _minhash_oracle_sql()
+    sql = sql.replace("WITH docs AS", "WITH RECURSIVE docs AS")
+    return sql.replace(
+        "SELECT a, b, jaccard FROM est WHERE jaccard >= 0.5",
+        """, pairs AS (SELECT a, b FROM est WHERE jaccard >= 0.5),
+    edges AS (SELECT a AS s, b AS d FROM pairs
+              UNION SELECT b, a FROM pairs),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS doc_id, least(s, min(d))::BIGINT AS cluster
+    FROM reach GROUP BY s""",
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -886,6 +917,7 @@ def oracle_sql() -> dict[str, str]:
         # docstrings above)
         "minhash_dup_pairs": _minhash_oracle_sql(),
         "simhash_dup_pairs": _SIMHASH_SQL,
+        "dup_clusters": _dup_clusters_oracle_sql(),
         # ann_lsh_topk / ann_ivf_topk: intentionally no SQL (approximate
         # operators whose bucketing depends on float dot products /
         # k-means — not bit-reproducible in SQL) — rows-only checks, with

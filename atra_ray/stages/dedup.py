@@ -43,6 +43,8 @@ __all__ = [
     "build_keyed_store",
     "join_store",
     "lsh_candidate_pairs",
+    "dup_clusters",
+    "connected_components",
 ]
 
 # ---------------------------------------------------------------------------
@@ -680,3 +682,143 @@ def simhash_dup_pairs(docs_path: str, max_hamming: int = 3) -> rd.Dataset:
     return partitioned_map_groups(
         pairs, ["a", "b"], lambda df: df.drop_duplicates(["a", "b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# transitive duplicate clustering (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(
+    docs_path: str,
+    threshold: float = 0.7,
+    ngram: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    max_bucket: int = 64,
+    num_partitions: int = 32,
+    max_iters: int = 64,
+) -> "rd.Dataset":
+    """(doc_id, cluster) for every document in at least one verified
+    near-dup pair: cluster = min doc_id of its CONNECTED COMPONENT in the
+    MinHash pair graph. This is the TRANSITIVE closure — a-b plus b-c puts
+    a, b, c in one cluster even when a-c was never emitted as a pair
+    (dedup_minhash's survivor rule is pairwise and keeps such
+    locally-minimal members). Docs in no pair are singletons and omitted.
+
+    Distributed connected components by iterative min-label propagation
+    (semi-naive BSP): labels start as each node's own id; each round every
+    node takes the min of its label and its neighbors' labels through two
+    hash-partitioned exchanges keyed on node id, plus a tiny changed-count
+    aggregate. Rounds = O(component diameter) — near-dup clusters are
+    shallow, so a handful of rounds converge. Labels MATERIALIZE between
+    rounds (bounded lineage; the label table is one row per clustered doc,
+    tiny next to the corpus). No driver-side sets: the pair graph never
+    leaves the object store.
+    """
+    import ray.data as rd
+
+    pairs = minhash_dup_pairs(
+        docs_path,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+        ngram=ngram,
+        max_bucket=max_bucket,
+        num_partitions=num_partitions,
+    )
+    return connected_components(pairs, num_partitions, max_iters)
+
+
+def connected_components(
+    pairs: "rd.Dataset", num_partitions: int = 32, max_iters: int = 64
+) -> "rd.Dataset":
+    """(doc_id, cluster) over an (a, b) edge Dataset: min-id connected
+    components by the BSP min-label propagation documented in
+    ``dup_clusters`` (which is its only production caller; split out so
+    the propagation is testable on explicit chain/star graphs)."""
+    import ray.data as rd
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        return pa.table(
+            {
+                "key": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
+            }
+        )
+
+    edges = pairs.map_batches(_sym, batch_format="pyarrow").materialize()
+
+    def _init(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = df["key"].unique()
+        return pd.DataFrame({"node": nodes, "lab": nodes}).astype("int64")
+
+    labels = partitioned_map_groups(edges, ["key"], _init, num_partitions).materialize()
+
+    def _tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t.column("key"),
+                "dst": t.column("dst"),
+                "lab": pa.nulls(t.num_rows, pa.int64()),
+                "kind": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def _tag_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t.column("node"),
+                "dst": pa.nulls(t.num_rows, pa.int64()),
+                "lab": t.column("lab"),
+                "kind": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    edges_tagged = edges.map_batches(_tag_edges, batch_format="pyarrow").materialize()
+
+    def _prop(df: pd.DataFrame) -> pd.DataFrame:
+        # co-located by key: label rows carry this partition's nodes, edge
+        # rows carry this partition's sources — push src's label to dst
+        labs = df[df["kind"] == 1]
+        ed = df[df["kind"] == 0]
+        m = dict(zip(labs["key"], labs["lab"]))
+        return pd.DataFrame(
+            {
+                "key": pd.concat([ed["dst"], labs["key"]]).astype("int64"),
+                "lab": pd.concat([ed["key"].map(m), labs["lab"]]).astype("int64"),
+                "kind": np.r_[
+                    np.zeros(len(ed), dtype=np.int64),
+                    np.ones(len(labs), dtype=np.int64),
+                ],
+            }
+        )
+
+    def _minlab(df: pd.DataFrame) -> pd.DataFrame:
+        new = df.groupby("key", sort=False)["lab"].min()
+        old = df[df["kind"] == 1].set_index("key")["lab"]
+        return pd.DataFrame(
+            {
+                "node": new.index.astype("int64"),
+                "lab": new.values.astype("int64"),
+                "changed": (new < old.reindex(new.index)).to_numpy(dtype="int64"),
+            }
+        )
+
+    for _ in range(max_iters):
+        lab_tagged = labels.map_batches(_tag_labels, batch_format="pyarrow")
+        cand = partitioned_map_groups(
+            edges_tagged.union(lab_tagged), ["key"], _prop, num_partitions
+        )
+        labels = partitioned_map_groups(cand, ["key"], _minlab, num_partitions).materialize()
+        if labels.sum("changed") == 0:
+            break
+
+    def _out(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("node"), "cluster": t.column("lab")}
+        )
+
+    return labels.map_batches(_out, batch_format="pyarrow")

@@ -704,3 +704,43 @@ def test_doc_split_deterministic_and_disjoint(ray_session, tmp_path):
         assert rows[i]["split"] == ("val" if b < 10 else "train")
     splits = {r["split"] for r in rows.values()}
     assert splits == {"train", "val"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components_chain_star_multihop():
+    """Min-label propagation must close TRANSITIVE chains (multi-hop
+    label travel over several BSP rounds) and leave separate components
+    apart."""
+    import ray.data as rd
+    from atra_ray.stages.dedup import connected_components
+
+    # chain 10-11-12-13-14 (diameter 4 -> several rounds), star 20<-{21,22},
+    # separate pair (30,31); 12-13-14 never pair with 10 directly
+    edges = [(10, 11), (11, 12), (12, 13), (13, 14), (20, 21), (20, 22), (30, 31)]
+    pairs = rd.from_items([{"a": a, "b": b} for a, b in edges]).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    )
+    out = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components(pairs, num_partitions=4).take_all()
+    }
+    assert out == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_clusters_transitive(docs_parquet):
+    """dup_clusters puts pairwise-linked near-dups into one min-id
+    cluster; docs in no pair are omitted."""
+    from atra_ray.stages.dedup import dup_clusters
+
+    out = {
+        r["doc_id"]: r["cluster"]
+        for r in dup_clusters(docs_parquet, threshold=0.5).take_all()
+    }
+    # docs 0,1,2 are the near-dup family (see docs_parquet fixture)
+    assert out[0] == 0 and out[1] == 0 and out[2] == 0
+    assert 3 not in out and 4 not in out
