@@ -732,7 +732,10 @@ def run_crawl(
         # admits-only estimate would funnel the whole backlog wave through
         # the single-task small path while the pool idles.
         if prev_admitted > small_wave_max:
-            wave_rows = prev_admitted  # fan-out sizing only (lower bound)
+            # actual rows unknown here (could far exceed prev_admitted when
+            # a backlog carries over) — use the full fan-out, never a
+            # row-estimate-scaled one that would serialize a big wave
+            wave_rows = None
             use_small = False
         else:
             wave_rows = sum(ray.get([_table_rows.remote(r) for r in pop_refs]))
@@ -750,7 +753,17 @@ def run_crawl(
             status_refs_by_shard = [[st_ref]] * _num_seen
             small_link_refs = [lk_ref]
         else:
-            fanout = max(1, min(fetch_concurrency * 2, wave_rows // max(batch_size // 4, 1) + 1))
+            fanout = (
+                fetch_concurrency * 2
+                if wave_rows is None
+                else max(
+                    1,
+                    min(
+                        fetch_concurrency * 2,
+                        wave_rows // max(batch_size // 4, 1) + 1,
+                    ),
+                )
+            )
             wave_ds = rd.from_arrow_refs(pop_refs).repartition(fanout)
             if _bl_now:
                 # fetch-time blacklist check (UrlChecker in

@@ -31,6 +31,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from .text_analysis import WS_WORD_RE as _WORD_RE  # shared token class
+
 __all__ = [
     "line_dedup_clean",
     "page_repetition",
@@ -38,7 +40,6 @@ __all__ = [
 ]
 
 _WS_CLASS = r"[ \t\n\r\f]"
-_WORD_RE = r"[^ \t\n\r\f]+"
 # explicit ASCII class for "whitespace-only line" so the engine and the
 # DuckDB oracles classify identically (utf8_trim_whitespace strips Unicode
 # whitespace; DuckDB trim() strips spaces only — both diverge on "\t")

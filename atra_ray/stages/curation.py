@@ -197,7 +197,8 @@ def weighted_sample(
     per-row kernel, no shuffle."""
     from ..functions.hashing import md5_low64
 
-    _WORD_RE = r"[^ \t\n\r\f]+"
+    from .text_analysis import WS_WORD_RE as _WORD_RE
+
     shift = 1 << 64
 
     def _sample(batch: pa.Table) -> pa.Table:

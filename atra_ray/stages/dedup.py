@@ -757,12 +757,15 @@ def connected_components(
 
     labels = partitioned_map_groups(edges, ["key"], _init, num_partitions).materialize()
 
+    # -1 sentinels (doc_ids are non-negative), NOT nulls: a null int64
+    # column degrades to float64 through the pandas exchange and would
+    # silently round doc_ids >= 2^53
     def _tag_edges(t: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "key": t.column("key"),
                 "dst": t.column("dst"),
-                "lab": pa.nulls(t.num_rows, pa.int64()),
+                "lab": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
                 "kind": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
             }
         )
@@ -771,7 +774,7 @@ def connected_components(
         return pa.table(
             {
                 "key": t.column("node"),
-                "dst": pa.nulls(t.num_rows, pa.int64()),
+                "dst": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
                 "lab": t.column("lab"),
                 "kind": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }
@@ -807,14 +810,24 @@ def connected_components(
             }
         )
 
+    converged = False
     for _ in range(max_iters):
         lab_tagged = labels.map_batches(_tag_labels, batch_format="pyarrow")
         cand = partitioned_map_groups(
             edges_tagged.union(lab_tagged), ["key"], _prop, num_partitions
         )
         labels = partitioned_map_groups(cand, ["key"], _minlab, num_partitions).materialize()
-        if labels.sum("changed") == 0:
+        # sum() is None on an empty dataset (no pairs at all) — converged
+        if not (labels.sum("changed") or 0):
+            converged = True
             break
+    if not converged:
+        # silently-wrong labels would also diverge from the recursive-CTE
+        # oracle; fail loudly and point at the knob
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters; raise max_iters)"
+        )
 
     def _out(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -25,7 +25,7 @@ import ray.data as rd
 
 __all__ = ["pack_sequences", "doc_split"]
 
-_WORD_RE = r"[^ \t\n\r\f]+"
+from .text_analysis import WS_WORD_RE as _WORD_RE  # shared token class
 
 
 def pack_sequences(

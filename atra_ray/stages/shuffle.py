@@ -124,6 +124,7 @@ def hash_reduce_small(
 
     if num_partitions < 2:
         raise ValueError("num_partitions must be >= 2")
+    fan_in = max(2, fan_in)  # fan_in=1 would never shrink the combine tree
 
     @ray.remote(num_returns=num_partitions)
     def _split(block):

@@ -25,11 +25,16 @@ __all__ = [
     "term_doc_freq",
     "token_counts",
     "TOKEN_RE",
+    "WS_WORD_RE",
     "STOPWORD_RE",
     "BPE_TOKEN_RE",
 ]
 
 TOKEN_RE = r"[A-Za-z0-9]+"
+# the whitespace-delimited word regex shared by gopher_quality,
+# pack_sequences and weighted_sample AND their SQL oracles — single point
+# of truth (a change here must be mirrored in every oracle string)
+WS_WORD_RE = r"[^ \t\n\r\f]+"
 # \b word-bounded high-frequency English function words (subset of
 # functions/langdetect.py's list — kept short so the SQL mirror stays legible)
 _STOPWORDS = ("the", "and", "of", "to", "in", "is", "that", "for", "on", "with", "as", "a")
