@@ -407,23 +407,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _ws(f"{sf_dir}/documents.parquet", cap_tokens=500)
 
     def events_windowed(sf_dir):
-        import pandas as pd
-        import ray.data as rd
-        from ray.data.aggregate import Count, Max, Min
+        # combiner + sortless partial-aggregate merge: the events table
+        # crosses the wire as per-batch (type, window) partials only
+        from atra_ray.stages.events import windowed_event_agg
 
-        def _win(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["window_start"] = df["ts"].dt.floor("h")
-            return df[["event_type", "window_start", "value"]]
-
-        ds = rd.read_parquet(
-            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
-        ).map_batches(_win, batch_format="pandas")
-        return ds.groupby(["event_type", "window_start"]).aggregate(
-            Count(alias_name="n"),
-            Min("value", alias_name="min_value"),
-            Max("value", alias_name="max_value"),
-        )
+        return windowed_event_agg(f"{sf_dir}/events.parquet")
 
     return {
         "extract_text": extract_text,

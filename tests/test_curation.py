@@ -204,3 +204,35 @@ def test_hash_reduce_small_sums_match_naive(ray_session):
         ds, ["k"], _sum, num_partitions=4, fan_in=2, combine_fn=_sum
     )
     assert dict(zip(out3.column("k").to_pylist(), out3.column("n").to_pylist())) == expect
+
+
+def test_windowed_event_agg(ray_session, tmp_path):
+    import datetime as dt
+
+    from atra_ray.stages.events import windowed_event_agg
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        ("click", base + dt.timedelta(minutes=5), 1.0),
+        ("click", base + dt.timedelta(minutes=50), 3.0),
+        ("click", base + dt.timedelta(minutes=70), 9.0),   # next hour
+        ("view", base + dt.timedelta(minutes=10), -2.0),
+    ]
+    t = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    p = tmp_path / "events.parquet"
+    pq.write_table(t, p)
+    out = {
+        (r["event_type"], r["window_start"].hour): r
+        for r in windowed_event_agg(str(p)).take_all()
+    }
+    assert out[("click", 10)]["n"] == 2
+    assert out[("click", 10)]["min_value"] == 1.0
+    assert out[("click", 10)]["max_value"] == 3.0
+    assert out[("click", 11)]["n"] == 1
+    assert out[("view", 10)]["min_value"] == -2.0
