@@ -211,10 +211,252 @@ PROFILE_TEXT: dict[str, str] = {
         "бігають між прилавками було вже пізно коли вони повернулися "
         "додому"
     ),
+    "ron": (
+        "dezvoltarea rapidă a programelor libere a schimbat felul în "
+        "care oamenii muncesc și trăiesc împreună mulți utilizatori "
+        "citesc și scriu documente în fiecare zi iar alții caută "
+        "informații despre știință istorie și cultură vremea de astăzi "
+        "este rece dar mâine va fi cald și însorit copiii se joacă în "
+        "parc după școală iar familiile se adună seara la cină acesta "
+        "este unul dintre cele mai importante lucruri pe care le-am "
+        "văzut în ultimii ani în oraș sunt multe case vechi și străzi "
+        "înguste unde muzicienii cântă în piețele deschise oamenii "
+        "cumpără pâine proaspătă fructe și pește de la piață iar copiii "
+        "aleargă râzând printre tarabe era deja târziu când s-au întors "
+        "acasă"
+    ),
+    "fin": (
+        "vapaiden ohjelmistojen nopea kehitys on muuttanut sitä miten "
+        "ihmiset työskentelevät ja elävät yhdessä monet käyttäjät "
+        "lukevat ja kirjoittavat asiakirjoja joka päivä kun taas toiset "
+        "etsivät tietoa tieteestä historiasta ja kulttuurista sää on "
+        "tänään kylmä mutta huomenna on lämmintä ja aurinkoista lapset "
+        "leikkivät puistossa koulun jälkeen ja perheet kokoontuvat "
+        "illalla syömään tämä on yksi tärkeimmistä asioista joita "
+        "olemme nähneet viime vuosina kaupungissa on paljon vanhoja "
+        "taloja ja kapeita katuja joilla muusikot soittavat avoimilla "
+        "aukioilla ihmiset ostavat torilta tuoretta leipää hedelmiä ja "
+        "kalaa ja lapset juoksevat nauraen kojujen välissä oli jo "
+        "myöhä kun he palasivat kotiin"
+    ),
+    "dan": (
+        "den hurtige udvikling af fri software har ændret hvordan folk "
+        "arbejder og lever sammen mange brugere læser og skriver "
+        "dokumenter hver dag mens andre søger efter oplysninger om "
+        "videnskab historie og kultur vejret i dag er koldt men i "
+        "morgen bliver det varmt og solrigt børnene leger i parken "
+        "efter skole og familierne samles til aftensmad om aftenen "
+        "dette er en af de vigtigste ting vi har set i de seneste år i "
+        "byen er der mange gamle huse og smalle gader hvor musikere "
+        "spiller på de åbne pladser folk køber frisk brød frugt og "
+        "fisk på torvet og børnene løber grinende mellem boderne det "
+        "var allerede sent da de kom hjem igen"
+    ),
+    "nob": (
+        "den raske utviklingen av fri programvare har endret hvordan "
+        "folk arbeider og lever sammen mange brukere leser og skriver "
+        "dokumenter hver dag mens andre leter etter opplysninger om "
+        "vitenskap historie og kultur været i dag er kaldt men i "
+        "morgen blir det varmt og solfylt barna leker i parken etter "
+        "skolen og familiene samles til middag om kvelden dette er en "
+        "av de viktigste tingene vi har sett de siste årene i byen "
+        "finnes det mange gamle hus og trange gater hvor musikere "
+        "spiller på de åpne plassene folk kjøper ferskt brød frukt og "
+        "fisk på torget og barna løper leende mellom bodene det var "
+        "allerede sent da de kom hjem igjen"
+    ),
+    "hun": (
+        "a szabad szoftverek gyors fejlődése megváltoztatta azt ahogyan "
+        "az emberek együtt dolgoznak és élnek sok felhasználó minden "
+        "nap dokumentumokat olvas és ír míg mások a tudományról a "
+        "történelemről és a kultúráról keresnek információkat az idő "
+        "ma hideg de holnap meleg és napos lesz a gyerekek iskola után "
+        "a parkban játszanak a családok pedig este vacsorára gyűlnek "
+        "össze ez az egyik legfontosabb dolog amit az elmúlt években "
+        "láttunk a városban sok régi ház és keskeny utca van ahol a "
+        "zenészek a nyitott tereken játszanak az emberek friss "
+        "kenyeret gyümölcsöt és halat vesznek a piacon a gyerekek "
+        "pedig nevetve szaladgálnak a standok között már késő volt "
+        "amikor hazaértek"
+    ),
+    "tur": (
+        "özgür yazılımın hızlı gelişimi insanların birlikte çalışma ve "
+        "yaşama biçimini değiştirdi birçok kullanıcı her gün belgeler "
+        "okuyor ve yazıyor bazıları ise bilim tarih ve kültür hakkında "
+        "bilgi arıyor bugün hava soğuk ama yarın sıcak ve güneşli "
+        "olacak çocuklar okuldan sonra parkta oynuyor aileler ise "
+        "akşam yemeği için bir araya geliyor bu son yıllarda "
+        "gördüğümüz en önemli şeylerden biridir şehirde birçok eski ev "
+        "ve dar sokak var müzisyenler açık meydanlarda çalıyor "
+        "insanlar pazardan taze ekmek meyve ve balık alıyor çocuklar "
+        "ise tezgahların arasında gülerek koşuyor eve döndüklerinde "
+        "vakit çoktan geç olmuştu"
+    ),
+    "cat": (
+        "el ràpid desenvolupament del programari lliure ha canviat la "
+        "manera com la gent treballa i viu junta molts usuaris "
+        "llegeixen i escriuen documents cada dia mentre que altres "
+        "busquen informació sobre ciència història i cultura el temps "
+        "avui és fred però demà farà calor i sol els nens juguen al "
+        "parc després de l'escola i les famílies es reuneixen al "
+        "vespre per sopar aquesta és una de les coses més importants "
+        "que hem vist els darrers anys a la ciutat hi ha moltes cases "
+        "velles i carrers estrets on els músics toquen a les places "
+        "obertes la gent compra pa fresc fruita i peix al mercat i els "
+        "nens corren rient entre les parades ja era tard quan van "
+        "tornar a casa"
+    ),
+    "hrv": (
+        "brzi razvoj slobodnog softvera promijenio je način na koji "
+        "ljudi zajedno rade i žive mnogi korisnici svaki dan čitaju i "
+        "pišu dokumente dok drugi traže informacije o znanosti "
+        "povijesti i kulturi vrijeme je danas hladno ali sutra će biti "
+        "toplo i sunčano djeca se nakon škole igraju u parku a obitelji "
+        "se navečer okupljaju na večeri ovo je jedna od najvažnijih "
+        "stvari koje smo vidjeli posljednjih godina u gradu ima mnogo "
+        "starih kuća i uskih ulica gdje glazbenici sviraju na otvorenim "
+        "trgovima ljudi na tržnici kupuju svježi kruh voće i ribu a "
+        "djeca se smijući trče između štandova već je bilo kasno kada "
+        "su se vratili kući"
+    ),
+    "slk": (
+        "rýchly rozvoj slobodného softvéru zmenil to ako ľudia spolu "
+        "pracujú a žijú mnohí používatelia každý deň čítajú a píšu "
+        "dokumenty zatiaľ čo iní hľadajú informácie o vede histórii a "
+        "kultúre počasie je dnes studené ale zajtra bude teplo a "
+        "slnečno deti sa po škole hrajú v parku a rodiny sa večer "
+        "schádzajú na večeru toto je jedna z najdôležitejších vecí "
+        "ktoré sme videli v posledných rokoch v meste je veľa starých "
+        "domov a úzkych ulíc kde hudobníci hrajú na otvorených "
+        "námestiach ľudia kupujú na trhu čerstvý chlieb ovocie a ryby "
+        "a deti so smiechom behajú pomedzi stánky bolo už neskoro keď "
+        "sa vrátili domov"
+    ),
+    "slv": (
+        "hiter razvoj proste programske opreme je spremenil način kako "
+        "ljudje skupaj delajo in živijo veliko uporabnikov vsak dan "
+        "bere in piše dokumente medtem ko drugi iščejo informacije o "
+        "znanosti zgodovini in kulturi vreme je danes hladno a jutri "
+        "bo toplo in sončno otroci se po šoli igrajo v parku družine "
+        "pa se zvečer zberejo na večerji to je ena najpomembnejših "
+        "stvari ki smo jih videli v zadnjih letih v mestu je veliko "
+        "starih hiš in ozkih ulic kjer glasbeniki igrajo na odprtih "
+        "trgih ljudje na tržnici kupujejo svež kruh sadje in ribe "
+        "otroci pa se smeje tekajo med stojnicami bilo je že pozno ko "
+        "so se vrnili domov"
+    ),
+    "ind": (
+        "perkembangan pesat perangkat lunak bebas telah mengubah cara "
+        "orang bekerja dan hidup bersama banyak pengguna membaca dan "
+        "menulis dokumen setiap hari sementara yang lain mencari "
+        "informasi tentang ilmu pengetahuan sejarah dan budaya cuaca "
+        "hari ini dingin tetapi besok akan hangat dan cerah anak anak "
+        "bermain di taman setelah sekolah dan keluarga berkumpul untuk "
+        "makan malam ini adalah salah satu hal terpenting yang kami "
+        "lihat dalam beberapa tahun terakhir di kota ada banyak rumah "
+        "tua dan jalan sempit tempat para musisi bermain di alun alun "
+        "terbuka orang orang membeli roti segar buah dan ikan di pasar "
+        "dan anak anak berlari sambil tertawa di antara kios sudah "
+        "larut malam ketika mereka pulang ke rumah"
+    ),
+    "vie": (
+        "sự phát triển nhanh chóng của phần mềm tự do đã thay đổi cách "
+        "mọi người làm việc và sống cùng nhau nhiều người dùng đọc và "
+        "viết tài liệu mỗi ngày trong khi những người khác tìm kiếm "
+        "thông tin về khoa học lịch sử và văn hóa thời tiết hôm nay "
+        "lạnh nhưng ngày mai sẽ ấm và có nắng trẻ em chơi trong công "
+        "viên sau giờ học và các gia đình quây quần bên bữa tối đây là "
+        "một trong những điều quan trọng nhất mà chúng ta đã thấy "
+        "trong những năm gần đây trong thành phố có nhiều ngôi nhà cũ "
+        "và những con phố hẹp nơi các nhạc công chơi nhạc trên quảng "
+        "trường mọi người mua bánh mì tươi trái cây và cá ở chợ còn "
+        "trẻ em vừa cười vừa chạy giữa các quầy hàng trời đã khuya khi "
+        "họ trở về nhà"
+    ),
+    "est": (
+        "vaba tarkvara kiire areng on muutnud seda kuidas inimesed "
+        "koos töötavad ja elavad paljud kasutajad loevad ja kirjutavad "
+        "iga päev dokumente samas kui teised otsivad teavet teaduse "
+        "ajaloo ja kultuuri kohta ilm on täna külm aga homme tuleb "
+        "soe ja päikesepaisteline lapsed mängivad pärast kooli pargis "
+        "ja pered kogunevad õhtul õhtusöögile see on üks tähtsamaid "
+        "asju mida oleme viimastel aastatel näinud linnas on palju "
+        "vanu maju ja kitsaid tänavaid kus muusikud mängivad avatud "
+        "väljakutel inimesed ostavad turult värsket leiba puuvilju ja "
+        "kala ning lapsed jooksevad naerdes lettide vahel oli juba "
+        "hilja kui nad koju tagasi jõudsid"
+    ),
+    "lav": (
+        "brīvās programmatūras straujā attīstība ir mainījusi to kā "
+        "cilvēki kopā strādā un dzīvo daudzi lietotāji katru dienu "
+        "lasa un raksta dokumentus kamēr citi meklē informāciju par "
+        "zinātni vēsturi un kultūru laiks šodien ir auksts bet rīt būs "
+        "silts un saulains bērni pēc skolas spēlējas parkā un ģimenes "
+        "vakarā pulcējas vakariņās tā ir viena no svarīgākajām lietām "
+        "ko esam redzējuši pēdējos gados pilsētā ir daudz vecu māju un "
+        "šauru ielu kur mūziķi spēlē atklātos laukumos cilvēki tirgū "
+        "pērk svaigu maizi augļus un zivis un bērni smejoties skraida "
+        "starp letēm bija jau vēls kad viņi atgriezās mājās"
+    ),
+    "lit": (
+        "spartus laisvosios programinės įrangos vystymasis pakeitė tai "
+        "kaip žmonės kartu dirba ir gyvena daugelis naudotojų kasdien "
+        "skaito ir rašo dokumentus o kiti ieško informacijos apie "
+        "mokslą istoriją ir kultūrą oras šiandien šaltas bet rytoj bus "
+        "šilta ir saulėta vaikai po pamokų žaidžia parke o šeimos "
+        "vakare renkasi vakarienės tai vienas svarbiausių dalykų "
+        "kuriuos matėme pastaraisiais metais mieste yra daug senų namų "
+        "ir siaurų gatvių kur muzikantai groja atvirose aikštėse "
+        "žmonės turguje perka šviežią duoną vaisius ir žuvį o vaikai "
+        "juokdamiesi laksto tarp prekystalių buvo jau vėlu kai jie "
+        "grįžo namo"
+    ),
+    "bul": (
+        "бързото развитие на свободния софтуер промени начина по който "
+        "хората работят и живеят заедно много потребители четат и "
+        "пишат документи всеки ден докато други търсят информация за "
+        "науката историята и културата времето днес е студено но утре "
+        "ще бъде топло и слънчево децата играят в парка след училище а "
+        "семействата се събират вечер за вечеря това е едно от най "
+        "важните неща които видяхме през последните години в града има "
+        "много стари къщи и тесни улици където музикантите свирят на "
+        "откритите площади хората купуват пресен хляб плодове и риба "
+        "на пазара а децата тичат със смях между сергиите беше вече "
+        "късно когато се прибраха у дома"
+    ),
+    "srp": (
+        "брзи развој слободног софтвера променио је начин на који људи "
+        "заједно раде и живе многи корисници сваког дана читају и пишу "
+        "документе док други траже информације о науци историји и "
+        "култури време је данас хладно али сутра ће бити топло и "
+        "сунчано деца се после школе играју у парку а породице се "
+        "увече окупљају на вечери ово је једна од најважнијих ствари "
+        "које смо видели последњих година у граду има много старих "
+        "кућа и уских улица где музичари свирају на отвореним трговима "
+        "људи на пијаци купују свеж хлеб воће и рибу а деца се смејући "
+        "трче између тезги већ је било касно када су се вратили кући"
+    ),
+    "bel": (
+        "хуткае развіццё свабоднага праграмнага забеспячэння змяніла "
+        "тое як людзі разам працуюць і жывуць многія карыстальнікі "
+        "штодня чытаюць і пішуць дакументы а іншыя шукаюць інфармацыю "
+        "пра навуку гісторыю і культуру надвор'е сёння халоднае але "
+        "заўтра будзе цёпла і сонечна дзеці гуляюць у парку пасля "
+        "школы а сем'і збіраюцца ўвечары на вячэру гэта адна з самых "
+        "важных рэчаў якія мы бачылі ў апошнія гады ў горадзе шмат "
+        "старых дамоў і вузкіх вуліц дзе музыкі іграюць на адкрытых "
+        "плошчах людзі купляюць на рынку свежы хлеб садавіну і рыбу а "
+        "дзеці са смехам бегаюць паміж прылаўкамі было ўжо позна калі "
+        "яны вярнуліся дадому"
+    ),
 }
 
-LATIN_LANGS = ("ces", "deu", "eng", "fra", "ita", "nld", "pol", "por", "spa", "swe")
-CYRILLIC_LANGS = ("rus", "ukr")
+LATIN_LANGS = (
+    "cat", "ces", "dan", "deu", "eng", "est", "fin", "fra", "hrv", "hun",
+    "ind", "ita", "lav", "lit", "nld", "nob", "pol", "por", "ron", "slk",
+    "slv", "spa", "swe", "tur", "vie",
+)
+CYRILLIC_LANGS = ("bel", "bul", "rus", "srp", "ukr")
 
 _PROFILE_SIZE = 600
 
@@ -236,7 +478,13 @@ _L = len(_ALPHABET) + 2
 _MAXCP = max(ord(ch) for ch in _ALPHABET)
 _LUT = np.zeros(_MAXCP + 1, dtype=np.int64)
 # letter ranges below the LUT ceiling default to OOV; known letters override
-for _lo, _hi in ((0x61, 0x7A), (0xC0, 0x24F), (0x370, 0x3FF), (0x400, 0x4FF)):
+for _lo, _hi in (
+    (0x61, 0x7A),
+    (0xC0, 0x24F),
+    (0x370, 0x3FF),
+    (0x400, 0x4FF),
+    (0x1E00, 0x1EFF),  # Latin Extended Additional (Vietnamese diacritics)
+):
     _LUT[_lo : min(_hi, _MAXCP) + 1] = 1
 _LUT[0xD7] = _LUT[0xF7] = 0  # multiplication/division signs are not letters
 for _i, _ch in enumerate(_ALPHABET):

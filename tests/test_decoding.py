@@ -158,3 +158,42 @@ def test_statistical_guess_sample_boundary_trim():
     assert statistical_guess(body) == "euc_jp"
     text, enc, err = decode_bytes(body, is_html=False)
     assert enc == "euc_jp" and not err and "データ" in text
+
+
+def test_language_id_expanded_coverage():
+    """30-language trigram coverage (M17, whatlang-grade breadth for the
+    Latin/Cyrillic families): adversarial everyday-prose snippets NOT
+    drawn from the profile texts, including the confusable pairs
+    (dan/nob/swe, ces/slk, hrv/slv/srp, rus/ukr/bel/bul)."""
+    from atra_ray.functions.langdetect import detect_language_info
+
+    snippets = {
+        "ron": "copiii se jucau în grădină în timp ce părinții lor îi priveau",
+        "fin": "lapset leikkivät pihalla ja vanhemmat katsoivat heitä ikkunasta",
+        "dan": "børnene legede i haven mens deres forældre så på dem",
+        "nob": "barna lekte i hagen mens foreldrene deres så på dem",
+        "swe": "barnen lekte i trädgården medan deras föräldrar tittade på",
+        "hun": "a gyerekek a kertben játszottak míg a szüleik nézték őket",
+        "tur": "çocuklar bahçede oynuyordu ve aileleri onları izliyordu",
+        "cat": "els nens jugaven al jardí mentre els seus pares els miraven",
+        "hrv": "djeca su se igrala u vrtu dok su ih roditelji promatrali",
+        "slk": "deti sa hrali v záhrade zatiaľ čo ich rodičia sa pozerali",
+        "slv": "otroci so se igrali na vrtu medtem ko so jih starši opazovali",
+        "ces": "děti si hrály na zahradě zatímco jejich rodiče se dívali",
+        "ind": "anak anak bermain di kebun sementara orang tua mereka mengawasi",
+        "vie": "bọn trẻ đang chơi ngoài vườn trong khi bố mẹ chúng theo dõi",
+        "est": "lapsed mängisid aias sel ajal kui nende vanemad vaatasid",
+        "lav": "bērni spēlējās dārzā kamēr viņu vecāki viņus vēroja",
+        "lit": "vaikai žaidė sode o jų tėvai juos stebėjo pro langą",
+        "bul": "децата играеха в градината а родителите им ги гледаха",
+        "srp": "деца су се играла у дворишту док су их родитељи гледали",
+        "bel": "дзеці гулялі ў садзе а іх бацькі назіралі за імі",
+        "ukr": "діти гралися в саду а їхні батьки спостерігали за ними",
+        "rus": "дети играли в саду а их родители наблюдали за ними",
+    }
+    misses = {}
+    for lang, text in snippets.items():
+        got, _, _ = detect_language_info(text)
+        if got != lang:
+            misses[lang] = got
+    assert not misses, misses
