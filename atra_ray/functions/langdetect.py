@@ -183,7 +183,11 @@ PROFILE_TEXT: dict[str, str] = {
         "posledních letech viděli ve městě je mnoho starých domů a "
         "úzkých ulic kde hudebníci hrají na otevřených náměstích lidé "
         "kupují čerstvý chléb ovoce a ryby na trhu a děti běhají se "
-        "smíchem mezi stánky bylo už pozdě když se vrátili domů"
+        "smíchem mezi stánky bylo už pozdě když se vrátili domů děti "
+        "mohou běžet přes celé náměstí ještě před večeří a stůl už byl "
+        "prostřený může to být těžké ale předtím jsme to vždy zvládli "
+        "řeka teče kolem města a na břehu stojí staré stromy světlo se "
+        "večer odráží na hladině a lidé se dívají z mostů"
     ),
     "rus": (
         "быстрое развитие свободного программного обеспечения изменило "
@@ -579,6 +583,9 @@ def detect_script(text: str) -> tuple[str, int, int]:
         ((cp >= 0x41) & (cp <= 0x5A))
         | ((cp >= 0x61) & (cp <= 0x7A))
         | ((cp >= 0xC0) & (cp <= 0x24F) & (cp != 0xD7) & (cp != 0xF7))
+        # Latin Extended Additional (Vietnamese diacritics) — keep in sync
+        # with the trigram LUT ranges above
+        | ((cp >= 0x1E00) & (cp <= 0x1EFF))
     )
     counts: dict[str, int] = {}
     n_latin = int(latin.sum())

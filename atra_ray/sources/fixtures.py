@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 42
-GENERATOR_VERSION = "17"  # bump when generation rules change (invalidates caches)
+GENERATOR_VERSION = "19"  # bump when generation rules change (invalidates caches)
 EPOCH_US = 1_729_036_800_000_000  # 2024-10-16T00:00:00Z in microseconds
 
 _LANGS = (
@@ -52,7 +52,8 @@ _LANGS = (
 _CONTENT = {
     "eng": "the and with from under between house garden river mountain "
            "bread water morning evening friend street market people would "
-           "never always other during three night light stone".split(),
+           "never always other during three night light stone through "
+           "should because think which things something".split(),
     "deu": "und der das die mit von unter zwischen haus garten fluss berg "
            "brot wasser morgen abend freund markt leute niemals immer "
            "andere während über drei nacht licht stein weg".split(),
@@ -62,9 +63,12 @@ _CONTENT = {
     "spa": "y el la los las con bajo entre casa jardín río montaña pan "
            "agua mañana tarde amigo calle mercado gente nunca siempre "
            "otros durante tres noche luz piedra camino".split(),
-    "ita": "e il la i gli con sotto tra casa giardino fiume montagna pane "
-           "acqua mattina sera amico strada mercato gente mai sempre "
-           "altri durante tre notte luce pietra cammino".split(),
+    # che/non function words + più/perché/già: short salads carry
+    # distinctly Italian evidence (cat/spa share il/la/con)
+    "ita": "e il che non la gli con sotto tra casa giardino fiume "
+           "montagna pane acqua mattina sera amico strada mercato gente "
+           "mai sempre altri durante tre notte luce pietra cammino più "
+           "perché già degli questo".split(),
     "nld": "en de het een met van onder tussen huis tuin rivier berg "
            "brood water ochtend avond vriend straat markt mensen nooit "
            "altijd andere tijdens drie nacht licht steen weg".split(),
@@ -94,9 +98,12 @@ _CONTENT = {
     # pages (M9 step 4): the detector must identify these from CONTENT
     # alone. ces (cp1250) and ukr (koi8-u) also exercise the widened
     # statistical-candidate set.
-    "ces": "a v na to s pod mezi dům zahrada řeka hora chléb voda ráno "
-           "večer přítel ulice trh lidé nikdy vždy jiní během tři noc "
-           "světlo kámen cesta".split(),
+    # ě/ř/ů-rich (letters Slovak orthography lacks): short cp1250 pages
+    # must never tip into slk
+    "ces": "a že ještě před v na s pod mezi dům zahrada řeka hora chléb "
+           "voda ráno večer přítel ulice trh lidé nikdy vždy jiní během "
+           "tři noc světlo kámen cesta děti město může stůl těžký "
+           "předtím".split(),
     "rus": "и в не на с под между дом сад река гора хлеб вода утро вечер "
            "друг улица рынок люди никогда всегда другие три ночь свет "
            "камень дорога".split(),
@@ -374,8 +381,13 @@ def _gen_page(h: int, k: int, hosts: int, counts: list[int], salt: int = 0):
     for p in paras:
         body_bits.append(f"<p>{p}</p>")
         text_parts.append(p)
+    # anchors stay in the PAGE's language (ascii subset on ascii_only
+    # pages) — English anchors on a short non-English page tipped the
+    # language id toward eng
     anchor_words_pool = (
-        _CONTENT[lang] if not ascii_only else [w for w in _CONTENT["eng"]]
+        _CONTENT[lang]
+        if not ascii_only
+        else ([w for w in _CONTENT[lang] if w.isascii()] or ["link", "here", "more"])
     )
     for raw, _canon, origin in links:
         if origin == "href" and not raw.startswith("data:"):

@@ -28,7 +28,9 @@ def windowed_event_agg(events_path: str, freq: str = "h") -> rd.Dataset:
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy(deep=False)
         df["window_start"] = df["ts"].dt.floor(freq)
-        g = df.groupby(["event_type", "window_start"], sort=False, as_index=False).agg(
+        g = df.groupby(
+            ["event_type", "window_start"], sort=False, as_index=False, dropna=False
+        ).agg(
             n=("value", "size"),
             min_value=("value", "min"),
             max_value=("value", "max"),
@@ -38,7 +40,9 @@ def windowed_event_agg(events_path: str, freq: str = "h") -> rd.Dataset:
 
     def _merge(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        g = df.groupby(["event_type", "window_start"], sort=False, as_index=False).agg(
+        g = df.groupby(
+            ["event_type", "window_start"], sort=False, as_index=False, dropna=False
+        ).agg(
             n=("n", "sum"),
             min_value=("min_value", "min"),
             max_value=("max_value", "max"),
