@@ -25,7 +25,17 @@ def windowed_event_agg(events_path: str, freq: str = "h") -> rd.Dataset:
     value extrema per event type per time window (default hourly)."""
     from .shuffle import hash_reduce_small
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("window_start", pa.timestamp("ns")),
+            ("n", pa.int64()),
+            ("min_value", pa.float64()),
+            ("max_value", pa.float64()),
+        ]
+    )
+
+    def _partial(df: pd.DataFrame) -> pa.Table:
         df = df.copy(deep=False)
         df["window_start"] = df["ts"].dt.floor(freq)
         g = df.groupby(
@@ -36,7 +46,9 @@ def windowed_event_agg(events_path: str, freq: str = "h") -> rd.Dataset:
             max_value=("value", "max"),
         )
         g["n"] = g["n"].astype("int64")
-        return g
+        # explicit schema: an all-null group column in one block would
+        # otherwise degrade to null type and break the reduce concat
+        return pa.Table.from_pandas(g, schema=schema, preserve_index=False)
 
     def _merge(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -48,21 +60,7 @@ def windowed_event_agg(events_path: str, freq: str = "h") -> rd.Dataset:
             max_value=("max_value", "max"),
         )
         g["n"] = g["n"].astype("int64")
-        # explicit schema: an EMPTY partition's pandas round-trip would
-        # otherwise degrade every column to null type and break the concat
-        return pa.Table.from_pandas(
-            g,
-            schema=pa.schema(
-                [
-                    ("event_type", pa.string()),
-                    ("window_start", pa.timestamp("ns")),
-                    ("n", pa.int64()),
-                    ("min_value", pa.float64()),
-                    ("max_value", pa.float64()),
-                ]
-            ),
-            preserve_index=False,
-        )
+        return pa.Table.from_pandas(g, schema=schema, preserve_index=False)
 
     partials = rd.read_parquet(
         events_path, columns=["event_type", "ts", "value"]

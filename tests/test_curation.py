@@ -236,3 +236,28 @@ def test_windowed_event_agg(ray_session, tmp_path):
     assert out[("click", 10)]["max_value"] == 3.0
     assert out[("click", 11)]["n"] == 1
     assert out[("view", 10)]["min_value"] == -2.0
+
+
+def test_windowed_event_agg_keeps_null_groups(ray_session, tmp_path):
+    """Null ts / event_type form their own groups (SQL GROUP BY
+    semantics; pandas groupby would silently drop them by default)."""
+    import datetime as dt
+
+    from atra_ray.stages.events import windowed_event_agg
+
+    t = pa.table(
+        {
+            "event_type": pa.array(["click", None, "click"], pa.string()),
+            "ts": pa.array(
+                [dt.datetime(2026, 1, 1, 10, 5), dt.datetime(2026, 1, 1, 10, 6), None],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    p = tmp_path / "events.parquet"
+    pq.write_table(t, p)
+    rows = windowed_event_agg(str(p)).take_all()
+    assert len(rows) == 3  # (click,10h), (None,10h), (click,NaT)
+    null_type = [r for r in rows if r["event_type"] is None]
+    assert len(null_type) == 1 and null_type[0]["n"] == 1

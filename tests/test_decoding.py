@@ -197,3 +197,15 @@ def test_language_id_expanded_coverage():
         if got != lang:
             misses[lang] = got
     assert not misses, misses
+
+
+def test_vietnamese_script_and_language():
+    """Latin Extended Additional must count as Latin at the script layer
+    (kept in sync with the trigram LUT) — diacritic-heavy Vietnamese
+    resolves to vie, not und."""
+    from atra_ray.functions.langdetect import detect_language_info, detect_script
+
+    text = "những đứa trẻ được đặt ở đấy đã lớn lên cùng với ổi và mận"
+    script, n, total = detect_script(text)
+    assert script == "latin" and n == total and n > 30
+    assert detect_language_info(text)[0] == "vie"
