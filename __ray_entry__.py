@@ -22,7 +22,7 @@ Three groups of queries:
    over metadata-only labels) — no SQL equivalent; the driver records
    rows-only checks for them.
 
-36 queries total: 33 oracle-MATCH (SQL or generator/simulator oracle),
+37 queries total: 34 oracle-MATCH (SQL or generator/simulator oracle),
 3 rows-only by nature.
 """
 
@@ -256,6 +256,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _ivf(f"{sf_dir}/embeddings.parquet", num_queries=10, k=10)
 
+    def ann_ivf_exact_topk(sf_dir):
+        # n_probe == num_centroids: every query probes every list, so the
+        # IVF machinery (assignment, probe routing, distributed local
+        # top-k, merge) runs exhaustively and must reproduce the
+        # brute-force result EXACTLY — this converts the IVF plumbing
+        # from a rows-only check into a hash-MATCHed one (the default
+        # n_probe=4 variant stays as the approximate scale path)
+        from atra_ray.stages.similarity import ann_ivf_topk as _ivf
+
+        return _ivf(
+            f"{sf_dir}/embeddings.parquet",
+            num_queries=10,
+            k=10,
+            num_centroids=16,
+            n_probe=16,
+        )
+
     def doc_quality(sf_dir):
         from atra_ray.stages.text_analysis import doc_quality as _dq
 
@@ -425,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": embedding_dup_pairs,
         "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_exact_topk": ann_ivf_exact_topk,
         "gdbr_clean_pages": gdbr_clean_pages,
         "crawl_host_stats": crawl_host_stats,
         "doc_quality": doc_quality,
@@ -581,6 +599,26 @@ _SIMHASH_SQL = r"""
 """
 
 
+# exact cosine top-k (shared by the brute-force baseline and the
+# exhaustive-IVF variant — n_probe == num_centroids scans every list and
+# must reproduce this result exactly)
+_ANN_EXACT_TOPK_SQL = """
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+    ), s AS (
+        SELECT q.qid, e.vec_id,
+               list_cosine_similarity(q.qe, e.embedding) AS sim
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.qid
+    )
+    SELECT qid AS query_id, vec_id, rank FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        FROM s
+    ) WHERE rank <= 10
+"""
+
+
 def _minhash_oracle_sql() -> str:
     """Embed the (seeded, shared-config) permutation params as literals."""
     from atra_ray.stages.dedup import _perm_params
@@ -713,21 +751,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rn = 1
         """,
-        "ann_cosine_topk": """
-            WITH q AS (
-                SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
-            ), s AS (
-                SELECT q.qid, e.vec_id,
-                       list_cosine_similarity(q.qe, e.embedding) AS sim
-                FROM q CROSS JOIN embeddings e
-                WHERE e.vec_id <> q.qid
-            )
-            SELECT qid AS query_id, vec_id, rank FROM (
-                SELECT qid, vec_id,
-                       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-                FROM s
-            ) WHERE rank <= 10
-        """,
+        "ann_cosine_topk": _ANN_EXACT_TOPK_SQL,
         # the engine parses width/height out of the PXM binary header; the
         # oracle recomputes them from the id arithmetic the generator used
         "media_decode": """
@@ -903,6 +927,8 @@ def oracle_sql() -> dict[str, str]:
         # deterministic sketch operators: full SQL recomputation of the
         # signatures (md5 + exact modular arithmetic — see the template
         # docstrings above)
+        # exhaustive IVF (n_probe == num_centroids) must equal brute force
+        "ann_ivf_exact_topk": _ANN_EXACT_TOPK_SQL,
         "minhash_dup_pairs": _minhash_oracle_sql(),
         "simhash_dup_pairs": _SIMHASH_SQL,
         "dup_clusters": _dup_clusters_oracle_sql(),
