@@ -119,6 +119,20 @@ def _select_url_status_fn(num_shards, block):
     return [t.filter(pa.array(sh == s)) for s in range(num_shards)]
 
 
+def _min_depth_combine(links: pa.Table) -> pa.Table:
+    """(target, depth_key) per-block min-depth combine, Arrow-native
+    (VERDICT r3 item 5: the former pandas groupby round-tripped a copy per
+    block per wave). ``use_threads=False`` keeps group order deterministic
+    (first appearance), preserving the big/small-path byte-parity
+    invariant."""
+    g = links.group_by("target", use_threads=False).aggregate(
+        [("depth_key", "min")]
+    )
+    return pa.table(
+        {"target": g.column("target"), "depth_key": g.column("depth_key_min")}
+    )
+
+
 def _link_combine_fn(link_fn, num_shards, block):
     """Map-side link pass for one wave block, as a raw Ray task: explode/
     filter links (the identical ``_link_stage`` kernel the Dataset path
@@ -140,10 +154,7 @@ def _link_combine_fn(link_fn, num_shards, block):
             }
         )
         return [empty] * num_shards
-    dd = links.to_pandas().groupby("target", as_index=False)["depth_key"].min()
-    t = pa.Table.from_pandas(
-        dd[["target", "depth_key"]], preserve_index=False
-    )
+    t = _min_depth_combine(links)
     if num_shards == 1:
         return [t]
     sh = url_shards_batch(t.column("target"), num_shards)
@@ -164,7 +175,6 @@ def _small_wave_fn(fetch_fn, link_fn, bl_pats, *pop_blocks):
     table never enters the object store — the fetch kernel already wrote
     it to the round's Parquet in-task."""
     import numpy as np
-    import pandas as pd
 
     blocks = [b for b in pop_blocks if b.num_rows]
     t = pa.concat_tables(blocks) if blocks else pop_blocks[0].slice(0, 0)
@@ -175,15 +185,7 @@ def _small_wave_fn(fetch_fn, link_fn, bl_pats, *pop_blocks):
         t = t.filter(pa.array(keep))
     results = fetch_fn(t)
     status = results.select(["url", "status"])
-    links = link_fn(results).to_pandas()
-    deduped = links.groupby("target", as_index=False)["depth_key"].min()
-    return (
-        results.num_rows,
-        status,
-        pa.Table.from_pandas(
-            deduped[["target", "depth_key"]], preserve_index=False
-        ),
-    )
+    return results.num_rows, status, _min_depth_combine(link_fn(results))
 
 
 class CrawlHandles:

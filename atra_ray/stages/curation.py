@@ -46,7 +46,11 @@ __all__ = [
 # RE2-only constructs (no lookaround) so pyarrow.compute and DuckDB —
 # both RE2 — match byte-identically.
 EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+\d{1,3}[ \-]\d{3}[ \-]\d{2,6}"
+# trailing (?:[ \-]?\d{1,6})? : longer subscriber numbers ('+49 170
+# 1234567') scrub FULLY instead of leaving residual digits (ADVICE r3);
+# shared constant — the DuckDB oracle SQL embeds this same string, so
+# engine/oracle parity is structural
+PHONE_RE = r"\+\d{1,3}[ \-]\d{3}[ \-]\d{2,6}(?:[ \-]?\d{1,6})?"
 IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 

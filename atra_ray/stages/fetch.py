@@ -26,6 +26,7 @@ reference's fetch error path, link-state InternalError), ``robots_denied``
 from __future__ import annotations
 
 from collections import OrderedDict
+from itertools import repeat as _repeat
 from pathlib import Path
 
 import pyarrow as pa
@@ -113,8 +114,14 @@ class PageStoreShardState:
                 t = pq.read_table(f, columns=["url", "html"])
                 ti = len(tables)
                 tables.append(t)
-                for row, u in enumerate(t.column("url").to_pylist()):
-                    index[u] = (ti, row)
+                # dict build runs in C (zip/repeat), not a per-row Python
+                # loop — cold worker joins on big partitions (VERDICT r3)
+                index.update(
+                    zip(
+                        t.column("url").to_pylist(),
+                        zip(_repeat(ti), range(t.num_rows)),
+                    )
+                )
         lookup = _PartIndex(tables, index)
         self._parts[part] = lookup
         return lookup
@@ -193,8 +200,12 @@ def _cached_partition(
             t = pq.read_table(f, columns=["url", "html"], use_threads=False)
             ti = len(tables)
             tables.append(t)
-            for row, u in enumerate(t.column("url").to_pylist()):
-                index[u] = (ti, row)
+            index.update(
+                zip(
+                    t.column("url").to_pylist(),
+                    zip(_repeat(ti), range(t.num_rows)),
+                )
+            )
     lookup = _PartIndex(tables, index)
     parts[part] = lookup
     if len(parts) > max_cached:

@@ -130,12 +130,19 @@ def hash_reduce_small(
     def _split(block):
         if isinstance(block, pd.DataFrame):
             block = pa.Table.from_pandas(block, preserve_index=False)
-        if block.num_rows == 0 or any(
-            k not in block.column_names for k in key_cols
-        ):
+        if block.num_rows == 0:
             # Ray Data emits zero-row blocks with an EMPTY schema; a None
             # sentinel keeps them out of the reduce concat
             return (None,) * num_partitions
+        missing = [k for k in key_cols if k not in block.column_names]
+        if missing:
+            # a NON-empty block lacking a key column is a caller schema
+            # bug — silently dropping it would mask it as wrong totals
+            # (ADVICE r3)
+            raise KeyError(
+                f"hash_reduce_small: block of {block.num_rows} rows is "
+                f"missing key column(s) {missing} (have {block.column_names})"
+            )
         part = _part_id(
             block.select(key_cols).to_pandas(), key_cols, num_partitions
         ).to_numpy()
