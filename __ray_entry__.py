@@ -52,7 +52,10 @@ def _ensure_oracles() -> None:
     fx = generate(_FX_TEST, 0.01)
     odir = Path(_ORACLE_DIR)
     marker = odir / "_SUCCESS"
-    fx_version = (fx / "_SUCCESS").read_text()
+    # cache key = fixture version + oracle schema version (bump the
+    # latter when simulator OUTPUT SCHEMA changes without a fixture bump
+    # — e.g. r4's n_crawls column)
+    fx_version = (fx / "_SUCCESS").read_text() + "|oracle-v2"
     if marker.exists() and marker.read_text() == fx_version:
         return
     odir.mkdir(parents=True, exist_ok=True)
@@ -345,6 +348,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _dl(f"{sf_dir}/documents.parquet")
 
     def media_decode(sf_dir):
+        # REAL-format decode path: the generated table interleaves PNG
+        # (pure-stdlib zlib decoder, RGB + grayscale) with the synthetic
+        # PXM twin; the engine parses dims out of whichever payload it
+        # gets and must match the id-arithmetic oracle on every row
         import pyarrow.parquet as pq2
 
         from atra_ray.sources.media import generate_media
@@ -359,6 +366,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"/tmp/atra_media/{Path(sf_dir).name}", sorted(ids)
         )
         return _md(path)
+
+    def media_audio(sf_dir):
+        # WAV (stdlib wave) + PAM audio decode: duration + RMS frame count
+        # against the generator's id-arithmetic oracle
+        import pyarrow.parquet as pq2
+
+        from atra_ray.sources.media import generate_audio
+        from atra_ray.stages.multimodal import media_audio as _ma
+
+        ids = (
+            pq2.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+            .column("doc_id")
+            .to_pylist()
+        )
+        path = generate_audio(
+            f"/tmp/atra_media/{Path(sf_dir).name}", sorted(ids)
+        )
+        return _ma(path)
 
     def line_dedup(sf_dir):
         # corpus-level duplicated-line removal (CCNet-style boilerplate
@@ -458,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
         "doc_language": doc_language,
         "media_decode": media_decode,
+        "media_audio": media_audio,
         "events_windowed": events_windowed,
         "line_dedup": line_dedup,
         "page_repetition": page_repetition,
@@ -672,7 +698,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # simulator oracles (single-threaded reference implementation)
         "crawl_seen": (
-            f"SELECT url, kind, is_seed, dow, dts, tds, crawled_wave "
+            f"SELECT url, kind, is_seed, dow, dts, tds, crawled_wave, n_crawls "
             f"FROM read_parquet('{od}/crawl_seen.parquet')"
         ),
         "crawl_order": (
@@ -758,6 +784,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id,
                    (16 + doc_id % 32)::INTEGER AS width,
                    (16 + (doc_id * 7) % 32)::INTEGER AS height
+            FROM documents
+        """,
+        # audio decode: rate/n_samples from the generator's id arithmetic;
+        # duration is the identical IEEE double division on both sides,
+        # n_frames counts full 1024-sample RMS windows
+        "media_audio": """
+            SELECT doc_id AS media_id,
+                   (((8000 + (doc_id % 3) * 4000) // 2 + doc_id % 500)::DOUBLE
+                    / (8000 + (doc_id % 3) * 4000)) AS duration_s,
+                   (((8000 + (doc_id % 3) * 4000) // 2 + doc_id % 500) // 1024)::BIGINT AS n_frames
             FROM documents
         """,
         "events_windowed": """

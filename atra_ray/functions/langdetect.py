@@ -457,6 +457,275 @@ PROFILE_TEXT: dict[str, str] = {
         "дзеці са смехам бегаюць паміж прылаўкамі было ўжо позна калі "
         "яны вярнуліся дадому"
     ),
+    # ---- round-4 whatlang-parity additions (language_detection.rs /
+    # whatlang's 69-language inventory). Latin script:
+    "epo": (
+        "la rapida disvolvo de libera programaro ŝanĝis kiel homoj kune "
+        "laboras kaj vivas multaj uzantoj legas kaj skribas dokumentojn "
+        "ĉiutage dum aliaj serĉas informojn pri scienco historio kaj "
+        "kulturo la vetero hodiaŭ estas malvarma sed morgaŭ estos varma "
+        "kaj suna la infanoj ludas en la parko post la lernejo kaj la "
+        "familioj kunvenas vespere por manĝi tio estas unu el la plej "
+        "gravaj aferoj kiujn ni vidis en la lastaj jaroj en la urbo "
+        "estas multaj malnovaj domoj kaj mallarĝaj stratoj kie "
+        "muzikistoj ludas sur la malfermitaj placoj homoj aĉetas freŝan "
+        "panon fruktojn kaj fiŝojn en la bazaro kaj la infanoj kuras "
+        "ridante inter la budoj estis jam malfrue kiam ili revenis "
+        "hejmen"
+    ),
+    "aze": (
+        "azad proqram təminatının sürətli inkişafı insanların birlikdə "
+        "işləmə və yaşama tərzini dəyişdi bir çox istifadəçi hər gün "
+        "sənədlər oxuyur və yazır digərləri isə elm tarix və mədəniyyət "
+        "haqqında məlumat axtarır bu gün hava soyuqdur amma sabah isti "
+        "və günəşli olacaq uşaqlar məktəbdən sonra parkda oynayır "
+        "ailələr isə axşam yeməyi üçün bir yerə toplaşır bu son illərdə "
+        "gördüyümüz ən vacib şeylərdən biridir şəhərdə çoxlu köhnə ev "
+        "və dar küçə var musiqiçilər açıq meydanlarda çalır insanlar "
+        "bazardan təzə çörək meyvə və balıq alır uşaqlar isə "
+        "piştaxtaların arasında gülərək qaçır evə qayıdanda artıq gec "
+        "idi"
+    ),
+    "uzb": (
+        "erkin dasturiy taʼminotning tez rivojlanishi odamlarning birga "
+        "ishlash va yashash tarzini oʻzgartirdi koʻp foydalanuvchilar "
+        "har kuni hujjatlar oʻqiydi va yozadi boshqalari esa fan tarix "
+        "va madaniyat haqida maʼlumot qidiradi bugun havo sovuq lekin "
+        "ertaga issiq va quyoshli boʻladi bolalar maktabdan keyin "
+        "bogʻda oʻynaydi oilalar esa kechki ovqat uchun yigʻiladi bu "
+        "soʻnggi yillarda koʻrgan eng muhim narsalarimizdan biridir "
+        "shaharda koʻp eski uylar va tor koʻchalar bor musiqachilar "
+        "ochiq maydonlarda chaladi odamlar bozordan yangi non meva va "
+        "baliq oladi bolalar esa rastalar orasida kulib yuguradi ular "
+        "uyga qaytganida allaqachon kech edi"
+    ),
+    "tgl": (
+        "ang mabilis na pag-unlad ng malayang software ay nagbago kung "
+        "paano nagtatrabaho at namumuhay nang magkasama ang mga tao "
+        "maraming gumagamit ang nagbabasa at nagsusulat ng mga dokumento "
+        "araw-araw habang ang iba ay naghahanap ng impormasyon tungkol "
+        "sa agham kasaysayan at kultura malamig ang panahon ngayon "
+        "ngunit bukas ay magiging mainit at maaraw naglalaro ang mga "
+        "bata sa parke pagkatapos ng klase at nagtitipon ang mga "
+        "pamilya para sa hapunan isa ito sa pinakamahalagang bagay na "
+        "nakita natin nitong mga nakaraang taon sa lungsod maraming "
+        "lumang bahay at makikitid na kalye kung saan tumutugtog ang "
+        "mga musikero sa mga bukas na plaza bumibili ang mga tao ng "
+        "sariwang tinapay prutas at isda sa palengke at tumatakbo ang "
+        "mga bata nang tumatawa sa pagitan ng mga puwesto gabi na nang "
+        "umuwi sila"
+    ),
+    "tuk": (
+        "erkin programma üpjünçiliginiň çalt ösüşi adamlaryň bilelikde "
+        "işleýşini we ýaşaýşyny üýtgetdi köp ulanyjy her gün "
+        "resminamalary okaýar we ýazýar beýlekiler bolsa ylym taryh we "
+        "medeniýet barada maglumat gözleýär şu gün howa sowuk emma "
+        "ertir yssy we günli bolar çagalar mekdepden soň seýilgähde "
+        "oýnaýarlar maşgalalar bolsa agşamlyk nahar üçin ýygnanýarlar "
+        "bu soňky ýyllarda gören iň möhüm zatlarymyzyň biridir şäherde "
+        "köp köne jaý we dar köçe bar sazandalar açyk meýdançalarda "
+        "saz çalýarlar adamlar bazardan täze çörek miwe we balyk "
+        "alýarlar çagalar bolsa tekjeleriň arasynda gülüp ylgaýarlar "
+        "olar öýe gaýdyp gelende eýýäm giçdi"
+    ),
+    "jav": (
+        "perkembangan cepet saka piranti lunak bebas wis ngowahi carane "
+        "wong padha nyambut gawe lan urip bebarengan akeh panganggo "
+        "maca lan nulis dokumen saben dina dene liyane nggoleki "
+        "informasi babagan ilmu sejarah lan budaya dina iki hawane "
+        "adhem nanging sesuk bakal panas lan ana srengenge bocah bocah "
+        "dolanan ing taman sawise sekolah lan kulawarga padha kumpul "
+        "kanggo mangan bengi iki salah siji perkara sing paling penting "
+        "sing wis dideleng ing taun taun pungkasan ing kutha ana akeh "
+        "omah lawas lan dalan ciyut panggonan para musisi main ing alun "
+        "alun kang mbukak wong padha tuku roti seger woh lan iwak ing "
+        "pasar lan bocah bocah mlayu karo ngguyu ing antarane warung "
+        "wis bengi nalika dheweke padha mulih"
+    ),
+    "aka": (
+        "ahofadi dwumadie a ɛyɛ kwa no nkɔso ntɛmntɛm asesa sɛnea nnipa "
+        "yɛ adwuma na wɔtena ase bom no nnipa pii kenkan na wɔkyerɛw "
+        "nkrataa da biara na afoforo nso hwehwɛ nsɛm a ɛfa nyansahu "
+        "abakɔsɛm ne amammerɛ ho nnɛ wim ayɛ nwini nanso ɔkyena ɛbɛyɛ "
+        "hyew na owia bɛbɔ mmofra di agorɔ wɔ abɔnten so bere a sukuu "
+        "asa no na mmusua hyia anwummere didi yei yɛ nneɛma a ɛho hia "
+        "paa a yɛahu wɔ mfe a atwam yi mu baako wɔ kurow no mu no adan "
+        "dedaw pii ne akwan nketewa wɔ hɔ baabi a nnwomtofo bɔ nnwom "
+        "wɔ mmeae a ɛda hɔ no nnipa tɔ paanoo foforɔ nnuaba ne mpataa "
+        "wɔ gua so na mmofra tu mmirika serew wɔ apata no ntam bere a "
+        "wɔsan kɔɔ fie no na ade asa"
+    ),
+    "zul": (
+        "ukuthuthuka okusheshayo kwesoftware yamahhala kushintshile "
+        "indlela abantu abasebenza ngayo futhi baphile ndawonye "
+        "abasebenzisi abaningi bafunda futhi babhale imibhalo nsuku "
+        "zonke kanti abanye bafuna ulwazi ngesayensi umlando namasiko "
+        "izulu libanda namuhla kodwa kusasa lizoshisa futhi libalele "
+        "izingane zidlala epaki ngemva kwesikole futhi imindeni "
+        "ihlangana ntambama ukuze idle lokhu kungenye yezinto "
+        "ezibaluleke kakhulu esizibonile eminyakeni edlule edolobheni "
+        "kunezindlu eziningi ezindala nemigwaqo emincane lapho abaculi "
+        "bedlala khona ezigcawini ezivulekile abantu bathenga isinkwa "
+        "esisha izithelo nezinhlanzi emakethe futhi izingane zigijima "
+        "zihleka phakathi kwamatafula kwase kuhlwile lapho bebuyela "
+        "ekhaya"
+    ),
+    "sna": (
+        "kukura nokukurumidza kwesoftware yakasununguka kwakashandura "
+        "mashandiro uye magariro evanhu pamwe chete vashandisi vazhinji "
+        "vanoverenga nekunyora magwaro zuva rimwe nerimwe vamwe "
+        "vachitsvaga ruzivo nezvesayenzi nhoroondo netsika nhasi "
+        "kunotonhora asi mangwana kuchapisa uye kuchava nezuva vana "
+        "vanotamba mupaki mushure mechikoro uye mhuri dzinoungana "
+        "manheru kuti vadye ichi ndechimwe chezvinhu zvakakosha "
+        "zvatakaona mumakore apfuura muguta mune dzimba zhinji tsaru "
+        "nemigwagwa midiki umo vaimbi vanoridza munzvimbo dzakashama "
+        "vanhu vanotenga chingwa chitsva michero nehove pamusika uye "
+        "vana vanomhanya vachiseka pakati pezvitoro kwakanga kwatosviba "
+        "pavakadzokera kumba"
+    ),
+    "afr": (
+        "die vinnige ontwikkeling van vrye sagteware het verander hoe "
+        "mense saam werk en leef baie gebruikers lees en skryf elke dag "
+        "dokumente terwyl ander na inligting oor wetenskap geskiedenis "
+        "en kultuur soek die weer is vandag koud maar môre sal dit warm "
+        "en sonnig wees die kinders speel ná skool in die park en die "
+        "gesinne kom saans bymekaar om te eet dit is een van die "
+        "belangrikste dinge wat ons in die afgelope jare gesien het in "
+        "die stad is daar baie ou huise en nou straatjies waar "
+        "musikante op die oop pleine speel mense koop vars brood vrugte "
+        "en vis by die mark en die kinders hardloop laggend tussen die "
+        "stalletjies dit was al laat toe hulle huis toe gegaan het"
+    ),
+    "lat": (
+        "liberi programmatis celer progressus mutavit quomodo homines "
+        "una laborant et vivunt multi usores cotidie documenta legunt "
+        "et scribunt dum alii de scientia historia et cultura quaerunt "
+        "caelum hodie frigidum est sed cras calidum et apricum erit "
+        "pueri post scholam in horto ludunt et familiae vesperi ad "
+        "cenam conveniunt haec est una ex rebus maximis quas proximis "
+        "annis vidimus in urbe multae domus veteres et viae angustae "
+        "sunt ubi musici in foris apertis canunt homines panem recentem "
+        "fructus et pisces in macello emunt et pueri ridentes inter "
+        "tabernas currunt iam sero erat cum domum redierunt"
+    ),
+    # Cyrillic script:
+    "mkd": (
+        "брзиот развој на слободниот софтвер го промени начинот на кој "
+        "луѓето работат и живеат заедно многу корисници секој ден "
+        "читаат и пишуваат документи а други бараат информации за "
+        "науката историјата и културата времето денес е студено но "
+        "утре ќе биде топло и сончево децата си играат во паркот по "
+        "училиштето а семејствата се собираат навечер на вечера ова е "
+        "една од најважните работи што ги видовме во последните години "
+        "во градот има многу стари куќи и тесни улици каде музичарите "
+        "свират на отворените плоштади луѓето купуваат свеж леб овошје "
+        "и риба на пазарот а децата трчаат смеејќи се меѓу тезгите "
+        "веќе беше доцна кога се вратија дома"
+    ),
+    # Arabic script (ara/pes/urd discriminate by trigrams — Persian's
+    # پ/چ/گ and را/که/است, Urdu's ٹ/ڈ/ے and ہے/میں/کے):
+    "ara": (
+        "التطور السريع للبرمجيات الحرة غير الطريقة التي يعمل بها الناس "
+        "ويعيشون معا كثير من المستخدمين يقرؤون ويكتبون الوثائق كل يوم "
+        "بينما يبحث آخرون عن معلومات حول العلم والتاريخ والثقافة الطقس "
+        "اليوم بارد لكن غدا سيكون دافئا ومشمسا يلعب الأطفال في الحديقة "
+        "بعد المدرسة وتجتمع العائلات في المساء لتناول العشاء هذه واحدة "
+        "من أهم الأشياء التي رأيناها في السنوات الأخيرة في المدينة "
+        "بيوت قديمة كثيرة وشوارع ضيقة حيث يعزف الموسيقيون في الساحات "
+        "المفتوحة يشتري الناس الخبز الطازج والفواكه والسمك من السوق "
+        "ويركض الأطفال ضاحكين بين الأكشاك كان الوقت متأخرا عندما عادوا "
+        "إلى البيت"
+    ),
+    "pes": (
+        "توسعه سریع نرم افزار آزاد شیوه کار و زندگی مردم را با هم "
+        "تغییر داده است بسیاری از کاربران هر روز اسناد می خوانند و می "
+        "نویسند در حالی که دیگران به دنبال اطلاعاتی درباره علم تاریخ و "
+        "فرهنگ هستند هوا امروز سرد است اما فردا گرم و آفتابی خواهد بود "
+        "بچه ها بعد از مدرسه در پارک بازی می کنند و خانواده ها شب برای "
+        "شام دور هم جمع می شوند این یکی از مهم ترین چیزهایی است که در "
+        "سال های اخیر دیده ایم در شهر خانه های قدیمی زیاد و کوچه های "
+        "تنگ وجود دارد که نوازندگان در میدان های باز می نوازند مردم از "
+        "بازار نان تازه میوه و ماهی می خرند و بچه ها خندان میان دکه ها "
+        "می دوند وقتی به خانه برگشتند دیگر دیر شده بود"
+    ),
+    "urd": (
+        "آزاد سافٹ ویئر کی تیز ترقی نے بدل دیا ہے کہ لوگ کیسے مل کر "
+        "کام کرتے اور رہتے ہیں بہت سے صارفین ہر روز دستاویزات پڑھتے "
+        "اور لکھتے ہیں جبکہ دوسرے سائنس تاریخ اور ثقافت کے بارے میں "
+        "معلومات تلاش کرتے ہیں آج موسم سرد ہے لیکن کل گرم اور دھوپ "
+        "والا ہوگا بچے اسکول کے بعد پارک میں کھیلتے ہیں اور خاندان شام "
+        "کو کھانے کے لیے جمع ہوتے ہیں یہ ان اہم ترین چیزوں میں سے ایک "
+        "ہے جو ہم نے حالیہ برسوں میں دیکھی ہیں شہر میں بہت سے پرانے "
+        "مکان اور تنگ گلیاں ہیں جہاں موسیقار کھلے میدانوں میں بجاتے "
+        "ہیں لوگ بازار سے تازہ روٹی پھل اور مچھلی خریدتے ہیں اور بچے "
+        "دکانوں کے درمیان ہنستے ہوئے دوڑتے ہیں جب وہ گھر لوٹے تو کافی "
+        "دیر ہو چکی تھی"
+    ),
+    # Devanagari script (hin/mar/nep — Marathi's आहे/आणि/ळ, Nepali's
+    # छ/र/हरू agreement morphology):
+    "hin": (
+        "मुक्त सॉफ्टवेयर के तेज़ विकास ने बदल दिया है कि लोग कैसे साथ मिलकर काम "
+        "करते और रहते हैं बहुत से उपयोगकर्ता हर दिन दस्तावेज़ पढ़ते और लिखते हैं "
+        "जबकि दूसरे विज्ञान इतिहास और संस्कृति के बारे में जानकारी खोजते हैं आज "
+        "मौसम ठंडा है लेकिन कल गर्म और धूप वाला होगा बच्चे स्कूल के बाद पार्क "
+        "में खेलते हैं और परिवार शाम को खाने के लिए इकट्ठा होते हैं यह उन सबसे "
+        "महत्वपूर्ण चीज़ों में से एक है जो हमने हाल के वर्षों में देखी हैं शहर "
+        "में बहुत से पुराने घर और तंग गलियाँ हैं जहाँ संगीतकार खुले चौकों में "
+        "बजाते हैं लोग बाज़ार से ताज़ी रोटी फल और मछली खरीदते हैं और बच्चे "
+        "दुकानों के बीच हँसते हुए दौड़ते हैं जब वे घर लौटे तो काफ़ी देर हो चुकी "
+        "थी"
+    ),
+    "mar": (
+        "मुक्त सॉफ्टवेअरच्या वेगवान विकासाने लोक एकत्र कसे काम करतात आणि "
+        "राहतात ते बदलले आहे अनेक वापरकर्ते दररोज कागदपत्रे वाचतात आणि लिहितात "
+        "तर इतर विज्ञान इतिहास आणि संस्कृतीबद्दल माहिती शोधतात आज हवामान थंड "
+        "आहे पण उद्या गरम आणि सूर्यप्रकाश असेल मुले शाळेनंतर उद्यानात खेळतात "
+        "आणि कुटुंबे संध्याकाळी जेवणासाठी एकत्र येतात गेल्या काही वर्षांत आपण "
+        "पाहिलेल्या सर्वात महत्त्वाच्या गोष्टींपैकी ही एक आहे शहरात अनेक जुनी "
+        "घरे आणि अरुंद रस्ते आहेत जिथे संगीतकार खुल्या चौकांमध्ये वाजवतात लोक "
+        "बाजारातून ताजी भाकरी फळे आणि मासे विकत घेतात आणि मुले दुकानांच्या "
+        "मध्ये हसत धावतात ते घरी परतले तेव्हा बराच उशीर झाला होता"
+    ),
+    "nep": (
+        "स्वतन्त्र सफ्टवेयरको छिटो विकासले मानिसहरू कसरी सँगै काम गर्छन् र "
+        "बस्छन् भन्ने कुरा बदलेको छ धेरै प्रयोगकर्ताहरू हरेक दिन कागजातहरू "
+        "पढ्छन् र लेख्छन् भने अरूहरू विज्ञान इतिहास र संस्कृतिका बारेमा "
+        "जानकारी खोज्छन् आज मौसम चिसो छ तर भोलि तातो र घमाइलो हुनेछ "
+        "बालबालिकाहरू विद्यालयपछि पार्कमा खेल्छन् र परिवारहरू साँझ खानाका "
+        "लागि भेला हुन्छन् यो हामीले पछिल्ला वर्षहरूमा देखेका सबैभन्दा "
+        "महत्त्वपूर्ण कुराहरूमध्ये एक हो सहरमा धेरै पुराना घरहरू र साँघुरा "
+        "गल्लीहरू छन् जहाँ सङ्गीतकारहरू खुला चोकहरूमा बजाउँछन् मानिसहरू "
+        "बजारबाट ताजा रोटी फलफूल र माछा किन्छन् र बालबालिकाहरू पसलहरूका "
+        "बीचमा हाँस्दै दौडिन्छन् उनीहरू घर फर्कँदा निकै ढिलो भइसकेको थियो"
+    ),
+    # Hebrew script (heb/yid — Yiddish's די/דער/פון function words and
+    # double-letter orthography):
+    "heb": (
+        "ההתפתחות המהירה של תוכנה חופשית שינתה את הדרך שבה אנשים "
+        "עובדים וחיים יחד משתמשים רבים קוראים וכותבים מסמכים כל יום "
+        "בעוד אחרים מחפשים מידע על מדע היסטוריה ותרבות מזג האוויר היום "
+        "קר אבל מחר יהיה חם ושמשי הילדים משחקים בפארק אחרי בית הספר "
+        "והמשפחות מתאספות בערב לארוחת ערב זה אחד הדברים החשובים ביותר "
+        "שראינו בשנים האחרונות בעיר יש הרבה בתים ישנים ורחובות צרים "
+        "שבהם מוזיקאים מנגנים בכיכרות הפתוחות אנשים קונים לחם טרי "
+        "פירות ודגים בשוק והילדים רצים וצוחקים בין הדוכנים כבר היה "
+        "מאוחר כשהם חזרו הביתה"
+    ),
+    "yid": (
+        "די גיכע אנטוויקלונג פון פרייער ווייכווארג האט געביטן ווי אזוי "
+        "מענטשן ארבעטן און לעבן צוזאמען א סך ניצערס לייענען און שרייבן "
+        "דאקומענטן יעדן טאג בעת אנדערע זוכן אינפארמאציע וועגן "
+        "וויסנשאפט געשיכטע און קולטור דער וועטער איז היינט קאלט אבער "
+        "מארגן וועט זיין ווארעם און זוניק די קינדער שפילן זיך אין פארק "
+        "נאך דער שול און די משפחות קומען זיך צונויף אין אוונט צום "
+        "וועטשערע דאס איז איינע פון די וויכטיקסטע זאכן וואס מיר האבן "
+        "געזען אין די לעצטע יארן אין שטאט זענען דא א סך אלטע הייזער "
+        "און שמאלע געסלעך וואו מוזיקער שפילן אויף די אפענע פלעצער "
+        "מענטשן קויפן פרישע ברויט פרוכטן און פיש אויפן מארק און די "
+        "קינדער לויפן לאכנדיק צווישן די שטעלן עס איז שוין געווען שפעט "
+        "ווען זיי זענען צוריקגעקומען אהיים"
+    ),
 }
 
 LATIN_LANGS = (

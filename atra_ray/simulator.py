@@ -155,6 +155,7 @@ def simulate_crawl(
                         frontier_shard(torigin).push(
                             [r["url"]], [torigin], [r["dow"]], [r["dts"]],
                             [r["tds"]], [r["is_seed"]], [0], [wave + 1],
+                            [r["n_crawls"]],
                         )
                         refilled += 1
                 if refilled:

@@ -1,62 +1,101 @@
-"""Synthetic media table generator (multimodal fixtures).
+"""Synthetic media table generators (multimodal fixtures).
 
-One PXM image per document id: ``width = 16 + id % 32``,
-``height = 16 + (id * 7) % 32``, 3 channels, pixels from a blake2b stream
-(pure function of the id — no RNG state). The arithmetic dimensions give
-the decode pipeline a DuckDB-expressible oracle: the engine must parse
-width/height out of the binary header; the oracle recomputes them from
-doc_id.
+Images — one per document id, ``width = 16 + id % 32``, ``height =
+16 + (id * 7) % 32``, pixels from a blake2b stream (pure function of the
+id — no RNG state). REAL formats: even ids encode as PNG (RGB, or
+grayscale when ``id % 8 == 2`` — exercises both color types), odd ids as
+the synthetic PXM twin. The arithmetic dimensions give the decode
+pipeline a DuckDB-expressible oracle: the engine must parse width/height
+out of the binary payload (PNG IHDR or PXM header); the oracle recomputes
+them from doc_id.
+
+Audio — ``rate = 8000 + (id % 3) * 4000``, ``n_samples = rate // 2 +
+id % 500``, int16 samples from the same blake2b stream. Even ids encode
+as RIFF/WAVE (stdlib ``wave`` writer), odd ids as the synthetic PAM twin.
+Oracle: ``duration_s = n_samples / rate`` recomputed from the id
+arithmetic (identical IEEE division on both sides).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..stages.multimodal import encode_pxm
+from ..functions.png import encode_png
+from ..stages.multimodal import encode_pam, encode_pxm
 
-__all__ = ["generate_media", "media_dims"]
+__all__ = ["generate_media", "generate_audio", "media_dims", "audio_params"]
 
-_VERSION = "1"
+_VERSION = "2"  # v2: real PNG/WAV payloads interleaved with PXM/PAM
 
 
 def media_dims(media_id: int) -> tuple[int, int]:
     return 16 + media_id % 32, 16 + (media_id * 7) % 32
 
 
-def _pixels(media_id: int, w: int, h: int, c: int = 3) -> np.ndarray:
-    need = w * h * c
+def audio_params(media_id: int) -> tuple[int, int]:
+    """(sample_rate, n_samples) from the id arithmetic (the SQL oracle)."""
+    rate = 8000 + (media_id % 3) * 4000
+    return rate, rate // 2 + media_id % 500
+
+
+def _byte_stream(tag: str, media_id: int, need: int) -> bytes:
     raw = b""
     counter = 0
     while len(raw) < need:
         raw += hashlib.blake2b(
-            f"media-{media_id}-{counter}".encode(), digest_size=64
+            f"{tag}-{media_id}-{counter}".encode(), digest_size=64
         ).digest()
         counter += 1
-    return np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w, c)
+    return raw[:need]
+
+
+def _pixels(media_id: int, w: int, h: int, c: int = 3) -> np.ndarray:
+    raw = _byte_stream("media", media_id, w * h * c)
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c)
+
+
+def _encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
 
 
 def generate_media(out_dir: str, ids: list[int]) -> str:
-    """Idempotent media.parquet of PXM blobs for the given ids."""
+    """Idempotent media.parquet of PNG/PXM blobs for the given ids."""
     out = Path(out_dir)
     marker = out / "_SUCCESS"
     key = f"{_VERSION}|{len(ids)}|{ids[0] if ids else 0}|{ids[-1] if ids else 0}"
     if marker.exists() and marker.read_text() == key:
         return str(out / "media.parquet")
     out.mkdir(parents=True, exist_ok=True)
-    blobs = []
+    blobs, mimes = [], []
     for i in ids:
         w, h = media_dims(i)
-        blobs.append(encode_pxm(_pixels(i, w, h)))
+        px = _pixels(i, w, h)
+        if i % 2 == 0:
+            # grayscale every 4th even id: both PNG color types verified
+            blobs.append(encode_png(px[:, :, :1] if i % 8 == 2 else px))
+            mimes.append("image/png")
+        else:
+            blobs.append(encode_pxm(px))
+            mimes.append("image/x-pxm")
     pq.write_table(
         pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
-                "mime": pa.array(["image/x-pxm"] * len(ids), pa.string()),
+                "mime": pa.array(mimes, pa.string()),
                 "data": pa.array(blobs, pa.binary()),
             }
         ),
@@ -64,3 +103,38 @@ def generate_media(out_dir: str, ids: list[int]) -> str:
     )
     marker.write_text(key)
     return str(out / "media.parquet")
+
+
+def generate_audio(out_dir: str, ids: list[int]) -> str:
+    """Idempotent audio.parquet of WAV/PAM blobs for the given ids."""
+    out = Path(out_dir)
+    marker = out / "_SUCCESS_AUDIO"
+    key = f"{_VERSION}|{len(ids)}|{ids[0] if ids else 0}|{ids[-1] if ids else 0}"
+    if marker.exists() and marker.read_text() == key:
+        return str(out / "audio.parquet")
+    out.mkdir(parents=True, exist_ok=True)
+    blobs, mimes = [], []
+    for i in ids:
+        rate, n = audio_params(i)
+        samples = (
+            np.frombuffer(_byte_stream("audio", i, n * 2), dtype="<i2")
+            .astype(np.int16)
+        )
+        if i % 2 == 0:
+            blobs.append(_encode_wav(rate, samples))
+            mimes.append("audio/wav")
+        else:
+            blobs.append(encode_pam(rate, samples))
+            mimes.append("audio/x-pam")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "mime": pa.array(mimes, pa.string()),
+                "data": pa.array(blobs, pa.binary()),
+            }
+        ),
+        out / "audio.parquet",
+    )
+    marker.write_text(key)
+    return str(out / "audio.parquet")

@@ -13,7 +13,11 @@ Ours upgrades this to the north rule's explicit design: each origin hashes
 to exactly ONE shard (``stable_hash64(origin) % num_shards``), so per-host
 mutual exclusion is structural, not locked. Each shard keeps a per-origin
 priority heap ordered by ``(total_distance_to_seed, depth_on_website,
-url)`` — seeds first, then BFS by discovery wave, deterministic total order
+recrawl_score, url)`` — the north star's "(depth, recrawl-score, age)"
+per-host ordering: seeds first, then BFS by discovery wave; at equal depth
+FRESH urls (score 0) beat recrawls, and lower recrawl generations beat
+higher ones (score = how many times the url was already crawled, stamped
+by the seen shard's refill); url last for a deterministic total order
 — and a per-origin politeness budget: a wave spans ``wave_seconds`` of
 simulated time, so an origin with delay ``d`` may emit at most
 ``wave_seconds / d`` URLs per wave (the BSP analog of the reference's
@@ -31,7 +35,7 @@ the reference's FILE-BACKED queue, queue/file.rs): with
 entries in the heap; colder entries live in append-only Parquet spill
 segments under ``spill_dir``. The split is EXACT, not approximate, via
 the invariant *every resident entry < every spilled entry of its origin*
-(priority order ``(tds, dow, url)``):
+(priority order ``(tds, dow, rc, url)``):
 
 - a push worse than the origin's best spilled entry goes STRAIGHT to
   spill (deep links are cold by construction);
@@ -91,7 +95,7 @@ class FrontierShardState:
         self.max_per_host = max_per_host_per_wave
         self.wave_seconds = wave_seconds if wave_seconds is not None else delay_s * max_per_host_per_wave
         self.max_queue_age = max_queue_age
-        # origin -> heap of [tds, dow, url, dts, is_seed, age, born]
+        # origin -> heap of [tds, dow, rc, url, dts, is_seed, age, born]
         self.queues: dict[str, list] = defaultdict(list)
         self.delays: dict[str, float] = {}      # robots crawl-delay overrides (T3→T1)
         self.host_seq: dict[str, int] = defaultdict(int)   # per-origin emit counter
@@ -107,18 +111,18 @@ class FrontierShardState:
         self._spill_buf: list[tuple] = []   # rows awaiting a segment write
         self._spill_seq = 0
         self.spilled_count: dict[str, int] = {}
-        self.spilled_best: dict[str, tuple] = {}  # origin -> min (tds, dow, url)
+        self.spilled_best: dict[str, tuple] = {}  # origin -> min (tds, dow, rc, url)
 
     # ---- spill plane ----------------------------------------------------
-    _SPILL_COLS = ("url", "origin", "dow", "dts", "tds", "is_seed", "age", "born")
+    _SPILL_COLS = ("url", "origin", "dow", "dts", "tds", "rc", "is_seed", "age", "born")
 
     def _spill_rows(self, origin: str, entries) -> None:
         """Move entries (heap-format lists) of one origin to the spill
         buffer, maintaining spilled_count/spilled_best."""
         best = self.spilled_best.get(origin)
-        for tds, dow, url, dts, seed, age, born in entries:
-            self._spill_buf.append((url, origin, dow, dts, tds, seed, age, born))
-            key = (tds, dow, url)
+        for tds, dow, rc, url, dts, seed, age, born in entries:
+            self._spill_buf.append((url, origin, dow, dts, tds, rc, seed, age, born))
+            key = (tds, dow, rc, url)
             if best is None or key < best:
                 best = key
         self.spilled_best[origin] = best
@@ -137,9 +141,10 @@ class FrontierShardState:
                 "dow": pa.array(cols[2], pa.int64()),
                 "dts": pa.array(cols[3], pa.int64()),
                 "tds": pa.array(cols[4], pa.int64()),
-                "is_seed": pa.array(cols[5], pa.bool_()),
-                "age": pa.array(cols[6], pa.int64()),
-                "born": pa.array(cols[7], pa.int64()),
+                "rc": pa.array(cols[5], pa.int64()),
+                "is_seed": pa.array(cols[6], pa.bool_()),
+                "age": pa.array(cols[7], pa.int64()),
+                "born": pa.array(cols[8], pa.int64()),
             }
         )
         pq.write_table(t, self.spill_dir / f"spill-{self._spill_seq:06d}.parquet")
@@ -162,13 +167,13 @@ class FrontierShardState:
         keep_rows: list[tuple] = []
         by_origin: dict[str, list] = {o: [] for o in needy_set}
         for t in tables:
-            for url, origin, dow, dts, tds, seed, age, born in zip(
+            for url, origin, dow, dts, tds, rc, seed, age, born in zip(
                 *(t.column(c).to_pylist() for c in self._SPILL_COLS)
             ):
                 if origin in needy_set:
-                    by_origin[origin].append([tds, dow, url, dts, seed, age, born])
+                    by_origin[origin].append([tds, dow, rc, url, dts, seed, age, born])
                 else:
-                    keep_rows.append((url, origin, dow, dts, tds, seed, age, born))
+                    keep_rows.append((url, origin, dow, dts, tds, rc, seed, age, born))
         for s in segs:
             s.unlink()
         self._spill_buf = keep_rows
@@ -196,24 +201,29 @@ class FrontierShardState:
         return max(self.default_delay, self.delays.get(origin, 0.0))
 
     # ---- enqueue --------------------------------------------------------
-    def push(self, urls, origins, dows, dtss, tdss, is_seeds, ages, borns=None) -> int:
+    def push(self, urls, origins, dows, dtss, tdss, is_seeds, ages, borns=None, rcs=None) -> int:
         """Enqueue entries. ``borns`` = the first wave each entry is
         poppable (callers pushing during wave w pass w+1; seeding passes
-        0). Age is LAZY: an entry's effective age at pop_wave(w) is
-        ``age0 + (w - born)`` — the number of waves it was passed over —
-        so nothing re-touches pending entries per wave (the eager aging
-        loop was O(waves x frontier) Python, VERDICT r1 item 4)."""
+        0). ``rcs`` = per-entry recrawl score (0 = fresh, the default;
+        recrawl refills pass the url's crawl count so the heap's
+        depth-then-recrawl-score order holds). Age is LAZY: an entry's
+        effective age at pop_wave(w) is ``age0 + (w - born)`` — the
+        number of waves it was passed over — so nothing re-touches
+        pending entries per wave (the eager aging loop was
+        O(waves x frontier) Python, VERDICT r1 item 4)."""
         if borns is None:
             borns = [0] * len(urls)
+        if rcs is None:
+            rcs = [0] * len(urls)
         n = 0
         R = self.max_resident
-        for url, origin, dow, dts, tds, seed, age, born in zip(
-            urls, origins, dows, dtss, tdss, is_seeds, ages, borns
+        for url, origin, dow, dts, tds, seed, age, born, rc in zip(
+            urls, origins, dows, dtss, tdss, is_seeds, ages, borns, rcs
         ):
-            entry = [tds, dow, url, dts, bool(seed), age, born]
+            entry = [tds, dow, rc, url, dts, bool(seed), age, born]
             if R is not None:
                 best = self.spilled_best.get(origin)
-                if best is not None and (tds, dow, url) >= best:
+                if best is not None and (tds, dow, rc, url) >= best:
                     # worse than the best spilled entry -> straight to
                     # spill (keeps the resident<=spilled invariant)
                     self._spill_rows(origin, [entry])
@@ -257,7 +267,7 @@ class FrontierShardState:
                 emitted = emitted_by.get(origin, 0)
                 out = rows_by.setdefault(origin, [])
                 while q and emitted < capacity:
-                    tds, dow, url, dts, seed, age0, born = heapq.heappop(q)
+                    tds, dow, rc, url, dts, seed, age0, born = heapq.heappop(q)
                     eff_age = age0 + (wave - born)
                     if eff_age > self.max_queue_age:
                         self.dropped_by_age += 1
@@ -316,14 +326,15 @@ class FrontierShardState:
     def checkpoint(self, dir_path: str) -> None:
         p = Path(dir_path)
         p.mkdir(parents=True, exist_ok=True)
-        cols = {k: [] for k in ("url", "origin", "dow", "dts", "tds", "is_seed", "age", "born")}
+        cols = {k: [] for k in ("url", "origin", "dow", "dts", "tds", "rc", "is_seed", "age", "born")}
         for origin, q in self.queues.items():
-            for tds, dow, url, dts, seed, age, born in q:
+            for tds, dow, rc, url, dts, seed, age, born in q:
                 cols["url"].append(url)
                 cols["origin"].append(origin)
                 cols["dow"].append(dow)
                 cols["dts"].append(dts)
                 cols["tds"].append(tds)
+                cols["rc"].append(rc)
                 cols["is_seed"].append(seed)
                 cols["age"].append(age)
                 cols["born"].append(born)
@@ -371,6 +382,7 @@ class FrontierShardState:
                 t.column("is_seed").to_pylist(),
                 t.column("age").to_pylist(),
                 t.column("born").to_pylist(),
+                t.column("rc").to_pylist(),
             )
         self.host_seq = defaultdict(int, {k: int(v) for k, v in meta["host_seq"].items()})
         self.last_access = meta["last_access"]

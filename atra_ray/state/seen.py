@@ -78,7 +78,7 @@ class SeenShardState:
         # urls touched since the last checkpoint (incremental-checkpoint
         # working set; O(wave), never O(total seen))
         self._dirty: set[str] = set()
-        # url -> [kind, is_seed, dow, dts, tds, crawled_wave]
+        # url -> [kind, is_seed, dow, dts, tds, crawled_wave, n_crawls]
         # crawled_wave: BSP wave of the last PROCESSED mark (-1 = never) —
         # the recrawl-cooldown clock (T7, recrawl_management/mod.rs:49-70;
         # simulated time = wave * wave_seconds)
@@ -101,7 +101,7 @@ class SeenShardState:
         self._spill_seq = 0
 
     # ---- spill plane (scale path) --------------------------------------
-    _REC_COLS = ["url", "kind", "is_seed", "dow", "dts", "tds", "crawled_wave"]
+    _REC_COLS = ["url", "kind", "is_seed", "dow", "dts", "tds", "crawled_wave", "n_crawls"]
 
     def _segment_path(self) -> Path:
         assert self._spill_dir is not None
@@ -175,6 +175,7 @@ class SeenShardState:
                     found[u] = [
                         row["kind"], row["is_seed"], row["dow"],
                         row["dts"], row["tds"], row["crawled_wave"],
+                        row["n_crawls"],
                     ]
         return found
 
@@ -236,7 +237,7 @@ class SeenShardState:
         for i, (url, seed, (dow, dts, tds)) in enumerate(zip(urls, is_seed, depths)):
             if url in self.exact or url in spilled:
                 continue
-            self.exact[url] = [KIND_DISCOVERED, bool(seed), dow, dts, tds, -1]
+            self.exact[url] = [KIND_DISCOVERED, bool(seed), dow, dts, tds, -1, 0]
             out[i] = True
             fresh.append(url)
         self._dirty.update(fresh)
@@ -263,7 +264,7 @@ class SeenShardState:
         for url in urls:
             rec = self.exact.get(url)
             if rec is None:
-                self.exact[url] = [kind, False, 0, 0, 0, -1]
+                self.exact[url] = [kind, False, 0, 0, 0, -1, 0]
                 rec = self.exact[url]
                 fresh.append(url)
                 self._dirty.add(url)
@@ -275,6 +276,7 @@ class SeenShardState:
             if kind == KIND_PROCESSED:
                 rec[0] = KIND_PROCESSED  # recrawl re-mark (kind already max)
                 rec[5] = wave
+                rec[6] += 1  # crawl count -> the frontier's recrawl score
                 self._dirty.add(url)
         self._bloom_add_batch(fresh)
         self._maybe_spill()
@@ -292,7 +294,7 @@ class SeenShardState:
             (wave - cw) * wave_seconds >= interval_s
         )
         hit = t.filter(pa.array(m))
-        return hit.select(["url", "is_seed", "dow", "dts", "tds"])
+        return hit.select(["url", "is_seed", "dow", "dts", "tds", "n_crawls"])
 
     def mark_blocks(self, block_refs, num_shards: int, wave: int) -> dict:
         """Post-materialize mark pass (T6/A3): pull the wave's COLUMN-
@@ -467,6 +469,7 @@ class SeenShardState:
         dts = np.asarray(t.column("dts"))[keep]
         tds = np.asarray(t.column("tds"))[keep]
         seeds = np.asarray(t.column("is_seed"))[keep]
+        ncs = np.asarray(t.column("n_crawls"))[keep]
         shards = origin_shards_batch(origins, num_frontier)
         refs, n = [], len(urls)
         for sh in np.unique(shards):
@@ -481,6 +484,9 @@ class SeenShardState:
                     seeds[idx].tolist(),
                     [0] * len(idx),
                     [wave + 1] * len(idx),
+                    # recrawl score = crawl count (the north star's
+                    # depth-then-recrawl-score per-host ordering)
+                    ncs[idx].tolist(),
                 )
             )
         ray.get(refs)
@@ -495,7 +501,7 @@ class SeenShardState:
 
     def _resident_table(self) -> pa.Table:
         urls = list(self.exact.keys())
-        cols = list(zip(*self.exact.values())) if urls else [[]] * 6
+        cols = list(zip(*self.exact.values())) if urls else [[]] * 7
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
@@ -505,6 +511,7 @@ class SeenShardState:
                 "dts": pa.array(cols[3], pa.uint64()),
                 "tds": pa.array(cols[4], pa.uint64()),
                 "crawled_wave": pa.array(cols[5], pa.int32()),
+                "n_crawls": pa.array(cols[6], pa.int32()),
             }
         )
 
@@ -526,7 +533,7 @@ class SeenShardState:
         )
 
     def _rows_table(self, urls: list[str]) -> pa.Table:
-        cols = list(zip(*(self.exact[u] for u in urls))) if urls else [[]] * 6
+        cols = list(zip(*(self.exact[u] for u in urls))) if urls else [[]] * 7
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
@@ -536,6 +543,7 @@ class SeenShardState:
                 "dts": pa.array(cols[3], pa.uint64()),
                 "tds": pa.array(cols[4], pa.uint64()),
                 "crawled_wave": pa.array(cols[5], pa.int32()),
+                "n_crawls": pa.array(cols[6], pa.int32()),
             }
         )
 
@@ -616,16 +624,16 @@ class SeenShardState:
             return len(seen_urls)
         for f in files:
             t = pq.read_table(f)
-            for url, kind, seed, dow, dts, tds, cw in zip(
+            for url, kind, seed, dow, dts, tds, cw, nc in zip(
                 *[
                     t.column(c).to_pylist()
                     for c in [
                         "url", "kind", "is_seed", "dow", "dts", "tds",
-                        "crawled_wave",
+                        "crawled_wave", "n_crawls",
                     ]
                 ],
             ):
-                self.exact[url] = [kind, seed, dow, dts, tds, cw]
+                self.exact[url] = [kind, seed, dow, dts, tds, cw, nc]
         self._bloom_add_batch(list(self.exact.keys()))
         return len(self.exact)
 

@@ -236,6 +236,14 @@ def test_recrawl_refill(ray_session, fixtures_small, tmp_path_factory):
 
     counts = Counter(u for u, _ in eng_trace)
     assert max(counts.values()) >= 2
+    # the recrawl-score plumbing: re-fetched urls carry n_crawls >= 2 in
+    # the exported link state (the frontier orders by it within a host)
+    import pyarrow.parquet as _pq
+
+    ls = _pq.read_table(Path(out) / "link_state.parquet")
+    nc = dict(zip(ls.column("url").to_pylist(), ls.column("n_crawls").to_pylist()))
+    refetched = [u for u, c in counts.items() if c >= 2]
+    assert refetched and all(nc[u] >= 2 for u in refetched)
 
 
 def test_sitemap_expansion(ray_session, fixtures_small, tmp_path):

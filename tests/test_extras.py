@@ -238,7 +238,6 @@ def test_media_decode_pipeline(tmp_path):
         rd.read_parquet(str(p2))
         .map_batches(
             DecodeImageStage,
-            fn_constructor_kwargs={"fake": False},
             batch_format="pyarrow",
             concurrency=1,
         )

@@ -223,36 +223,151 @@ def test_doc_quality_counts(docs_parquet):
     assert df.loc[0, "n_chars"] == len("the quick brown fox jumps over the lazy dog")
 
 
-@pytest.mark.usefixtures("ray_session")
-def test_multimodal_stub_pipeline(ray_session, tmp_path):
-    import ray.data as rd
+def test_png_roundtrip_all_color_types():
+    from atra_ray.functions.png import decode_png, encode_png
 
+    rng = np.random.RandomState(7)
+    for c in (1, 2, 3, 4):
+        px = rng.randint(0, 256, size=(13, 9, c), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px), c
+
+
+def test_png_all_filter_types_decode():
+    """Hand-build a PNG whose scanlines use filters 0-4 (the encoder only
+    emits 0) and check against a reference unfiltered image."""
+    import struct
+    import zlib
+
+    from atra_ray.functions.png import PNG_MAGIC, decode_png, encode_png
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    h, w, c = px.shape
+    bpp = c
+    stride = w * c
+    flat = px.reshape(h, stride).astype(np.int16)
+    lines = []
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int16)
+        enc = np.zeros(stride, dtype=np.int16)
+        for x in range(stride):
+            a = int(cur[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            cc = int(prev[x - bpp]) if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa_ <= pb_ and pa_ <= pc_ else (b if pb_ <= pc_ else cc)
+            enc[x] = (int(cur[x]) - pred) & 0xFF
+        lines.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
+
+    def chunk(ct, body):
+        return struct.pack(">I", len(body)) + ct + body + struct.pack(
+            ">I", zlib.crc32(ct + body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), px)
+    # palette image: encode indices + PLTE by hand
+    pal = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 4, size=(6, 5), dtype=np.uint8)
+    ihdr3 = struct.pack(">IIBBBBB", 5, 6, 8, 3, 0, 0, 0)
+    scan = b"".join(b"\x00" + idx[y].tobytes() for y in range(6))
+    data3 = (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr3)
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data3), pal[idx])
+    # defense: valid encoder output round-trips through the header sniff
     from atra_ray.stages.multimodal import DecodeImageStage
 
+    ok, ww, hh, _ = DecodeImageStage()._one(encode_png(px))
+    assert (ok, ww, hh) == (True, w, h)
+
+
+def test_wav_roundtrip_and_garbage():
+    from atra_ray.sources.media import _encode_wav
+    from atra_ray.stages.multimodal import DecodeAudioStage, decode_wav
+
+    rng = np.random.RandomState(3)
+    samples = rng.randint(-30000, 30000, size=4096, dtype=np.int16)
+    data = _encode_wav(16000, samples)
+    rate, x = decode_wav(data)
+    assert rate == 16000
+    assert np.allclose(x * 32768.0, samples)
+    s = DecodeAudioStage(window=1024)
     t = pa.table(
         {
             "media_id": pa.array([1, 2], pa.int64()),
-            "mime": pa.array(["image/png", "image/png"], pa.string()),
-            "data": pa.array([b"\x89PNGfake1", b"\x89PNGfake2"], pa.binary()),
+            "data": pa.array([data, b"not-audio-at-all"], pa.binary()),
+        }
+    )
+    out = s(t).to_pylist()
+    assert abs(out[0]["duration_s"] - 4096 / 16000) < 1e-12
+    assert len(out[0]["rms_frames"]) == 4
+    assert out[1]["duration_s"] == 0.0 and out[1]["rms_frames"] == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multimodal_real_format_pipeline(ray_session, tmp_path):
+    """PNG (RGB + gray) and PXM payloads decode through the actor-pool
+    stage to identical (w, h, features); garbage rows come back ok=False
+    — never an exception."""
+    import ray.data as rd
+
+    from atra_ray.functions.png import encode_png
+    from atra_ray.stages.multimodal import DecodeImageStage, encode_pxm
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, size=(8, 8, 1), dtype=np.uint8)
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "mime": pa.array(
+                ["image/png", "image/x-pxm", "image/png", "application/junk"],
+                pa.string(),
+            ),
+            "data": pa.array(
+                [encode_png(px), encode_pxm(px), encode_png(gray), b"\x00garbage"],
+                pa.binary(),
+            ),
         }
     )
     p = tmp_path / "media.parquet"
     pq.write_table(t, p)
     out = (
         rd.read_parquet(str(p))
-        .map_batches(DecodeImageStage, fn_constructor_kwargs={"feat_dim": 8},
-                     batch_format="pyarrow", batch_size=1, concurrency=1)
+        .map_batches(DecodeImageStage, batch_format="pyarrow",
+                     batch_size=2, concurrency=1)
         .to_pandas()
+        .set_index("media_id")
+        .sort_index()
     )
-    assert len(out) == 2
-    assert all(len(f) == 8 for f in out["features"])
-    # deterministic
-    s = DecodeImageStage(feat_dim=8)
-    assert np.allclose(
-        s._fake_features(b"\x89PNGfake1"), s._fake_features(b"\x89PNGfake1")
-    )
-    with pytest.raises(NotImplementedError):
-        DecodeImageStage(fake=False)._one(b"not-a-pxm-payload")
+    assert out.loc[1, "ok"] and out.loc[2, "ok"] and out.loc[3, "ok"]
+    assert not out.loc[4, "ok"]
+    assert (out.loc[1, "width"], out.loc[1, "height"]) == (10, 12)
+    # PNG and PXM carry the SAME pixels -> identical decoded features
+    assert np.allclose(list(out.loc[1, "features"]), list(out.loc[2, "features"]))
+    assert len(out.loc[3, "features"]) == 5  # grayscale: 5c with c=1
 
 
 @pytest.mark.usefixtures("ray_session")

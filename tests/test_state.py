@@ -20,7 +20,7 @@ def test_seen_exactly_once():
     # second call: nothing new
     assert s.check_and_add(urls, [False] * 3, [(9, 9, 9)] * 3) == [False] * 3
     # first registration's depth is kept
-    assert s.exact["https://a/1"] == [KIND_DISCOVERED, True, 0, 0, 0, -1]
+    assert s.exact["https://a/1"] == [KIND_DISCOVERED, True, 0, 0, 0, -1, 0]
 
 
 def test_seen_mark_is_monotone():
@@ -65,6 +65,58 @@ def test_frontier_priority_and_politeness():
     assert [r["host_seq"] for r in h_rows] == [0, 1, 2]
     assert all(r["wave"] == 0 for r in rows)
     assert f.count() == 0
+
+
+def test_frontier_recrawl_score_ordering():
+    """North-star per-host priority is (depth, recrawl-score, age): at
+    equal depth FRESH entries (score 0) precede recrawls, and lower
+    recrawl generations precede higher ones; depth still dominates (a
+    shallow recrawl beats a deeper fresh url)."""
+    f = FrontierShardState(0, delay_s=1.0, wave_seconds=8.0, max_per_host_per_wave=8)
+    f.push(
+        ["https://h/re-gen2", "https://h/zfresh", "https://h/re-gen1",
+         "https://h/deep-fresh"],
+        ["h"] * 4,
+        [1, 1, 1, 2],
+        [0] * 4,
+        [1, 1, 1, 2],
+        [False] * 4,
+        [0] * 4,
+        None,
+        [2, 0, 1, 0],
+    )
+    urls = [r["url"] for r in f.pop_wave(0).to_pylist()]
+    assert urls == [
+        "https://h/zfresh",      # tds=1, rc=0 (fresh wins at equal depth)
+        "https://h/re-gen1",     # tds=1, rc=1
+        "https://h/re-gen2",     # tds=1, rc=2
+        "https://h/deep-fresh",  # tds=2 (depth dominates the score)
+    ]
+
+
+def test_frontier_recrawl_score_survives_spill_and_checkpoint(tmp_path):
+    """The rc term must round-trip through the spill plane and the
+    checkpoint parquet — bounded and restored frontiers keep the same
+    fresh-before-recrawl order."""
+    f = FrontierShardState(
+        0, delay_s=1.0, wave_seconds=8.0, max_per_host_per_wave=8,
+        max_resident_per_origin=1, spill_dir=str(tmp_path / "spill"),
+    )
+    f.push(
+        ["https://h/re", "https://h/a-fresh", "https://h/b-fresh"],
+        ["h"] * 3, [1] * 3, [0] * 3, [1] * 3, [False] * 3, [0] * 3,
+        None, [1, 0, 0],
+    )
+    f.checkpoint(str(tmp_path / "chk"))
+    r = FrontierShardState(
+        0, delay_s=1.0, wave_seconds=8.0, max_per_host_per_wave=8,
+        max_resident_per_origin=1, spill_dir=str(tmp_path / "spill2"),
+    )
+    r.restore(str(tmp_path / "chk"))
+    for fr in (f, r):
+        assert [row["url"] for row in fr.pop_wave(0).to_pylist()] == [
+            "https://h/a-fresh", "https://h/b-fresh", "https://h/re",
+        ]
 
 
 def test_frontier_capacity_and_aging():
