@@ -76,6 +76,28 @@ class CrawlConfig:
     use_sitemaps: bool = False  # seed-origin sitemap expansion (crawler.rs:234-260)
     max_pages_per_host_per_wave: int = 64   # wave-level politeness budget
     user_agent: str = "atra-ray/0.1"
+    # J4 per-origin request overrides (config/crawl.rs:161-184: the
+    # reference sets custom headers and cookies per configured domain).
+    # ``headers`` apply to every request; per-origin entries override
+    # same-named global headers; ``cookies_per_origin`` is shorthand for
+    # a per-origin Cookie header (exact-origin key match).
+    headers: tuple[tuple[str, str], ...] = ()
+    headers_per_origin: tuple[tuple[str, tuple[tuple[str, str], ...]], ...] = ()
+    cookies_per_origin: tuple[tuple[str, str], ...] = ()
+
+    def request_headers_for(self, origin: str | None) -> dict[str, str]:
+        """Effective request headers for one origin: UA + globals,
+        overlaid with the origin's own entries and Cookie."""
+        out = {"User-Agent": self.user_agent}
+        out.update(self.headers)
+        if origin is not None:
+            for key, hs in self.headers_per_origin:
+                if key == origin:
+                    out.update(hs)
+            for key, c in self.cookies_per_origin:
+                if key == origin:
+                    out["Cookie"] = c
+        return out
 
     def budget_for(self, origin: str | None) -> BudgetSetting:
         if origin is not None:

@@ -9,12 +9,19 @@ mirror that shape exactly:
 
 - ``detect_script`` counts characters per Unicode script (vectorized);
 - single-language scripts map directly (kana→jpn, hangul→kor, han→cmn,
-  greek→ell, …);
-- Latin and Cyrillic run a **trigram classifier**: per-language profiles
-  of space-padded character trigrams (the Cavnar-Trenkle / whatlang
-  method), built at import time from the embedded ``PROFILE_TEXT``
-  training prose below, scored by cosine similarity between the text's
-  trigram-frequency vector and each profile.
+  greek→ell, thai→tha, plus the 14 round-4 additions: armenian→hye,
+  bengali→ben, gurmukhi→pan, gujarati→guj, oriya→ori, tamil→tam,
+  telugu→tel, kannada→kan, malayalam→mal, sinhala→sin, myanmar→mya,
+  georgian→kat, ethiopic→amh, khmer→khm);
+- multi-language scripts run a **trigram classifier** per family —
+  Latin (36 languages), Cyrillic (6), Arabic script (ara/pes/urd),
+  Devanagari (hin/mar/nep), Hebrew script (heb/yid): per-language
+  profiles of space-padded character trigrams (the Cavnar-Trenkle /
+  whatlang method), built at import time from the embedded
+  ``PROFILE_TEXT`` training prose below, scored by cosine similarity
+  between the text's trigram-frequency vector and each profile.
+
+Coverage is whatlang's full 69-language inventory (``ALL_LANGS``).
 
 The training prose is authored for THIS module and is deliberately
 disjoint from the fixture generator's vocabulary (sources/fixtures.py
@@ -36,6 +43,10 @@ __all__ = [
     "PROFILE_TEXT",
     "LATIN_LANGS",
     "CYRILLIC_LANGS",
+    "ARABIC_LANGS",
+    "DEVANAGARI_LANGS",
+    "HEBREW_LANGS",
+    "ALL_LANGS",
 ]
 
 MAX_SAMPLE_CHARS = 1_000_000
@@ -607,7 +618,12 @@ PROFILE_TEXT: dict[str, str] = {
         "annis vidimus in urbe multae domus veteres et viae angustae "
         "sunt ubi musici in foris apertis canunt homines panem recentem "
         "fructus et pisces in macello emunt et pueri ridentes inter "
-        "tabernas currunt iam sero erat cum domum redierunt"
+        "tabernas currunt iam sero erat cum domum redierunt populus "
+        "romanus multis cum gentibus bellum gessit et magna pars orbis "
+        "terrarum imperio eius subiecta erat senatus et consules de re "
+        "publica in curia disputabant milites in castris manebant et "
+        "agricolae agros colebant pueri litteras in schola discebant et "
+        "poetae carmina de natura deorum hominumque scribebant"
     ),
     # Cyrillic script:
     "mkd": (
@@ -729,11 +745,29 @@ PROFILE_TEXT: dict[str, str] = {
 }
 
 LATIN_LANGS = (
-    "cat", "ces", "dan", "deu", "eng", "est", "fin", "fra", "hrv", "hun",
-    "ind", "ita", "lav", "lit", "nld", "nob", "pol", "por", "ron", "slk",
-    "slv", "spa", "swe", "tur", "vie",
+    "afr", "aka", "aze", "cat", "ces", "dan", "deu", "eng", "epo", "est",
+    "fin", "fra", "hrv", "hun", "ind", "ita", "jav", "lat", "lav", "lit",
+    "nld", "nob", "pol", "por", "ron", "slk", "slv", "sna", "spa", "swe",
+    "tgl", "tuk", "tur", "uzb", "vie", "zul",
 )
-CYRILLIC_LANGS = ("bel", "bul", "rus", "srp", "ukr")
+CYRILLIC_LANGS = ("bel", "bul", "mkd", "rus", "srp", "ukr")
+ARABIC_LANGS = ("ara", "pes", "urd")
+DEVANAGARI_LANGS = ("hin", "mar", "nep")
+HEBREW_LANGS = ("heb", "yid")
+
+# single-language scripts (direct maps in detect_language_info)
+_SCRIPT_MAPPED_LANGS = (
+    "jpn", "kor", "cmn", "ell", "tha",
+    "hye", "ben", "pan", "guj", "ori", "tam", "tel", "kan", "mal", "sin",
+    "mya", "kat", "amh", "khm",
+)
+# whatlang's full 69-language inventory (Cargo.toml:168 / lang.rs)
+ALL_LANGS = tuple(
+    sorted(
+        LATIN_LANGS + CYRILLIC_LANGS + ARABIC_LANGS + DEVANAGARI_LANGS
+        + HEBREW_LANGS + _SCRIPT_MAPPED_LANGS
+    )
+)
 
 _PROFILE_SIZE = 600
 
@@ -749,8 +783,16 @@ _PROFILE_SIZE = 600
 # dropped.
 # ---------------------------------------------------------------------------
 import numpy as np
+import unicodedata as _ud
 
-_ALPHABET = sorted({ch for ch in "".join(PROFILE_TEXT.values()) if ch.isalpha()})
+# letters PLUS combining marks: Devanagari matras/virama (Mn/Mc) are as
+# language-bearing as consonants — dropping them would break nearly every
+# Hindi/Marathi/Nepali trigram at a vowel sign
+_ALPHABET = sorted({
+    ch
+    for ch in "".join(PROFILE_TEXT.values())
+    if ch.isalpha() or _ud.category(ch) in ("Mn", "Mc")
+})
 _L = len(_ALPHABET) + 2
 _MAXCP = max(ord(ch) for ch in _ALPHABET)
 _LUT = np.zeros(_MAXCP + 1, dtype=np.int64)
@@ -758,8 +800,14 @@ _LUT = np.zeros(_MAXCP + 1, dtype=np.int64)
 for _lo, _hi in (
     (0x61, 0x7A),
     (0xC0, 0x24F),
+    (0x250, 0x2AF),    # IPA extensions (Akan ɛ/ɔ, Azerbaijani ə)
     (0x370, 0x3FF),
     (0x400, 0x4FF),
+    (0x530, 0x58F),    # Armenian
+    (0x590, 0x5FF),    # Hebrew (heb/yid trigram family)
+    (0x600, 0x6FF),    # Arabic (ara/pes/urd trigram family)
+    (0x750, 0x77F),
+    (0x900, 0x97F),    # Devanagari (hin/mar/nep trigram family)
     (0x1E00, 0x1EFF),  # Latin Extended Additional (Vietnamese diacritics)
 ):
     _LUT[_lo : min(_hi, _MAXCP) + 1] = 1
@@ -819,6 +867,9 @@ def _build_family(langs: tuple[str, ...]):
 _FAMILIES = {
     "latin": (_build_family(LATIN_LANGS), LATIN_LANGS),
     "cyrillic": (_build_family(CYRILLIC_LANGS), CYRILLIC_LANGS),
+    "arabic": (_build_family(ARABIC_LANGS), ARABIC_LANGS),
+    "devanagari": (_build_family(DEVANAGARI_LANGS), DEVANAGARI_LANGS),
+    "hebrew": (_build_family(HEBREW_LANGS), HEBREW_LANGS),
 }
 
 # (script, start, end) Unicode ranges — counted like whatlang's
@@ -834,7 +885,41 @@ _SCRIPT_RANGES = (
     ("hebrew", 0x0590, 0x05FF),
     ("thai", 0x0E00, 0x0E7F),
     ("devanagari", 0x0900, 0x097F),
+    # whatlang-parity single-language scripts (round 4):
+    ("armenian", 0x0530, 0x058F),
+    ("bengali", 0x0980, 0x09FF),
+    ("gurmukhi", 0x0A00, 0x0A7F),
+    ("gujarati", 0x0A80, 0x0AFF),
+    ("oriya", 0x0B00, 0x0B7F),
+    ("tamil", 0x0B80, 0x0BFF),
+    ("telugu", 0x0C00, 0x0C7F),
+    ("kannada", 0x0C80, 0x0CFF),
+    ("malayalam", 0x0D00, 0x0D7F),
+    ("sinhala", 0x0D80, 0x0DFF),
+    ("myanmar", 0x1000, 0x109F),
+    ("georgian", 0x10A0, 0x10FF),
+    ("ethiopic", 0x1200, 0x137F),
+    ("khmer", 0x1780, 0x17FF),
 )
+
+
+# scripts that map to exactly one whatlang language (scripts.rs tables)
+_SINGLE_LANG_SCRIPTS = {
+    "armenian": "hye",
+    "bengali": "ben",
+    "gurmukhi": "pan",
+    "gujarati": "guj",
+    "oriya": "ori",
+    "tamil": "tam",
+    "telugu": "tel",
+    "kannada": "kan",
+    "malayalam": "mal",
+    "sinhala": "sin",
+    "myanmar": "mya",
+    "georgian": "kat",
+    "ethiopic": "amh",
+    "khmer": "khm",
+}
 
 
 def detect_script(text: str) -> tuple[str, int, int]:
@@ -928,17 +1013,24 @@ def detect_language_info(text: str | None) -> tuple[str, str, float]:
         return "kor", script, dominance
     if script == "greek":
         return "ell", script, dominance
-    if script == "arabic":
-        return "ara", script, dominance
-    if script == "hebrew":
-        return "heb", script, dominance
     if script == "thai":
         return "tha", script, dominance
-    if script == "devanagari":
-        return "hin", script, dominance
-    if script == "cyrillic":
-        lang, conf = _classify_trigrams(sample, "cyrillic")
-        return (lang, script, conf) if lang != "und" else ("rus", script, 0.3)
+    single = _SINGLE_LANG_SCRIPTS.get(script)
+    if single is not None:
+        return single, script, dominance
+    family_default = {
+        "cyrillic": "rus",
+        "arabic": "ara",
+        "devanagari": "hin",
+        "hebrew": "heb",
+    }
+    if script in family_default:
+        lang, conf = _classify_trigrams(sample, script)
+        return (
+            (lang, script, conf)
+            if lang != "und"
+            else (family_default[script], script, 0.3)
+        )
     lang, conf = _classify_trigrams(sample, "latin")
     return lang, script, conf
 

@@ -324,6 +324,7 @@ def run_crawl(
     *,
     sitemaps_path: str | None = None,
     redirects_path: str | None = None,
+    cookie_walls_path: str | None = None,
     blacklist_path: str | None = None,
     num_frontier_shards: int = 4,
     num_seen_shards: int = 8,
@@ -405,6 +406,16 @@ def run_crawl(
             dict(zip(rt.column("url").to_pylist(), rt.column("final_url").to_pylist()))
         )
 
+    # cookie-wall table (J4 observable end): host -> required Cookie,
+    # broadcast once like robots; fetch compares it against
+    # cfg.request_headers_for(origin)
+    walls_ref = None
+    if cookie_walls_path:
+        wt = pq.read_table(cookie_walls_path)
+        walls_ref = ray.put(
+            dict(zip(wt.column("host").to_pylist(), wt.column("cookie").to_pylist()))
+        )
+
     from ..state.metrics import make_counter_actor_cls
 
     counter = make_counter_actor_cls().remote()
@@ -420,6 +431,7 @@ def run_crawl(
             results_dir=str(out / "results" / f"round={wave_no}"),
             wave=wave_no,
             slim_output=True,
+            walls_ref=walls_ref,
         )
 
     start_wave = 0

@@ -43,6 +43,7 @@ def simulate_crawl(
     *,
     sitemaps_path: str | None = None,
     redirects_path: str | None = None,
+    cookie_walls_path: str | None = None,
     num_frontier_shards: int = 4,
     num_seen_shards: int = 8,
     max_waves: int | None = None,
@@ -58,6 +59,13 @@ def simulate_crawl(
         rt = pq.read_table(redirects_path)
         redirects = dict(
             zip(rt.column("url").to_pylist(), rt.column("final_url").to_pylist())
+        )
+
+    walls = {}
+    if cookie_walls_path:
+        wt = pq.read_table(cookie_walls_path)
+        walls = dict(
+            zip(wt.column("host").to_pylist(), wt.column("cookie").to_pylist())
         )
 
     robots = {}
@@ -176,6 +184,13 @@ def simulate_crawl(
                 continue
             eff = redirects.get(url, url)
             body = pages.get(eff)
+            if body is not None and walls and "/wall/" in eff:
+                required = walls.get(eff.split("/")[2])
+                if required is not None and (
+                    cfg.request_headers_for(eff.split("/")[2]).get("Cookie")
+                    != required
+                ):
+                    body = None  # cookie wall refused the request (J4)
             if body is None:
                 statuses["miss"] += 1
                 seen_shard(url).mark([url], KIND_ERROR)

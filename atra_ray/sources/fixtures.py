@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 42
-GENERATOR_VERSION = "19"  # bump when generation rules change (invalidates caches)
+GENERATOR_VERSION = "21"  # v21: cookie-wall hosts + world-language pages  # bump when generation rules change (invalidates caches)
 EPOCH_US = 1_729_036_800_000_000  # 2024-10-16T00:00:00Z in microseconds
 
 _LANGS = (
@@ -114,7 +114,144 @@ _CONTENT = {
            "の に は を が で て と から まで".split(),
     "cmn": "数据 搜索 页面 网络 文本 词语 网站 结果 索引 图片 "
            "的 是 在 了 有 和 这 中 大 为".split(),
+    # ---- round-4 world-language pools (whatlang-parity corpus). Leading
+    # 4 words are the function words _words() re-draws every 3rd token.
+    # Latin-script trigram family:
+    "epo": "kaj la ĉe pri domo ĝardeno rivero monto pano akvo mateno "
+           "vespero amiko strato foiro homoj neniam ĉiam aliaj ankaŭ "
+           "nokto lumo ŝtono vojo arbo floro ponto stelo hodiaŭ ĉielo "
+           "montoj stratoj preĝejo urboj manĝaĵo trinkaĵo aĵoj tagiĝo "
+           "baldaŭ apenaŭ ĝojo paĝoj".split(),
+    "aze": "və ilə görə əgər ev bağça çay dağ çörək su səhər axşam "
+           "dost küçə bazar adamlar həmişə başqaları üç gecə işıq daş "
+           "yol ağac gül körpü ulduz səma dəniz gözəl böyük təzə "
+           "əvvəl dənizdə gələn şəhər".split(),
+    "uzb": "va bir bu bilan uy bogʻ daryo togʻ non suv ertalab "
+           "kechqurun doʻst koʻcha bozor odamlar doimo boshqalar uch "
+           "tun yorugʻlik tosh yoʻl daraxt gul koʻprik yulduz osmon "
+           "dengiz qishloq yaxshi oʻgʻil togʻlar".split(),
+    "tgl": "ang ng mga sa at ay na bahay hardin ilog bundok tinapay "
+           "tubig umaga gabi kaibigan kalye palengke tao palagi iba "
+           "tatlo liwanag bato daan puno bulaklak tulay bituin hindi".split(),
+    "tuk": "bilen üçin bolsa ýaly öý baglar derýa daglar çörek suw "
+           "ertir agşam dost köçe bazar adamlar elmydama başgalar üç "
+           "gije ýagtylyk daş ýol agaç gül köpri ýyldyz asman deňiz "
+           "ýagty daňdan şäher öýleri giň uzyn gyzyl".split(),
+    "jav": "lan ing sing karo omah kebon kali gunung roti banyu esuk "
+           "bengi kanca dalan pasar wong tansah liyane telu wengi "
+           "cahya watu wit kembang kreteg lintang langit segara iku "
+           "saka ora".split(),
+    "aka": "na wɔ no a ofie turo asubɔnten bepɔw paanoo nsu anɔpa "
+           "anwummere adamfo abɔnten gua nnipa daa afoforo abiɛsa "
+           "anadwo hann ɔbo kwan dua nhwiren asuogya nsoromma wim "
+           "ɛpo yɛ sɛ".split(),
+    "zul": "futhi nge ku la indlu ingadi umfula intaba isinkwa amanzi "
+           "ekuseni kusihlwa umngane umgwaqo imakethe abantu njalo "
+           "abanye kuthathu ubusuku ukukhanya itshe indlela isihlahla "
+           "imbali ibhuloho inkanyezi isibhakabhaka ulwandle ngoba "
+           "lapho".split(),
+    "sna": "uye pa ku ne imba bindu rwizi gomo chingwa mvura "
+           "mangwanani manheru shamwari mugwagwa musika vanhu nguva "
+           "dzose vamwe matatu usiku chiedza ibwe nzira muti ruva "
+           "zambuko nyeredzi denga gungwa asi kana".split(),
+    "afr": "die van vir nie en huis tuin rivier berg brood water "
+           "oggend aand vriend straat mark mense nooit altyd ander "
+           "drie nag lig klip pad boom blom brug ster baie hemel see "
+           "hulle gesê môre".split(),
+    "lat": "est non enim autem domus hortus flumen mons panis aqua "
+           "mane vesper amicus forum homines numquam semper tres nox "
+           "lumen lapis arbor flos pons stella caelum mare tempus "
+           "corpus rerum omnium annorum hominibus temporibus montibus "
+           "bellum templum populus senatus imperium consulum".split(),
+    # Cyrillic family addition:
+    "mkd": "што ќе меѓу веќе куќа градина река планина леб вода утро "
+           "вечер пријател улица пазар луѓе никогаш секогаш други три "
+           "ноќе светлина камен пат дрво цвет мост ѕвезда небо море "
+           "куќи ноќта гледаат зборуваат".split(),
+    # Arabic-script trigram family:
+    "ara": "في من على إلى البيت الحديقة النهر الجبل الخبز الماء "
+           "الصباح المساء الصديق الشارع السوق الناس أبدا دائما "
+           "الآخرون ثلاثة الليل الضوء الحجر الطريق الشجرة الزهرة "
+           "الجسر النجمة السماء البحر هذا التي".split(),
+    "pes": "در از که با خانه باغ رودخانه کوه نان آب صبح شب دوست "
+           "خیابان بازار مردم هرگز همیشه دیگران سه شبانگاه روشنایی "
+           "سنگ راه درخت گل پل ستاره آسمان دریا است برای".split(),
+    "urd": "میں سے کے اور گھر باغ دریا پہاڑ روٹی پانی صبح شام دوست "
+           "گلی بازار لوگ کبھی ہمیشہ دوسرے تین رات روشنی پتھر راستہ "
+           "درخت پھول پل ستارہ آسمان سمندر ہے یہ".split(),
+    # Devanagari trigram family:
+    "hin": "में के और है घर बगीचा नदी पहाड़ रोटी पानी सुबह शाम दोस्त "
+           "गली बाज़ार लोग कभी हमेशा दूसरे तीन रात रोशनी पत्थर रास्ता "
+           "पेड़ फूल पुल तारा आकाश समुद्र यह जो".split(),
+    "mar": "आणि आहे मध्ये वेळ घर बाग नदी डोंगर भाकरी पाणी सकाळ "
+           "संध्याकाळ मित्र रस्ता बाजार लोक कधीही नेहमी इतर तीन "
+           "रात्र प्रकाश दगड वाट झाडे फुले पूल तारे आकाश समुद्र "
+           "मुळे खूप छोटा मोठा".split(),
+    "nep": "छ र हरू हुन्छ घरहरू बगैंचा नदी पहाड रोटी पानी बिहान "
+           "साँझ साथीहरू गल्ली बजार मानिसहरू कहिल्यै सधैं अरूहरू तीन "
+           "रात उज्यालो ढुङ्गा बाटो रूखहरू फूलहरू पुल ताराहरू आकाश "
+           "समुद्र गर्छन् भएको ठूलो सानो".split(),
+    # Hebrew-script trigram family:
+    "heb": "של את על אשר הבית הגן הנהר ההר הלחם המים הבוקר הערב "
+           "החבר הרחוב השוק האנשים לעולם תמיד אחרים שלושה הלילה האור "
+           "האבן הדרך העץ הפרח הגשר הכוכב השמים הים ילדים עכשיו".split(),
+    "yid": "און די פון איז הויז גארטן טייך בארג ברויט וואסער "
+           "פרימארגן אוונט פריינד גאס מארק מענטשן קיינמאל שטענדיק "
+           "אנדערע דריי נאכט ליכט שטיין וועג בוים בלום בריק שטערן "
+           "הימל דאס וואס".split(),
+    # single-script languages (direct map — pool only needs the script):
+    "ell": "και σπίτι κήπος ποτάμι βουνό ψωμί νερό πρωί βράδυ φίλος "
+           "δρόμος αγορά άνθρωποι νύχτα φως πέτρα μονοπάτι δέντρο "
+           "λουλούδι αστέρι".split(),
+    "tha": "และ บ้าน สวน แม่น้ำ ภูเขา ขนมปัง น้ำ เช้า เย็น เพื่อน ถนน "
+           "ตลาด ผู้คน กลางคืน แสง หิน ทาง ต้นไม้ ดอกไม้ ดาว".split(),
+    "kor": "그리고 집 정원 강 산 빵 물 아침 저녁 친구 거리 시장 "
+           "사람들 밤 빛 돌 길 나무 꽃 별".split(),
+    "hye": "եւ տուն այգի գետ լեռ հաց ջուր առավոտ երեկո ընկեր փողոց "
+           "շուկա մարդիկ գիշեր լույս քար ճանապարհ ծառ ծաղիկ աստղ".split(),
+    "ben": "এবং বাড়ি বাগান নদী পাহাড় রুটি জল সকাল সন্ধ্যা বন্ধু "
+           "রাস্তা বাজার মানুষ রাত আলো পাথর পথ গাছ ফুল তারা".split(),
+    "pan": "ਅਤੇ ਘਰ ਬਾਗ ਨਦੀ ਪਹਾੜ ਰੋਟੀ ਪਾਣੀ ਸਵੇਰ ਸ਼ਾਮ ਦੋਸਤ ਗਲੀ ਬਾਜ਼ਾਰ "
+           "ਲੋਕ ਰਾਤ ਰੋਸ਼ਨੀ ਪੱਥਰ ਰਾਹ ਰੁੱਖ ਫੁੱਲ ਤਾਰਾ".split(),
+    "guj": "અને ઘર બગીચો નદી પહાડ રોટલી પાણી સવાર સાંજ મિત્ર શેરી "
+           "બજાર લોકો રાત પ્રકાશ પથ્થર રસ્તો ઝાડ ફૂલ તારો".split(),
+    "ori": "ଏବଂ ଘର ବଗିଚା ନଦୀ ପାହାଡ ରୁଟି ପାଣି ସକାଳ ସନ୍ଧ୍ୟା ବନ୍ଧୁ ଗଳି "
+           "ବଜାର ଲୋକ ରାତି ଆଲୋକ ପଥର ରାସ୍ତା ଗଛ ଫୁଲ ତାରା".split(),
+    "tam": "மற்றும் வீடு தோட்டம் ஆறு மலை ரொட்டி தண்ணீர் காலை மாலை "
+           "நண்பர் தெரு சந்தை மக்கள் இரவு ஒளி கல் பாதை மரம் பூ "
+           "நட்சத்திரம்".split(),
+    "tel": "మరియు ఇల్లు తోట నది కొండ రొట్టె నీరు ఉదయం సాయంత్రం "
+           "స్నేహితుడు వీధి బజారు ప్రజలు రాత్రి వెలుగు రాయి దారి "
+           "చెట్టు పువ్వు నక్షత్రం".split(),
+    "kan": "ಮತ್ತು ಮನೆ ತೋಟ ನದಿ ಬೆಟ್ಟ ರೊಟ್ಟಿ ನೀರು ಬೆಳಿಗ್ಗೆ ಸಂಜೆ "
+           "ಸ್ನೇಹಿತ ಬೀದಿ ಮಾರುಕಟ್ಟೆ ಜನರು ರಾತ್ರಿ ಬೆಳಕು ಕಲ್ಲು ದಾರಿ "
+           "ಮರ ಹೂವು ನಕ್ಷತ್ರ".split(),
+    "mal": "ഒപ്പം വീട് തോട്ടം നദി മല റൊട്ടി വെള്ളം രാവിലെ "
+           "വൈകുന്നേരം സുഹൃത്ത് തെരുവ് ചന്ത ആളുകൾ രാത്രി വെളിച്ചം "
+           "കല്ല് വഴി മരം പൂവ് നക്ഷത്രം".split(),
+    "sin": "සහ ගෙදර වත්ත ගඟ කන්ද පාන් වතුර උදේ හවස යාළුවා පාර "
+           "වෙළඳපොළ මිනිස්සු රෑ එළිය ගල මග ගස මල තරුව".split(),
+    "mya": "နှင့် အိမ် ဥယျာဉ် မြစ် တောင် ပေါင်မုန့် ရေ မနက် ညနေ "
+           "မိတ်ဆွေ လမ်း ဈေး လူများ ည အလင်း ကျောက် ခရီး သစ်ပင် "
+           "ပန်း ကြယ်".split(),
+    "kat": "და სახლი ბაღი მდინარე მთა პური წყალი დილა საღამო "
+           "მეგობარი ქუჩა ბაზარი ხალხი ღამე სინათლე ქვა გზა ხე "
+           "ყვავილი ვარსკვლავი".split(),
+    "amh": "እና ቤት አትክልት ወንዝ ተራራ ዳቦ ውሃ ጠዋት ምሽት ጓደኛ መንገድ ገበያ "
+           "ሰዎች ሌሊት ብርሃን ድንጋይ ዛፍ አበባ ኮከብ ከተማ".split(),
+    "khm": "និង ផ្ទះ សួន ទន្លេ ភ្នំ នំប៉័ង ទឹក ព្រឹក ល្ងាច មិត្ត "
+           "ផ្លូវ ផ្សារ មនុស្ស យប់ ពន្លឺ ថ្ម ដើមឈើ ផ្កា ផ្កាយ "
+           "ទីក្រុង".split(),
 }
+
+# world-language page axis (every 5th page of each host; always a
+# Unicode-capable encoding) — the whatlang-parity breadth corpus
+_WORLD_LANGS = (
+    "epo", "aze", "uzb", "tgl", "tuk", "jav", "aka", "zul", "sna", "afr",
+    "lat", "mkd", "ara", "pes", "urd", "hin", "mar", "nep", "heb", "yid",
+    "ell", "tha", "kor", "hye", "ben", "pan", "guj", "ori", "tam", "tel",
+    "kan", "mal", "sin", "mya", "kat", "amh", "khm",
+)
 _JP_WORDS = ["検索", "データ", "ページ", "クローラ"]
 
 
@@ -196,10 +333,24 @@ def _robots_class(h: int) -> str:
     return "missing"
 
 
+def _wall_class(h: int) -> bool:
+    """Cookie-wall hosts (J4 fixture surface): a deterministic subset of
+    the robots-allow hosts requires the per-origin cookie
+    ``wall=<host>`` for its ``/wall/`` pages (cookies.parquet)."""
+    return h % 9 == 5 and _robots_class(h) == "allow"
+
+
+def wall_cookie(host: str) -> str:
+    return f"wall={host}"
+
+
 def _page_path(h: int, k: int) -> str:
     # on disallow hosts every 5th page lives under /blocked/ (robots-denied)
     if _robots_class(h) == "disallow_blocked" and k % 5 == 0 and k > 0:
         return f"/blocked/p{k}"
+    # on cookie-wall hosts every 6th page sits behind the wall
+    if _wall_class(h) and k % 6 == 2 and k > 0:
+        return f"/wall/p{k}"
     return f"/p{k}"
 
 
@@ -235,26 +386,39 @@ def _gen_page(h: int, k: int, hosts: int, counts: list[int], salt: int = 0):
     host = host_name(h)
     path = _page_path(h, k)
     url = f"https://{host}{path}"
-    lang = _LANGS[h % len(_LANGS)]
-    enc = rng.choice(_ENC_WHEEL)
-    if enc == "shift_jis":
-        lang = "eng"  # shift_jis cannot encode most latin-1 letters
-    elif enc == "utf-8-invalid" and lang == "ron":
-        # ascii_only strips every diacritic word; Romanian's ASCII subset
-        # is generic Romance (undetectable BY DESIGN) — use eng like the
-        # shift_jis pages
-        lang = "eng"
-    elif enc == "cp1252" and lang in ("pol", "tur", "hun", "ron"):
-        # cp1252 cannot encode ą/ę/ł, ğ/ş/ı, ő/ű, ă/ș/ț — remap to a
-        # cp1252-safe language, a different one per source to keep the
-        # encoding×language diversity
-        lang = {"pol": "swe", "tur": "ita", "hun": "fra", "ron": "spa"}[lang]
-    lang = _ENC_LANG.get(enc, lang)
+    world = k % 5 == 4  # whatlang-parity world-language page
+    if world:
+        # world pages rotate the breadth corpus and always use a
+        # Unicode-capable encoding (legacy codepages cannot encode these
+        # scripts); the detector must label them from orthography alone
+        lang = _WORLD_LANGS[(h * 13 + k // 5) % len(_WORLD_LANGS)]
+        enc = "utf-16-le" if (h + k) % 7 == 3 else "utf-8"
+    else:
+        lang = _LANGS[h % len(_LANGS)]
+        enc = rng.choice(_ENC_WHEEL)
+        if enc == "shift_jis":
+            lang = "eng"  # shift_jis cannot encode most latin-1 letters
+        elif enc == "utf-8-invalid" and lang == "ron":
+            # ascii_only strips every diacritic word; Romanian's ASCII
+            # subset is generic Romance (undetectable BY DESIGN) — use
+            # eng like the shift_jis pages
+            lang = "eng"
+        elif enc == "cp1252" and lang in ("pol", "tur", "hun", "ron"):
+            # cp1252 cannot encode ą/ę/ł, ğ/ş/ı, ő/ű, ă/ș/ț — remap to a
+            # cp1252-safe language, a different one per source to keep
+            # the encoding×language diversity
+            lang = {"pol": "swe", "tur": "ita", "hun": "fra", "ron": "spa"}[lang]
+        lang = _ENC_LANG.get(enc, lang)
 
     ascii_only = enc in ("shift_jis", "utf-8-invalid")
     title = " ".join(_words(rng, lang, rng.randint(2, 4), ascii_only))
+    # world pages keep a higher per-paragraph word floor: the measured
+    # zero-miss band for the breadth families starts at ~40 pool words
+    # per page (tools stress test), and 3 x 14 + title + anchors clears
+    # it with margin
+    min_para = 14 if world else 10
     paras = [
-        " ".join(_words(rng, lang, rng.randint(10, 24), ascii_only))
+        " ".join(_words(rng, lang, rng.randint(min_para, 24), ascii_only))
         for _ in range(rng.randint(3, 7))
     ]
     if enc == "shift_jis":
@@ -798,6 +962,21 @@ def generate(out_dir: str | os.PathLike, sf: float, force: bool = False) -> Path
         pa.table({"host": pa.array(rh, pa.string()),
                   "robots_txt": pa.array(rb, pa.binary())}),
         out / "robots.parquet",
+    )
+
+    # cookies.parquet (J4 per-origin overrides, config/crawl.rs:161-184):
+    # wall hosts serve their /wall/ pages ONLY to requests whose effective
+    # Cookie header matches — the observable end of
+    # CrawlConfig.cookies_per_origin / headers_per_origin
+    wall_hosts = [host_name(h) for h in range(hosts) if _wall_class(h)]
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array(wall_hosts, pa.string()),
+                "cookie": pa.array([wall_cookie(x) for x in wall_hosts], pa.string()),
+            }
+        ),
+        out / "cookies.parquet",
     )
 
     # sitemaps.parquet: hosts h%6==0 publish sitemaps covering up to 10 of

@@ -222,6 +222,7 @@ def make_fetch_task(
     results_dir: str | None = None,
     wave: int = -1,
     slim_output: bool = False,
+    walls_ref=None,
 ):
     """Build the fetch+extract map_batches function for ONE WAVE.
 
@@ -250,6 +251,9 @@ def make_fetch_task(
 
     def _redirects():
         return _cached_ref(redirects_ref)
+
+    def _walls():
+        return _cached_ref(walls_ref)
 
     def _partition(part):
         return _cached_partition(store_dir, part)
@@ -290,6 +294,28 @@ def make_fetch_task(
             lookup = _partition(part)
             for i in idxs:
                 bodies[i] = lookup.get(eff[i])
+
+        # J4 per-origin request overrides (config/crawl.rs:161-184): the
+        # effective header set (UA + globals + per-origin headers/cookies)
+        # is attached to every request; cookie-wall hosts serve their
+        # /wall/ pages only when the request's Cookie matches (the
+        # observable end of the override surface — walls_ref is the
+        # fixture server's cookie table, broadcast once)
+        walls = _walls()
+        if walls:
+            hdr_cache: dict[str, dict] = {}
+            for i in range(n):
+                if bodies[i] is None:
+                    continue
+                h = hosts[i]
+                required = walls.get(h)
+                if required is None or "/wall/" not in eff[i]:
+                    continue
+                sent = hdr_cache.get(h)
+                if sent is None:
+                    sent = hdr_cache[h] = cfg.request_headers_for(h)
+                if sent.get("Cookie") != required:
+                    bodies[i] = None  # wall refused the request
 
         statuses, fmts, encs, errs, texts, langs, links_col = [], [], [], [], [], [], []
         ecfg = cfg.extraction

@@ -438,3 +438,79 @@ def test_capped_seen_memory_equals_unbounded(ray_session, fixtures_small, tmp_pa
     assert capped == full
     # spill actually engaged (corpus >> cap)
     assert list(Path(out, "seen_spill").rglob("spill-*.parquet"))
+
+
+def test_cookie_wall_per_origin_overrides(ray_session, fixtures_small, tmp_path):
+    """J4 per-origin request overrides (config/crawl.rs:161-184): with the
+    wall table served, /wall/ pages fetch ONLY when
+    ``cfg.cookies_per_origin`` carries the host's cookie — and engine ==
+    simulator in both configurations (misses and order alike)."""
+    import pyarrow.parquet as _pq
+
+    walls_t = _pq.read_table(fixtures_small / "cookies.parquet")
+    assert walls_t.num_rows >= 1
+    wall_host = walls_t.column("host")[0].as_py()
+    cookie = walls_t.column("cookie")[0].as_py()
+    seeds = [f"https://{wall_host}/p0"]
+    base = dict(budget=BudgetSetting(kind="absolute", depth=4))
+    results = {}
+    for label, cfg in (
+        ("locked", CrawlConfig(**base)),
+        ("keyed", CrawlConfig(**base, cookies_per_origin=((wall_host, cookie),))),
+    ):
+        sim = simulate_crawl(
+            str(fixtures_small / "pages.parquet"),
+            str(fixtures_small / "robots.parquet"),
+            seeds, cfg,
+            cookie_walls_path=str(fixtures_small / "cookies.parquet"),
+        )
+        out = str(tmp_path / label)
+        run_crawl(
+            str(fixtures_small / "pages.parquet"),
+            str(fixtures_small / "robots.parquet"),
+            seeds, cfg, out,
+            cookie_walls_path=str(fixtures_small / "cookies.parquet"),
+            fetch_concurrency=2,
+        )
+        t = _results_table(out, ["url", "status"])
+        eng = dict(zip(t.column("url").to_pylist(), t.column("status").to_pylist()))
+        ls = _pq.read_table(Path(out) / "link_state.parquet")
+        sim_kinds = dict(
+            zip(sim["seen"].column("url").to_pylist(), sim["seen"].column("kind").to_pylist())
+        )
+        eng_kinds = dict(zip(ls.column("url").to_pylist(), ls.column("kind").to_pylist()))
+        assert eng_kinds == sim_kinds, label
+        results[label] = eng
+    # only REAL wall pages gate on the cookie — dir-relative links from a
+    # /wall/ page also resolve under /wall/ but point at nonexistent urls
+    # (miss in both configurations, engine == sim above)
+    existing = set(
+        _pq.read_table(fixtures_small / "pages.parquet", columns=["url"])
+        .column("url")
+        .to_pylist()
+    )
+    locked_wall = {
+        u: s for u, s in results["locked"].items()
+        if "/wall/" in u and u in existing
+    }
+    keyed_wall = {
+        u: s for u, s in results["keyed"].items()
+        if "/wall/" in u and u in existing
+    }
+    assert locked_wall and set(locked_wall.values()) == {"miss"}
+    assert keyed_wall and set(keyed_wall.values()) == {"ok"}
+
+
+def test_request_headers_merge_order():
+    """Per-origin headers override same-named globals; cookies ride as
+    the origin's Cookie header; unconfigured origins see globals only."""
+    cfg = CrawlConfig(
+        headers=(("Accept-Language", "en"), ("X-Trace", "g")),
+        headers_per_origin=(("h1.example", (("Accept-Language", "de"),)),),
+        cookies_per_origin=(("h1.example", "sid=abc"),),
+    )
+    h1 = cfg.request_headers_for("h1.example")
+    assert h1["Accept-Language"] == "de" and h1["Cookie"] == "sid=abc"
+    assert h1["X-Trace"] == "g" and h1["User-Agent"] == cfg.user_agent
+    other = cfg.request_headers_for("h2.example")
+    assert other["Accept-Language"] == "en" and "Cookie" not in other

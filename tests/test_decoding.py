@@ -209,3 +209,60 @@ def test_vietnamese_script_and_language():
     script, n, total = detect_script(text)
     assert script == "latin" and n == total and n > 30
     assert detect_language_info(text)[0] == "vie"
+
+
+def test_language_id_whatlang_parity_coverage():
+    """Round-4 breadth (M17 → whatlang's 69-language inventory):
+    adversarial everyday-prose snippets NOT drawn from the profile texts
+    or the fixture pools, covering every new trigram-family language
+    (incl. the confusable pairs ara/pes/urd, hin/mar/nep, heb/yid,
+    mkd-vs-srp/bul, afr-vs-nld, aze/tuk-vs-tur) and every new
+    single-script direct map."""
+    from atra_ray.functions.langdetect import ALL_LANGS, detect_language_info
+
+    assert len(ALL_LANGS) == 69  # whatlang parity
+    snippets = {
+        "epo": "la infanoj ludis en la ĝardeno dum iliaj gepatroj rigardis ilin",
+        "aze": "uşaqlar bağçada oynayırdılar və valideynləri onlara baxırdılar",
+        "uzb": "bolalar bogʻda oʻynashardi ota onalari esa ularni kuzatib turishardi",
+        "tgl": "naglalaro ang mga bata sa hardin habang pinapanood sila ng kanilang mga magulang",
+        "tuk": "çagalar bagda oýnaýardylar ene atalary bolsa olara seredýärdiler",
+        "jav": "bocah bocah padha dolanan ing kebon nalika wong tuwane nonton",
+        "aka": "mmofra no redi agorɔ wɔ turo no mu na wɔn awofo hwɛ wɔn",
+        "zul": "izingane zazidlala engadini kanti abazali bazo babezibukele",
+        "sna": "vana vaitamba mubindu apo vabereki vavo vakanga vakavatarisa",
+        "afr": "die kinders het in die tuin gespeel terwyl hulle ouers na hulle gekyk het",
+        "lat": "pueri in horto ludebant dum parentes eos spectabant",
+        "mkd": "децата си играа во градината додека нивните родители ги гледаа",
+        "ara": "كان الأطفال يلعبون في الحديقة بينما كان والداهم يراقبونهم",
+        "pes": "بچه ها در باغ بازی می کردند در حالی که پدر و مادرشان آنها را تماشا می کردند",
+        "urd": "بچے باغ میں کھیل رہے تھے جبکہ ان کے والدین انہیں دیکھ رہے تھے",
+        "hin": "बच्चे बगीचे में खेल रहे थे जबकि उनके माता पिता उन्हें देख रहे थे",
+        "mar": "मुले बागेत खेळत होती आणि त्यांचे आई वडील त्यांना पाहत होते",
+        "nep": "केटाकेटीहरू बगैंचामा खेलिरहेका थिए भने उनीहरूका आमाबुबाले हेरिरहेका थिए",
+        "heb": "הילדים שיחקו בגינה בזמן שההורים שלהם הסתכלו עליהם",
+        "yid": "די קינדער האבן זיך געשפילט אין גארטן בשעת זייערע עלטערן האבן צוגעקוקט",
+        "ell": "τα παιδιά έπαιζαν στον κήπο ενώ οι γονείς τους τα κοιτούσαν",
+        "tha": "เด็ก ๆ กำลังเล่นอยู่ในสวนขณะที่พ่อแม่ของพวกเขาเฝ้าดู",
+        "kor": "아이들이 정원에서 놀고 있었고 부모님이 지켜보고 있었다",
+        "hye": "երեխաները խաղում էին այգում մինչ նրանց ծնողները նայում էին",
+        "ben": "বাচ্চারা বাগানে খেলছিল আর তাদের বাবা মা তাদের দেখছিলেন",
+        "pan": "ਬੱਚੇ ਬਾਗ ਵਿੱਚ ਖੇਡ ਰਹੇ ਸਨ ਜਦੋਂ ਉਨ੍ਹਾਂ ਦੇ ਮਾਪੇ ਦੇਖ ਰਹੇ ਸਨ",
+        "guj": "બાળકો બગીચામાં રમતા હતા જ્યારે તેમના માતાપિતા તેમને જોતા હતા",
+        "ori": "ପିଲାମାନେ ବଗିଚାରେ ଖେଳୁଥିଲେ ଏବଂ ସେମାନଙ୍କ ବାପାମାଆ ଦେଖୁଥିଲେ",
+        "tam": "குழந்தைகள் தோட்டத்தில் விளையாடிக் கொண்டிருந்தனர் அவர்களின் பெற்றோர் பார்த்துக் கொண்டிருந்தனர்",
+        "tel": "పిల్లలు తోటలో ఆడుకుంటున్నారు వారి తల్లిదండ్రులు చూస్తున్నారు",
+        "kan": "ಮಕ್ಕಳು ತೋಟದಲ್ಲಿ ಆಡುತ್ತಿದ್ದರು ಅವರ ಪೋಷಕರು ನೋಡುತ್ತಿದ್ದರು",
+        "mal": "കുട്ടികൾ തോട്ടത്തിൽ കളിക്കുകയായിരുന്നു അവരുടെ മാതാപിതാക്കൾ നോക്കിയിരുന്നു",
+        "sin": "ළමයි වත්තේ සෙල්ලම් කරමින් සිටියා ඔවුන්ගේ දෙමාපියන් බලා සිටියා",
+        "mya": "ကလေးတွေက ဥယျာဉ်ထဲမှာ ဆော့နေကြပြီး မိဘတွေက ကြည့်နေကြတယ်",
+        "kat": "ბავშვები ბაღში თამაშობდნენ სანამ მათი მშობლები უყურებდნენ",
+        "amh": "ልጆቹ በአትክልቱ ውስጥ ይጫወቱ ነበር ወላጆቻቸውም ይመለከቱ ነበር",
+        "khm": "ក្មេងៗកំពុងលេងនៅក្នុងសួនខណៈពេលដែលឪពុកម្តាយរបស់ពួកគេមើល",
+    }
+    misses = {}
+    for lang, text in snippets.items():
+        got, _, _ = detect_language_info(text)
+        if got != lang:
+            misses[lang] = got
+    assert not misses, misses
