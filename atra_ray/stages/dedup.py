@@ -312,10 +312,16 @@ def join_store(
     store_cols = list(rename.keys())
 
     def _merge(df: pd.DataFrame) -> pd.DataFrame:
-        part = int(partition_ids(df[[key_col]], [key_col], num_partitions).iloc[0])
-        build = _read_store_part(store, part, columns=store_cols).rename(
-            columns=rename
-        )
+        if df.empty:
+            # typed-empty pass (probe side had no rows at all): part 0's
+            # store head carries the build-side dtypes
+            build = _read_store_part(store, 0, columns=store_cols).head(0)
+        else:
+            part = int(
+                partition_ids(df[[key_col]], [key_col], num_partitions).iloc[0]
+            )
+            build = _read_store_part(store, part, columns=store_cols)
+        build = build.rename(columns=rename)
         merged = df.merge(build, on=key_col, how="inner")
         return post(merged) if post is not None else merged
 

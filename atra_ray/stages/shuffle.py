@@ -58,35 +58,114 @@ def partitioned_map_groups(
     key_cols: list[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_partitions: int = 32,
+    fan_in: int = 256,
 ) -> rd.Dataset:
     """Hash-partition rows on ``key_cols`` into ``num_partitions`` buckets
     and apply ``fn`` once per PARTITION (not per key).
 
     ``fn`` receives every row of its partition (all rows of any given key
-    co-located) and must do its own per-key grouping — vectorized
-    (``df.groupby``, ``drop_duplicates``, ``duplicated`` masks), never a
-    Python loop over keys. The ``_part`` column is internal and dropped
-    before ``fn`` runs.
+    co-located, arbitrary row order) and must do its own per-key grouping
+    — vectorized (``df.groupby``, ``drop_duplicates``, ``duplicated``
+    masks), never a Python loop over keys.
+
+    SORTLESS raw-task exchange (round 4; formerly Ray's sort-based
+    ``groupby('_part').map_groups``): one split task per input block
+    slices it into per-partition sub-frames by key hash, one reduce task
+    per partition concats its splits (tree-combined past ``fan_in``) and
+    applies ``fn``. Rows still cross the wire exactly once; the map-side
+    sort Ray's groupby runs per block is gone, empty partitions spawn no
+    task and emit no schema-less block (the executor's
+    ``PandasBlockSchema(names=[])`` warnings came from the groupby's
+    empty reduce partitions), and the result is a Dataset of ≤P blocks.
+    The exchange MATERIALIZES (it is an all-to-all barrier either way).
     """
+    import numpy as np
+    import ray
 
-    def _tag(df: pd.DataFrame) -> pd.DataFrame:
-        # reset_index + positional assignment: when Ray fuses two pandas map
-        # stages, the upstream fn's frame arrives AS-IS (no Arrow
-        # round-trip), so a gapped index (drop_duplicates / boolean filter)
-        # would make a plain `df[col] = series` align-assign NaN/garbage
-        # partition ids and silently break co-location.
-        df = df.reset_index(drop=True)
-        df["_part"] = _part_id(df, key_cols, num_partitions).to_numpy()
-        return df
+    P = num_partitions
+    if P < 1:
+        raise ValueError("num_partitions must be >= 1")
+    fan_in = max(2, fan_in)
 
-    def _apply(df: pd.DataFrame) -> pd.DataFrame:
-        return fn(df.drop(columns=["_part"]))
+    @ray.remote(num_returns=P)
+    def _split(block):
+        if not isinstance(block, pd.DataFrame):
+            block = block.to_pandas()
+        if len(block) == 0:
+            return (None,) * P if P > 1 else None
+        missing = [k for k in key_cols if k not in block.columns]
+        if missing:
+            raise KeyError(
+                f"partitioned_map_groups: block of {len(block)} rows is "
+                f"missing key column(s) {missing} (have {list(block.columns)})"
+            )
+        block = block.reset_index(drop=True)
+        part = _part_id(block, key_cols, P).to_numpy()
+        order = np.argsort(part, kind="stable")
+        b = block.iloc[order]
+        bounds = np.searchsorted(part[order], np.arange(P + 1))
+        out = [
+            b.iloc[bounds[p] : bounds[p + 1]] if bounds[p + 1] > bounds[p] else None
+            for p in range(P)
+        ]
+        return tuple(out) if P > 1 else out[0]
 
-    return (
-        ds.map_batches(_tag, batch_format="pandas")
-        .groupby("_part")
-        .map_groups(_apply, batch_format="pandas")
-    )
+    @ray.remote
+    def _combine(*parts):
+        parts = [p for p in parts if p is not None]
+        return pd.concat(parts, ignore_index=True) if parts else None
+
+    @ray.remote(num_returns=2)
+    def _reduce(*parts):
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None, 0
+        out = fn(pd.concat(parts, ignore_index=True))
+        return out, len(out)
+
+    # triggers execution of ds (the exchange is a barrier regardless)
+    block_refs = [
+        br for bundle in ds.iter_internal_ref_bundles() for br in bundle.block_refs
+    ]
+
+    def _empty_result() -> rd.Dataset:
+        # no rows anywhere: apply fn to a TYPED empty frame so the result
+        # carries fn's output schema (callers chain map_batches/union)
+        schema = ds.schema()
+        base = getattr(schema, "base_schema", schema)
+        if isinstance(base, pa.Schema):
+            empty = base.empty_table().to_pandas()
+        elif schema is not None and getattr(schema, "names", None):
+            empty = pd.DataFrame({name: pd.Series(dtype=t) for name, t in
+                                  zip(schema.names, getattr(base, "types", []))}
+                                 if getattr(base, "types", None)
+                                 else {name: pd.Series(dtype="object")
+                                       for name in schema.names})
+        else:
+            empty = pd.DataFrame()
+        return rd.from_pandas(fn(empty))
+
+    if not block_refs:
+        return _empty_result()
+    splits = [_split.remote(b) for b in block_refs]
+    if P == 1:
+        splits = [[s] for s in splits]
+    out_refs, n_refs = [], []
+    for p in range(P):
+        refs = [s[p] for s in splits]
+        while len(refs) > fan_in:  # bounded task arg lists at huge inputs
+            refs = [
+                _combine.remote(*refs[i : i + fan_in])
+                for i in range(0, len(refs), fan_in)
+            ]
+        df_ref, n_ref = _reduce.remote(*refs)
+        out_refs.append(df_ref)
+        n_refs.append(n_ref)
+    ns = ray.get(n_refs)
+    keep = [r for r, n in zip(out_refs, ns) if n > 0]
+    if not keep:
+        return _empty_result()
+    return rd.from_pandas_refs(keep)
 
 
 def hash_reduce_small(
