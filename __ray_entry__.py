@@ -385,6 +385,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _ma(path)
 
+    def video_frames(sf_dir):
+        # Y4M (real YUV4MPEG2) + VIDX video frame-sampling: the engine
+        # parses width/height/fps/frame-count out of the binary payload
+        # and samples every 4th frame; the oracle recomputes all five
+        # from the generator's id arithmetic
+        import pyarrow.parquet as pq2
+
+        from atra_ray.sources.media import generate_video
+        from atra_ray.stages.multimodal import media_frames as _mf
+
+        ids = (
+            pq2.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+            .column("doc_id")
+            .to_pylist()
+        )
+        path = generate_video(
+            f"/tmp/atra_media/{Path(sf_dir).name}", sorted(ids)
+        )
+        return _mf(path, stride=4)
+
     def line_dedup(sf_dir):
         # corpus-level duplicated-line removal (CCNet-style boilerplate
         # strip): heavy-hitter line set via combiner + partitioned sum,
@@ -484,6 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_language": doc_language,
         "media_decode": media_decode,
         "media_audio": media_audio,
+        "video_frames": video_frames,
         "events_windowed": events_windowed,
         "line_dedup": line_dedup,
         "page_repetition": page_repetition,
@@ -794,6 +815,17 @@ def oracle_sql() -> dict[str, str]:
                    (((8000 + (doc_id % 3) * 4000) // 2 + doc_id % 500)::DOUBLE
                     / (8000 + (doc_id % 3) * 4000)) AS duration_s,
                    (((8000 + (doc_id % 3) * 4000) // 2 + doc_id % 500) // 1024)::BIGINT AS n_frames
+            FROM documents
+        """,
+        # video frame-sample: width/height/fps/n_frames parsed from the
+        # Y4M/VIDX header; n_sampled = ceil(n_frames / stride), stride=4
+        "video_frames": """
+            SELECT doc_id AS media_id,
+                   (16 + (doc_id % 16) * 2)::INTEGER AS width,
+                   (16 + ((doc_id * 5) % 16) * 2)::INTEGER AS height,
+                   (10 + (doc_id % 4) * 5)::DOUBLE AS fps,
+                   (4 + doc_id % 28)::BIGINT AS n_frames,
+                   ((4 + doc_id % 28 + 3) // 4)::BIGINT AS n_sampled
             FROM documents
         """,
         "events_windowed": """

@@ -29,9 +29,17 @@ import pyarrow.parquet as pq
 from ..functions.png import encode_png
 from ..stages.multimodal import encode_pam, encode_pxm
 
-__all__ = ["generate_media", "generate_audio", "media_dims", "audio_params"]
+__all__ = [
+    "generate_media",
+    "generate_audio",
+    "generate_video",
+    "media_dims",
+    "audio_params",
+    "video_params",
+]
 
 _VERSION = "2"  # v2: real PNG/WAV payloads interleaved with PXM/PAM
+_VIDEO_VERSION = "1"  # Y4M (YUV4MPEG2) + VIDX synthetic twin
 
 
 def media_dims(media_id: int) -> tuple[int, int]:
@@ -103,6 +111,82 @@ def generate_media(out_dir: str, ids: list[int]) -> str:
     )
     marker.write_text(key)
     return str(out / "media.parquet")
+
+
+def video_params(media_id: int) -> tuple[int, int, int, int]:
+    """(width, height, fps, n_frames) from the id arithmetic (the SQL
+    oracle): the engine must parse all four out of the Y4M/VIDX header."""
+    w = 16 + (media_id % 16) * 2
+    h = 16 + ((media_id * 5) % 16) * 2
+    fps = 10 + (media_id % 4) * 5
+    n_frames = 4 + media_id % 28
+    return w, h, fps, n_frames
+
+
+def _luma_planes(media_id: int, w: int, h: int, n: int) -> np.ndarray:
+    """(n, h, w) uint8 luma frames — SAME stream for Y4M and VIDX so a
+    given id's per-frame luma means are format-independent."""
+    raw = _byte_stream("video", media_id, n * w * h)
+    return np.frombuffer(raw, dtype=np.uint8).reshape(n, h, w)
+
+
+def _encode_y4m(media_id: int) -> bytes:
+    """Real-format YUV4MPEG2 (C444: full U/V planes) byte stream."""
+    w, h, fps, n = video_params(media_id)
+    y = _luma_planes(media_id, w, h, n)
+    uv = np.frombuffer(
+        _byte_stream("video-uv", media_id, n * w * h * 2), dtype=np.uint8
+    ).reshape(n, 2, h, w)
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode()]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(y[i].tobytes())
+        out.append(uv[i].tobytes())
+    return b"".join(out)
+
+
+def _encode_vidx(media_id: int) -> bytes:
+    """Synthetic luma-only twin: ``b"VIDX" + w:i32 + h:i32 + fps:i32 +
+    n_frames:i32`` + n·h·w uint8 luma bytes."""
+    import struct
+
+    w, h, fps, n = video_params(media_id)
+    return (
+        b"VIDX"
+        + struct.pack("<iiii", w, h, fps, n)
+        + _luma_planes(media_id, w, h, n).tobytes()
+    )
+
+
+def generate_video(out_dir: str, ids: list[int]) -> str:
+    """Idempotent video.parquet of Y4M/VIDX blobs for the given ids
+    (even ids real YUV4MPEG2, odd ids the synthetic twin)."""
+    out = Path(out_dir)
+    marker = out / "_SUCCESS_VIDEO"
+    key = f"{_VIDEO_VERSION}|{len(ids)}|{ids[0] if ids else 0}|{ids[-1] if ids else 0}"
+    if marker.exists() and marker.read_text() == key:
+        return str(out / "video.parquet")
+    out.mkdir(parents=True, exist_ok=True)
+    blobs, mimes = [], []
+    for i in ids:
+        if i % 2 == 0:
+            blobs.append(_encode_y4m(i))
+            mimes.append("video/x-yuv4mpeg")
+        else:
+            blobs.append(_encode_vidx(i))
+            mimes.append("video/x-vidx")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "mime": pa.array(mimes, pa.string()),
+                "data": pa.array(blobs, pa.binary()),
+            }
+        ),
+        out / "video.parquet",
+    )
+    marker.write_text(key)
+    return str(out / "video.parquet")
 
 
 def generate_audio(out_dir: str, ids: list[int]) -> str:

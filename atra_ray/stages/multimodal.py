@@ -1,4 +1,4 @@
-"""Multimodal (image/audio) column plumbing + codecs.
+"""Multimodal (image/audio/video) column plumbing + codecs.
 
 Binary media ride as opaque ``binary`` columns with typed metadata columns
 alongside. Decoders sniff the payload magic:
@@ -8,9 +8,12 @@ alongside. Decoders sniff the payload magic:
   image format (VERDICT r3 item 2 — the former ``NotImplementedError``
   stub is gone).
 - WAV via the stdlib ``wave`` module (16/8-bit PCM, any channel count).
+- Y4M (YUV4MPEG2, the uncompressed video interchange format): header
+  parse + per-FRAME luma-plane extraction for ``FrameSampleStage``.
 - PXM raster: ``b"PXM1" + width:i32 + height:i32 + channels:u8 + pixels``
-  (row-major, uint8) and PAM audio: ``b"PAM1" + rate:i32 + samples:i16[]``
-  — the deterministic synthetic twins kept for cheap high-volume tests.
+  (row-major, uint8), PAM audio: ``b"PAM1" + rate:i32 + samples:i16[]``
+  and VIDX video (luma-only frame stack) — the deterministic synthetic
+  twins kept for cheap high-volume tests.
 
 ``DecodeImageStage`` parses the header, decodes the pixel matrix,
 nearest-neighbor resizes, and emits width/height metadata plus a 5c float
@@ -38,7 +41,9 @@ from ..functions.png import PNG_MAGIC, decode_png
 __all__ = [
     "DecodeImageStage",
     "DecodeAudioStage",
+    "FrameSampleStage",
     "decode_wav",
+    "decode_y4m",
     "MEDIA_SCHEMA",
     "decode_pxm",
     "encode_pxm",
@@ -46,6 +51,7 @@ __all__ = [
     "encode_pam",
     "media_decode",
     "media_audio",
+    "media_frames",
 ]
 
 MEDIA_SCHEMA = pa.schema(
@@ -229,6 +235,170 @@ class DecodeAudioStage:
                 "rms_frames": pa.array(frames, pa.list_(pa.float64())),
             }
         )
+
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+_VIDX_MAGIC = b"VIDX"
+
+
+def decode_y4m(data: bytes) -> tuple[int, int, float, np.ndarray]:
+    """YUV4MPEG2 bytes -> (width, height, fps, (n, h, w) uint8 luma).
+
+    Real format (the uncompressed interchange format ffmpeg/mjpegtools
+    speak): ASCII stream header ``YUV4MPEG2 W.. H.. F<num>:<den> .. C..``
+    then per frame ``FRAME\\n`` + raw planes. Supports C444 (full U/V),
+    C422 (half-width U/V), C420* (quarter U/V) and Cmono (luma only);
+    chroma is skipped — frame-sampling only needs luma. Raises ValueError
+    on corrupt input (callers surface it as an ok=False row)."""
+    if not data.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    hdr_end = data.find(b"\n")
+    if hdr_end < 0:
+        raise ValueError("unterminated Y4M stream header")
+    w = h = 0
+    fps = 0.0
+    colorspace = "C420jpeg"  # Y4M default when no C param present
+    for param in data[len(_Y4M_MAGIC) : hdr_end].split(b" "):
+        if not param:
+            continue
+        tag, val = chr(param[0]), param[1:]
+        try:
+            if tag == "W":
+                w = int(val)
+            elif tag == "H":
+                h = int(val)
+            elif tag == "F":
+                num, den = val.split(b":")
+                fps = int(num) / int(den)
+            elif tag == "C":
+                colorspace = "C" + val.decode("ascii")
+        except (ValueError, ZeroDivisionError) as e:
+            raise ValueError(f"bad Y4M header param {param!r}") from e
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    luma = w * h
+    if colorspace.startswith("C444"):
+        chroma = 2 * luma
+    elif colorspace.startswith("C422"):
+        chroma = luma
+    elif colorspace.startswith("C420"):
+        chroma = luma // 2
+    elif colorspace.startswith("Cmono"):
+        chroma = 0
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {colorspace}")
+    frames = []
+    pos = hdr_end + 1
+    n_bytes = len(data)
+    while pos < n_bytes:
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M frame marker")
+        fhdr_end = data.find(b"\n", pos)
+        if fhdr_end < 0 or fhdr_end + 1 + luma + chroma > n_bytes:
+            raise ValueError("truncated Y4M frame")
+        start = fhdr_end + 1
+        frames.append(np.frombuffer(data, np.uint8, luma, start).reshape(h, w))
+        pos = start + luma + chroma
+    return w, h, fps, np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)
+
+
+def _decode_vidx(data: bytes) -> tuple[int, int, float, np.ndarray]:
+    """Synthetic luma-only twin (sources/media.py:_encode_vidx)."""
+    try:
+        w, h, fps, n = struct.unpack_from("<iiii", data, 4)
+    except struct.error as e:
+        raise ValueError("truncated VIDX header") from e
+    need = n * h * w
+    if w <= 0 or h <= 0 or n < 0 or len(data) < 20 + need:
+        raise ValueError("truncated VIDX payload")
+    return w, h, float(fps), np.frombuffer(data, np.uint8, need, 20).reshape(n, h, w)
+
+
+class FrameSampleStage:
+    """map_batches actor: binary video column -> every ``stride``-th frame's
+    luma mean (the video frame-sample stage of the quartet decode / resize /
+    feature-extract / frame-sample). Sniffs Y4M (real format) or VIDX
+    (synthetic twin); corrupt payloads come back ``ok=False`` with zero
+    frames — decode errors are DATA, not exceptions."""
+
+    def __init__(self, stride: int = 4):
+        if stride < 1:
+            raise ValueError("stride must be >= 1")
+        self.stride = stride
+
+    def _one(self, data: bytes | None) -> tuple:
+        if data is None:
+            return False, 0, 0, 0.0, 0, []
+        data = bytes(data)
+        try:
+            if data.startswith(_Y4M_MAGIC):
+                w, h, fps, luma = decode_y4m(data)
+            elif data.startswith(_VIDX_MAGIC):
+                w, h, fps, luma = _decode_vidx(data)
+            else:
+                return False, 0, 0, 0.0, 0, []
+        except ValueError:
+            return False, 0, 0, 0.0, 0, []
+        sampled = luma[:: self.stride]
+        means = (sampled.mean(axis=(1, 2)) / 255.0).tolist() if len(sampled) else []
+        return True, w, h, fps, len(luma), means
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        oks, ws, hs, fpss, nfs, means = [], [], [], [], [], []
+        for d in batch.column("data").to_pylist():
+            ok, w, h, fps, nf, m = self._one(d)
+            oks.append(ok)
+            ws.append(w)
+            hs.append(h)
+            fpss.append(fps)
+            nfs.append(nf)
+            means.append(m)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "mime": batch.column("mime"),
+                "ok": pa.array(oks, pa.bool_()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "fps": pa.array(fpss, pa.float64()),
+                "n_frames": pa.array(nfs, pa.int64()),
+                "luma_means": pa.array(means, pa.list_(pa.float64())),
+            }
+        )
+
+
+def media_frames(video_path: str, concurrency: int = 2, stride: int = 4) -> "object":
+    """The driver-checked video pipeline: video table -> actor-pool
+    frame-sample -> (media_id, width, height, fps, n_frames, n_sampled).
+    Small batches: video rows are the widest media payloads."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "width": batch.column("width"),
+                "height": batch.column("height"),
+                "fps": batch.column("fps"),
+                "n_frames": batch.column("n_frames"),
+                "n_sampled": pc.cast(
+                    pc.list_value_length(batch.column("luma_means")), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        rd.read_parquet(video_path, columns=["media_id", "mime", "data"])
+        .map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs={"stride": stride},
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=concurrency,
+        )
+        .map_batches(_project, batch_format="pyarrow")
+    )
 
 
 def media_audio(audio_path: str, concurrency: int = 2, window: int = 1024) -> "object":

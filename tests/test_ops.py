@@ -370,6 +370,79 @@ def test_multimodal_real_format_pipeline(ray_session, tmp_path):
     assert len(out.loc[3, "features"]) == 5  # grayscale: 5c with c=1
 
 
+def test_y4m_decode_colorspaces_and_garbage():
+    """Real-format Y4M parse: C444/C420/C422/Cmono plane strides, header
+    parameters, and corrupt-input behavior."""
+    from atra_ray.sources.media import _encode_y4m, _luma_planes, video_params
+    from atra_ray.stages.multimodal import FrameSampleStage, decode_y4m
+
+    w, h, fps, n = video_params(6)
+    ww, hh, f, luma = decode_y4m(_encode_y4m(6))
+    assert (ww, hh, f, len(luma)) == (w, h, float(fps), n)
+    assert np.array_equal(luma, _luma_planes(6, w, h, n))
+    # hand-built C420 (quarter chroma), C422 (half) and Cmono (none)
+    y = np.arange(4 * 6 * 2, dtype=np.uint8).reshape(2, 4, 6)
+    for cs, chroma_per_frame in (("C420", 12), ("C422", 24), ("Cmono", 0)):
+        data = f"YUV4MPEG2 W6 H4 F30:1 {cs}\n".encode() + b"".join(
+            b"FRAME\n" + y[i].tobytes() + b"\x80" * chroma_per_frame
+            for i in range(2)
+        )
+        ww, hh, f, luma = decode_y4m(data)
+        assert (ww, hh, f) == (6, 4, 30.0)
+        assert np.array_equal(luma, y)
+    # default colorspace (no C param) is C420jpeg
+    data = b"YUV4MPEG2 W6 H4 F25:1\n" + b"FRAME\n" + y[0].tobytes() + b"\x80" * 12
+    assert decode_y4m(data)[3].shape == (1, 4, 6)
+    for bad in (
+        b"YUV4MPEG2 W6 H4 F25:1\n" + b"FRAME\n" + y[0].tobytes(),  # short chroma
+        b"YUV4MPEG2 W6 F25:1\nFRAME\n",  # missing H
+        b"YUV4MPEG2 W6 H4 F25:1 C999\nFRAME\n",  # unknown colorspace
+        b"YUV4MPEG2 W6 H4 F25:1\nFRAXE\n" + y[0].tobytes() + b"\x80" * 12,
+    ):
+        with pytest.raises(ValueError):
+            decode_y4m(bad)
+    # the stage never raises: garbage and None become ok=False rows
+    st = FrameSampleStage(stride=2)
+    assert st._one(b"\x00junk")[0] is False
+    assert st._one(None)[0] is False
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_video_frames_pipeline(tmp_path):
+    """Y4M (even ids) and VIDX (odd ids) payloads frame-sample through the
+    actor-pool stage; dims/fps/frame counts match the id arithmetic and the
+    sampled luma means match a direct recomputation from the generator."""
+    from atra_ray.sources.media import _luma_planes, generate_video, video_params
+    from atra_ray.stages.multimodal import FrameSampleStage
+    import ray.data as rd
+
+    ids = list(range(41))
+    path = generate_video(str(tmp_path), ids)
+    out = (
+        rd.read_parquet(path)
+        .map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs={"stride": 4},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=1,
+        )
+        .to_pandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert out["ok"].all()
+    for i in ids:
+        w, h, fps, n = video_params(i)
+        row = out.loc[i]
+        assert (row["width"], row["height"], row["fps"], row["n_frames"]) == (
+            w, h, float(fps), n,
+        )
+        want = _luma_planes(i, w, h, n)[::4].mean(axis=(1, 2)) / 255.0
+        assert np.allclose(list(row["luma_means"]), want)
+        assert len(row["luma_means"]) == (n + 3) // 4  # ceil(n / stride)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_token_counts():
     import pyarrow.parquet as pq_
