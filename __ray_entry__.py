@@ -475,6 +475,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return windowed_event_agg(f"{sf_dir}/events.parquet")
 
+    def events_asof_join(sf_dir):
+        # as-of join: each purchase joined to the user's most recent
+        # prior-or-equal click; one user_id hash exchange, per-partition
+        # grouped forward-fill (no global sort, no pairwise join)
+        from atra_ray.stages.events import asof_join_events
+
+        return asof_join_events(f"{sf_dir}/events.parquet")
+
+    def events_sessionize(sf_dir):
+        # gap-based sessionization (30-min gap): per-user session spans
+        # with count/extrema aggregates (order-insensitive → bit-stable)
+        from atra_ray.stages.events import sessionize
+
+        return sessionize(f"{sf_dir}/events.parquet")
+
+    def events_interval_join(sf_dir):
+        # range join, counted: clicks by the same user within 10 minutes
+        # after each view; two merge_asof passes per partition against a
+        # per-user cumulative rank — the M:N blow-up never materializes
+        from atra_ray.stages.events import interval_join_count
+
+        return interval_join_count(f"{sf_dir}/events.parquet")
+
+    def events_rolling(sf_dir):
+        # per-user rolling window over the last 5 events: running max +
+        # window occupancy, ordered by (ts, event_id) within user
+        from atra_ray.stages.events import rolling_user_agg
+
+        return rolling_user_agg(f"{sf_dir}/events.parquet")
+
     return {
         "extract_text": extract_text,
         "extract_links": extract_links,
@@ -506,6 +536,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio": media_audio,
         "video_frames": video_frames,
         "events_windowed": events_windowed,
+        "events_asof_join": events_asof_join,
+        "events_sessionize": events_sessionize,
+        "events_interval_join": events_interval_join,
+        "events_rolling": events_rolling,
         "line_dedup": line_dedup,
         "page_repetition": page_repetition,
         "gopher_quality": gopher_quality,
@@ -836,6 +870,84 @@ def oracle_sql() -> dict[str, str]:
                    max(value) AS max_value
             FROM events
             GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        # as-of join: prior-or-equal click per purchase; ties at one
+        # instant resolve right-before-left then max event_id — the
+        # engine's ffill order (ORDER BY ts, is_r DESC, event_id) exactly
+        "events_asof_join": """
+            WITH t AS (
+                SELECT event_id, user_id, ts, value,
+                       (event_type = 'click') AS is_r,
+                       CASE WHEN event_type = 'click' THEN ts END AS r_ts,
+                       CASE WHEN event_type = 'click' THEN value END AS r_value
+                FROM events
+                WHERE event_type IN ('purchase', 'click')
+            ), f AS (
+                SELECT event_id, user_id, ts, value, is_r,
+                       last_value(r_ts IGNORE NULLS) OVER w AS prior_ts,
+                       last_value(r_value IGNORE NULLS) OVER w AS prior_value
+                FROM t
+                WINDOW w AS (
+                    PARTITION BY user_id
+                    ORDER BY ts, is_r DESC, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                )
+            )
+            SELECT event_id, user_id, ts, value, prior_ts, prior_value
+            FROM f WHERE NOT is_r
+        """,
+        # 30-min-gap sessionization; gap STRICTLY greater starts a new
+        # session; count/extrema aggregates only (float-sum-free)
+        "events_sessionize": """
+            WITH o AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts, value,
+                       SUM(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_id
+                FROM o
+            )
+            SELECT user_id,
+                   session_id::BIGINT AS session_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*)::BIGINT AS n_events,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        # interval (range) join, counted: clicks within [ts, ts+10min]
+        # inclusive per view, same user
+        "events_interval_join": """
+            SELECT a.event_id, a.user_id, a.ts,
+                   count(b.ts)::BIGINT AS n_followups
+            FROM events a
+            LEFT JOIN events b
+              ON b.user_id = a.user_id
+             AND b.event_type = 'click'
+             AND b.ts >= a.ts
+             AND b.ts <= a.ts + INTERVAL '10 minutes'
+            WHERE a.event_type = 'view'
+            GROUP BY a.event_id, a.user_id, a.ts
+        """,
+        # per-user rolling window, last 5 events by (ts, event_id):
+        # running max + occupancy (select/count — accumulation-order-free)
+        "events_rolling": """
+            SELECT event_id, user_id, ts,
+                   max(value) OVER w AS rolling_max,
+                   (count(*) OVER w)::BIGINT AS n_in_window
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+            )
         """,
         # EXACT word-3-gram Jaccard over LSH candidates (bands=64 → rows of
         # 2: miss prob (1-j²)^64 ≈ 1e-8 at the 0.5 threshold, so the LSH

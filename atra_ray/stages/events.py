@@ -1,14 +1,32 @@
-"""Windowed event aggregation (time-bucketed group stats).
+"""Event-stream operators: windowed aggregation, as-of join,
+sessionization, interval (range) join, rolling windows.
 
-The classic pre-aggregation shape: a per-batch COMBINER collapses each
-block to one row per (event_type, window) — bounded by the key space,
-not the row count — and the sortless ``hash_reduce_small`` exchange
-merges the partials (sum/min/max are associative, so the same merge
-runs at the tree-combine levels). The events table crosses the wire as
-partial aggregates only; nothing is ever sorted. Key cardinality
-(event types × time windows) is bounded and driver-small by
-construction, which is what makes the materialized reduce output valid
-at any input scale.
+``windowed_event_agg`` is the classic pre-aggregation shape: a per-batch
+COMBINER collapses each block to one row per (event_type, window) —
+bounded by the key space, not the row count — and the sortless
+``hash_reduce_small`` exchange merges the partials (sum/min/max are
+associative, so the same merge runs at the tree-combine levels). The
+events table crosses the wire as partial aggregates only; nothing is
+ever sorted. Key cardinality (event types × time windows) is bounded
+and driver-small by construction, which is what makes the materialized
+reduce output valid at any input scale.
+
+The temporal operators below (``asof_join_events``, ``sessionize``,
+``interval_join_count``, ``rolling_user_agg``) are the custom operators
+Ray Data has no native verb for. All four share one partitioning
+assumption, stated once: rows are hash-partitioned on ``user_id`` by the
+sortless ``partitioned_map_groups`` exchange — ONE all-to-all in which
+each row moves exactly once — and every per-key computation happens
+inside a partition with vectorized pandas kernels (``merge_asof``,
+grouped ``ffill``/``shift``/``rolling``), never a Python loop over rows
+or keys. There is no global sort: ordering is established per partition
+after the exchange, which is valid because every operator here orders
+WITHIN a user's timeline only. At 100 TB the residual assumption is that
+one user's history fits a partition's worker heap; the standard
+escape-hatch — sub-partition by (user, time-bucket) and stitch
+boundary state in a second tiny exchange — composes with the same
+primitives but is not needed for web-event-shaped skew (a single user's
+events are bounded by human/bot rates, not corpus size).
 """
 
 from __future__ import annotations
@@ -17,7 +35,13 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["windowed_event_agg"]
+__all__ = [
+    "windowed_event_agg",
+    "asof_join_events",
+    "sessionize",
+    "interval_join_count",
+    "rolling_user_agg",
+]
 
 
 def windowed_event_agg(events_path: str, freq: str = "h") -> rd.Dataset:
@@ -73,3 +97,225 @@ def windowed_event_agg(events_path: str, freq: str = "h") -> rd.Dataset:
         combine_fn=_merge,
     )
     return rd.from_arrow(out)
+
+
+def _read_events(events_path: str, columns: list[str], event_types: list[str] | None):
+    """Column-pruned, predicate-pushed read: only the named columns leave
+    storage, and when ``event_types`` is given the row filter runs inside
+    the Parquet fragment scanner (row-group / dictionary pushdown), not as
+    a post-read Ray filter stage."""
+    import pyarrow.compute as pc
+
+    kwargs = {}
+    if event_types is not None:
+        kwargs["filter"] = pc.field("event_type").isin(event_types)
+    return rd.read_parquet(events_path, columns=columns, **kwargs)
+
+
+def asof_join_events(
+    events_path: str,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """As-of join within the events table: each ``left_type`` event is
+    joined to the most recent ``right_type`` event of the SAME user with
+    ``right.ts <= left.ts`` (prior-or-equal semantics; ties at equal ts
+    resolve to the right row, and among right rows at one instant to the
+    largest event_id — the deterministic contract the SQL oracle mirrors
+    with ``last_value(... IGNORE NULLS)`` over ``ORDER BY ts, is_right
+    DESC, event_id``).
+
+    Shape: one hash exchange on user_id, then a per-partition stable sort
+    of the user timeline + grouped forward-fill — a merge-asof without a
+    global sort. Output: (event_id, user_id, ts, value, prior_ts,
+    prior_value); left events with no prior right event carry nulls.
+    """
+    ds = _read_events(
+        events_path,
+        ["event_id", "user_id", "ts", "event_type", "value"],
+        [left_type, right_type],
+    )
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = df.reindex(
+                columns=["event_id", "user_id", "ts", "value", "prior_ts", "prior_value"]
+            )
+            out["prior_ts"] = out["ts"]
+            out["prior_value"] = out["value"]
+            return out
+        df = df.assign(_r=df["event_type"].eq(right_type))
+        df = df.sort_values(
+            ["user_id", "ts", "_r", "event_id"],
+            ascending=[True, True, False, True],
+            kind="stable",
+        ).reset_index(drop=True)
+        df["prior_ts"] = df["ts"].where(df["_r"])
+        df["prior_value"] = df["value"].where(df["_r"])
+        g = df.groupby("user_id", sort=False)
+        df["prior_ts"] = g["prior_ts"].ffill()
+        df["prior_value"] = g["prior_value"].ffill()
+        return df.loc[
+            ~df["_r"], ["event_id", "user_id", "ts", "value", "prior_ts", "prior_value"]
+        ].reset_index(drop=True)
+
+    from .shuffle import partitioned_map_groups
+
+    return partitioned_map_groups(ds, ["user_id"], _fn, num_partitions=num_partitions)
+
+
+def sessionize(
+    events_path: str,
+    gap_minutes: int = 30,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Gap-based sessionization: a user's events ordered by (ts, event_id)
+    start a new session whenever the gap to the previous event EXCEEDS
+    ``gap_minutes`` (an exactly-``gap``-sized pause keeps the session).
+    Emits one row per session: (user_id, session_id, session_start,
+    session_end, n_events, min_value, max_value) with session_id numbered
+    1..k per user in time order. Aggregates are count/extrema on purpose —
+    order-insensitive and float-exact, so the result is bit-stable under
+    any partitioning (a float SUM would not be)."""
+    ds = _read_events(events_path, ["event_id", "user_id", "ts", "value"], None)
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = df.reindex(columns=["user_id", "ts", "value"])
+            out = out.assign(session_id=pd.Series(dtype="int64"))
+            return out.reindex(
+                columns=[
+                    "user_id", "session_id", "session_start", "session_end",
+                    "n_events", "min_value", "max_value",
+                ]
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(
+            drop=True
+        )
+        prev = df.groupby("user_id", sort=False)["ts"].shift()
+        new_s = prev.isna() | ((df["ts"] - prev) > gap)
+        df["session_id"] = new_s.astype("int64").groupby(df["user_id"], sort=False).cumsum()
+        out = df.groupby(["user_id", "session_id"], as_index=False, sort=False).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "size"),
+            min_value=("value", "min"),
+            max_value=("value", "max"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    from .shuffle import partitioned_map_groups
+
+    return partitioned_map_groups(ds, ["user_id"], _fn, num_partitions=num_partitions)
+
+
+def interval_join_count(
+    events_path: str,
+    left_type: str = "view",
+    right_type: str = "click",
+    horizon_minutes: int = 10,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Range (interval) join, counted: for every ``left_type`` event,
+    the number of ``right_type`` events by the same user inside the
+    inclusive window ``[ts, ts + horizon]`` — the M:N temporal join Ray
+    Data has no verb for, reduced to two vectorized ``pd.merge_asof``
+    passes per partition against a per-user cumulative rank:
+    ``n = rank(last right <= ts+h) - rank(last right < ts)``. Rows cross
+    the wire once (the user_id exchange); nothing is ever globally
+    sorted; no pairwise blow-up is materialized."""
+    ds = _read_events(
+        events_path,
+        ["event_id", "user_id", "ts", "event_type"],
+        [left_type, right_type],
+    )
+    horizon = pd.Timedelta(minutes=horizon_minutes)
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_id", "user_id", "ts", "n_followups"]
+        if df.empty:
+            out = df.reindex(columns=["event_id", "user_id", "ts"])
+            return out.assign(n_followups=pd.Series(dtype="int64"))
+        left = (
+            df.loc[df["event_type"] == left_type, ["event_id", "user_id", "ts"]]
+            .sort_values("ts", kind="stable")
+            .reset_index(drop=True)
+        )
+        right = (
+            df.loc[df["event_type"] == right_type, ["user_id", "ts"]]
+            .sort_values("ts", kind="stable")
+            .reset_index(drop=True)
+        )
+        if left.empty:
+            return left.assign(n_followups=pd.Series(dtype="int64"))[cols]
+        if right.empty:
+            return left.assign(n_followups=pd.Series(0, index=left.index, dtype="int64"))[cols]
+        # per-user 1-based rank of right events in time order (global ts
+        # sort makes each user's subsequence sorted too)
+        right = right.assign(_k=right.groupby("user_id", sort=False).cumcount() + 1)
+        right = right.rename(columns={"ts": "_rts"})
+        # keep the shifted key in ts's own unit (us-parquet + ns-Timedelta
+        # would otherwise promote and break merge_asof's dtype match)
+        hi = pd.merge_asof(
+            left.assign(_t=(left["ts"] + horizon).astype(left["ts"].dtype)),
+            right,
+            left_on="_t",
+            right_on="_rts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )["_k"].fillna(0).to_numpy()
+        lo = pd.merge_asof(
+            left,
+            right,
+            left_on="ts",
+            right_on="_rts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=False,
+        )["_k"].fillna(0).to_numpy()
+        left["n_followups"] = (hi - lo).astype("int64")
+        return left[cols]
+
+    from .shuffle import partitioned_map_groups
+
+    return partitioned_map_groups(ds, ["user_id"], _fn, num_partitions=num_partitions)
+
+
+def rolling_user_agg(
+    events_path: str,
+    window: int = 5,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Per-user rolling-window aggregate over the last ``window`` events
+    (inclusive of the current one), ordered by (ts, event_id): running
+    max of ``value`` and the actual window occupancy. Max/count are
+    chosen over mean/sum for the same bit-stability reason as
+    ``sessionize`` — they select or count existing values, so the result
+    is independent of accumulation order. Output: (event_id, user_id,
+    ts, rolling_max, n_in_window)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    ds = _read_events(events_path, ["event_id", "user_id", "ts", "value"], None)
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = df.reindex(columns=["event_id", "user_id", "ts"])
+            return out.assign(
+                rolling_max=pd.Series(dtype="float64"),
+                n_in_window=pd.Series(dtype="int64"),
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(
+            drop=True
+        )
+        r = df.groupby("user_id", sort=False)["value"].rolling(window, min_periods=1)
+        df["rolling_max"] = r.max().droplevel(0)
+        df["n_in_window"] = r.count().droplevel(0).astype("int64")
+        return df[["event_id", "user_id", "ts", "rolling_max", "n_in_window"]]
+
+    from .shuffle import partitioned_map_groups
+
+    return partitioned_map_groups(ds, ["user_id"], _fn, num_partitions=num_partitions)

@@ -3,6 +3,7 @@ sampling, and the sortless hash_reduce_small exchange they ride on."""
 
 import hashlib
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -261,3 +262,143 @@ def test_windowed_event_agg_keeps_null_groups(ray_session, tmp_path):
     assert len(rows) == 3  # (click,10h), (None,10h), (click,NaT)
     null_type = [r for r in rows if r["event_type"] is None]
     assert len(null_type) == 1 and null_type[0]["n"] == 1
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, user_id, ts, event_type, value)"""
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    p = tmp_path / "events.parquet"
+    pq.write_table(t, p)
+    return str(p)
+
+
+def test_asof_join_events_tie_semantics(ray_session, tmp_path):
+    """Prior-or-equal: a click at the same instant as the purchase IS the
+    match; among same-instant clicks the max event_id wins; a purchase
+    before any click carries nulls; users never cross."""
+    import datetime as dt
+
+    from atra_ray.stages.events import asof_join_events
+
+    b = dt.datetime(2026, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, 7, b + 0 * m, "purchase", 10.0),      # before any click -> null
+        (2, 7, b + 5 * m, "click", 1.0),
+        (3, 7, b + 5 * m, "click", 2.0),          # same instant, higher id
+        (4, 7, b + 5 * m, "purchase", 11.0),      # equal-ts tie -> click id 3
+        (5, 7, b + 9 * m, "purchase", 12.0),      # later -> still click id 3
+        (6, 8, b + 1 * m, "click", 5.0),
+        (7, 8, b + 2 * m, "purchase", 13.0),      # other user's own click
+        (8, 9, b + 3 * m, "purchase", 14.0),      # user with no clicks at all
+    ]
+    p = _write_events(tmp_path, rows)
+    out = (
+        asof_join_events(p, num_partitions=3)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert len(out) == 5  # purchases only
+    assert pd.isna(out.loc[1, "prior_ts"]) and pd.isna(out.loc[1, "prior_value"])
+    assert out.loc[4, "prior_value"] == 2.0 and out.loc[4, "prior_ts"] == b + 5 * m
+    assert out.loc[5, "prior_value"] == 2.0
+    assert out.loc[7, "prior_value"] == 5.0
+    assert pd.isna(out.loc[8, "prior_value"])
+
+
+def test_sessionize_gap_boundary(ray_session, tmp_path):
+    """A gap of exactly 30 min keeps the session; 30 min + 1 us splits.
+    session_id numbers 1..k per user in time order."""
+    import datetime as dt
+
+    from atra_ray.stages.events import sessionize
+
+    b = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, 1, b, "click", 1.0),
+        (2, 1, b + dt.timedelta(minutes=30), "click", 2.0),            # exactly gap: same session
+        (3, 1, b + dt.timedelta(minutes=60, microseconds=1), "click", 3.0),  # gap+1us: new session
+        (4, 2, b, "view", 9.0),
+    ]
+    p = _write_events(tmp_path, rows)
+    out = (
+        sessionize(p, gap_minutes=30, num_partitions=2)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    u1 = out[out.user_id == 1]
+    assert list(u1.session_id) == [1, 2]
+    assert list(u1.n_events) == [2, 1]
+    assert u1.iloc[0].session_start == b
+    assert u1.iloc[0].session_end == b + dt.timedelta(minutes=30)
+    assert u1.iloc[0].min_value == 1.0 and u1.iloc[0].max_value == 2.0
+    assert out[out.user_id == 2].iloc[0].n_events == 1
+
+
+def test_interval_join_count_inclusive_bounds(ray_session, tmp_path):
+    """[ts, ts+10min] inclusive at BOTH ends; same-instant click counts;
+    a click 10min+1us later does not; users never cross."""
+    import datetime as dt
+
+    from atra_ray.stages.events import interval_join_count
+
+    b = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, 1, b, "view", 0.0),
+        (2, 1, b, "click", 0.0),                                     # same instant: in
+        (3, 1, b + dt.timedelta(minutes=10), "click", 0.0),          # boundary: in
+        (4, 1, b + dt.timedelta(minutes=10, microseconds=1), "click", 0.0),  # out
+        (5, 1, b - dt.timedelta(microseconds=1), "click", 0.0),      # before: out
+        (6, 2, b + dt.timedelta(minutes=5), "click", 0.0),           # other user
+        (7, 2, b + dt.timedelta(minutes=4), "view", 0.0),
+        (8, 3, b, "view", 0.0),                                      # user with no clicks
+    ]
+    p = _write_events(tmp_path, rows)
+    out = (
+        interval_join_count(p, num_partitions=3)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert len(out) == 3
+    assert out.loc[1, "n_followups"] == 2
+    assert out.loc[7, "n_followups"] == 1
+    assert out.loc[8, "n_followups"] == 0
+
+
+def test_rolling_user_agg_window(ray_session, tmp_path):
+    """Running max over the last 3 events per user; occupancy ramps 1..3;
+    ordering is (ts, event_id) within user."""
+    import datetime as dt
+
+    from atra_ray.stages.events import rolling_user_agg
+
+    b = dt.datetime(2026, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, 1, b + 0 * m, "click", 5.0),
+        (2, 1, b + 1 * m, "click", 1.0),
+        (3, 1, b + 2 * m, "click", 2.0),
+        (4, 1, b + 3 * m, "click", 3.0),   # 5.0 leaves the window here
+        (5, 2, b + 0 * m, "view", 9.0),
+    ]
+    p = _write_events(tmp_path, rows)
+    out = (
+        rolling_user_agg(p, window=3, num_partitions=2)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert list(out.loc[[1, 2, 3, 4], "rolling_max"]) == [5.0, 5.0, 5.0, 3.0]
+    assert list(out.loc[[1, 2, 3, 4], "n_in_window"]) == [1, 2, 3, 3]
+    assert out.loc[5, "rolling_max"] == 9.0 and out.loc[5, "n_in_window"] == 1
