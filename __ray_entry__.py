@@ -168,6 +168,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Dataset — nothing concatenates on this side
         return edges_dataset(_crawl_out(sf_dir))
 
+    def graph_pagerank(sf_dir):
+        # fixed-point integer PageRank (d = 17/20, scale 1e12) over the
+        # crawl's web graph: bit-reproducible under any partitioning, so
+        # the unrolled-CTE SQL oracle certifies it exactly. Label-only
+        # BSP: edges cached per partition once, ranks exchanged per iter.
+        import pyarrow.compute as pc2
+
+        from atra_ray.functions.hashing import md5_low64
+        from atra_ray.pipelines.dump import edges_dataset
+        from atra_ray.stages.graph import pagerank_fp
+
+        edges = edges_dataset(_crawl_out(sf_dir), include_seeds=False)
+
+        def _hash(batch):
+            import numpy as np
+            import pyarrow as pa2
+
+            b = batch.filter(pc2.not_equal(batch.column("kind"), "seed"))
+            return pa2.table(
+                {
+                    "src": pa2.array(
+                        [md5_low64(u) for u in b.column("src").to_pylist()],
+                        pa2.uint64(),
+                    ),
+                    "dst": pa2.array(
+                        [md5_low64(u) for u in b.column("dst").to_pylist()],
+                        pa2.uint64(),
+                    ),
+                }
+            )
+
+        return pagerank_fp(
+            edges.map_batches(_hash, batch_format="pyarrow"), num_partitions=16
+        )
+
     def token_counts(sf_dir):
         from atra_ray.stages.text_analysis import token_counts as _tc
 
@@ -512,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_seen": crawl_seen,
         "crawl_order": crawl_order,
         "crawl_edges": crawl_edges,
+        "graph_pagerank": graph_pagerank,
         "token_counts": token_counts,
         "term_doc_freq": term_doc_freq,
         "embedding_dup_pairs": embedding_dup_pairs,
@@ -731,6 +767,43 @@ def _dup_clusters_oracle_sql() -> str:
     )
 
 
+def _pagerank_oracle_sql(edges_parquet: str, iters: int, scale: int) -> str:
+    """Unrolled fixed-point PageRank (mirrors stages/graph.pagerank_fp
+    exactly: d = 17/20, base = (3*scale)//(20*N), contrib = r // outdeg,
+    parallel edges deduped, hash-level self-loops dropped, dangling mass
+    not redistributed)."""
+    ctes = [
+        (
+            "eraw AS (SELECT DISTINCT md5_number_lower(src) AS s,"
+            " md5_number_lower(dst) AS d"
+            f" FROM read_parquet('{edges_parquet}')"
+            " WHERE kind <> 'seed' AND md5_number_lower(src) <> md5_number_lower(dst))"
+        ),
+        (
+            "nodes AS (SELECT DISTINCT n FROM"
+            " (SELECT s AS n FROM eraw UNION ALL SELECT d FROM eraw))"
+        ),
+        "cnt AS (SELECT count(*)::BIGINT AS n FROM nodes)",
+        "outdeg AS (SELECT s, count(*)::BIGINT AS deg FROM eraw GROUP BY s)",
+        (
+            f"r0 AS (SELECT n AS node, ({scale} // (SELECT n FROM cnt))::BIGINT AS r"
+            " FROM nodes)"
+        ),
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"r{k} AS (SELECT nd.n AS node, "
+            f"((3 * {scale}) // (20 * (SELECT n FROM cnt))"
+            " + (17 * COALESCE(s.c, 0)) // 20)::BIGINT AS r"
+            " FROM nodes nd LEFT JOIN ("
+            "SELECT e.d AS node, SUM(p.r // o.deg)::BIGINT AS c"
+            f" FROM eraw e JOIN r{k - 1} p ON p.node = e.s"
+            " JOIN outdeg o ON o.s = e.s GROUP BY e.d"
+            ") s ON s.node = nd.n)"
+        )
+    return "WITH " + ", ".join(ctes) + f" SELECT node, r AS rank_fp FROM r{iters}"
+
+
 def oracle_sql() -> dict[str, str]:
     from atra_ray.stages.curation import EMAIL_RE as _PII_EMAIL
     from atra_ray.stages.curation import IP_RE as _PII_IP
@@ -761,6 +834,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "crawl_edges": (
             f"SELECT src, dst, kind FROM read_parquet('{od}/crawl_edges.parquet')"
+        ),
+        # fixed-point PageRank: the SAME integer iterations the engine
+        # runs, unrolled as chained CTEs over the simulator's edge table.
+        # Integer sums are order-independent, so this is an exact hash
+        # oracle for an iterative graph algorithm (a float PageRank could
+        # never be). Self-loops drop at hash level on both sides.
+        "graph_pagerank": _pagerank_oracle_sql(
+            f"{od}/crawl_edges.parquet", iters=8, scale=10**12
         ),
         # statuses live only in the engine's results; the simulator's order
         # table carries (url, origin) and the robots/miss classification is

@@ -41,11 +41,12 @@ def dump_crawl(
     return pads.dataset(files).count_rows()
 
 
-def edges_dataset(crawl_out_dir: str) -> rd.Dataset:
+def edges_dataset(crawl_out_dir: str, include_seeds: bool = True) -> rd.Dataset:
     """Web-graph edges (S6) as a STREAMING Dataset: seed edges plus a
     map_batches projection of the results' links column — the at-scale
     path (nothing concatenates on the driver; consume with write_parquet
-    or downstream transforms)."""
+    or downstream transforms). ``include_seeds=False`` skips the seed-edge
+    union for consumers that filter kind='seed' anyway (e.g. PageRank)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -75,7 +76,7 @@ def edges_dataset(crawl_out_dir: str) -> rd.Dataset:
         )
     ] if files else []
     seeds = Path(crawl_out_dir, "edges", "seeds.parquet")
-    if seeds.exists():
+    if include_seeds and seeds.exists():
         parts.append(rd.read_parquet(str(seeds)))
     if not parts:
         import pyarrow as pa2

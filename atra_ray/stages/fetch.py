@@ -360,7 +360,7 @@ def make_fetch_task(
         out["links"] = pa.array(links_col, pa.list_(LINK_STRUCT))
         result = pa.table(out)
 
-        if results_dir is not None:
+        if results_dir is not None and result.num_rows > 0:
             import hashlib as _hl
             import os
 
