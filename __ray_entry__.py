@@ -216,6 +216,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _tdf(f"{sf_dir}/documents.parquet")
 
+    def tfidf_search_topk(sf_dir):
+        # fixed-point TF-IDF top-k retrieval: df/N via a combiner +
+        # hash_reduce_small (driver sees |Q|+1 ints), broadcast scoring
+        # pass with LOCAL per-block top-k, one tiny merge — integer
+        # arithmetic end-to-end so the SQL oracle certifies the ranking
+        from atra_ray.stages.text_analysis import tfidf_topk
+
+        return tfidf_topk(f"{sf_dir}/documents.parquet")
+
     def embedding_dup_pairs(sf_dir):
         # DEFAULT route = the LSH scale path (method="lsh"); the loose
         # threshold needs the small-k / large-L OR-construction for exact
@@ -550,6 +559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": graph_pagerank,
         "token_counts": token_counts,
         "term_doc_freq": term_doc_freq,
+        "tfidf_search_topk": tfidf_search_topk,
         "embedding_dup_pairs": embedding_dup_pairs,
         "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
         "ann_ivf_topk": ann_ivf_topk,
@@ -866,6 +876,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # per-term document frequency; identical RE2 tokenization both sides
+        # fixed-point TF-IDF retrieval: idf = exact rational N/df,
+        # floor-scaled per term; integer sums == the engine's bit-for-bit
+        "tfidf_search_topk": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                FROM documents
+            ),
+            q(term) AS (VALUES ('data'), ('hash'), ('join')),
+            n AS (SELECT count(*)::BIGINT AS n FROM documents),
+            stats AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                FROM tok JOIN q USING (term) GROUP BY term
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM tok JOIN q USING (term) GROUP BY doc_id, term
+            ),
+            scores AS (
+                SELECT tf.doc_id,
+                       SUM((tf.tf * 1000000 * (SELECT n FROM n)) // s.df)::BIGINT
+                           AS score_fp
+                FROM tf JOIN stats s USING (term)
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score_fp,
+                   row_number() OVER (ORDER BY score_fp DESC, doc_id)::BIGINT AS rank
+            FROM scores
+            WHERE score_fp > 0
+            ORDER BY score_fp DESC, doc_id
+            LIMIT 10
+        """,
         "term_doc_freq": """
             SELECT term, count(*)::BIGINT AS df
             FROM (

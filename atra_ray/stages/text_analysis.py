@@ -23,6 +23,7 @@ __all__ = [
     "hashed_doc_frequency",
     "lang_distribution",
     "term_doc_freq",
+    "tfidf_topk",
     "token_counts",
     "TOKEN_RE",
     "WS_WORD_RE",
@@ -232,3 +233,143 @@ def lang_distribution(docs_path: str) -> rd.Dataset:
         .count()
         .rename_columns(["lang", "n"])
     )
+
+
+def tfidf_topk(
+    docs_path: str,
+    query_terms: tuple[str, ...] = ("data", "hash", "join"),
+    k: int = 10,
+    scale: int = 10**6,
+) -> pa.Table:
+    """Top-k document retrieval by FIXED-POINT TF-IDF relevance:
+    ``score_fp = Σ_t (tf_{t,doc} * scale * N) // df_t`` over the query
+    terms (idf as the exact rational N/df_t, floor-scaled per term —
+    integer sums are accumulation-order-independent, so the ranking is
+    bit-identical under any partitioning and SQL-oracle-certifiable; a
+    float ln()-idf BM25 would differ in last ulps between libms).
+    Token contract is the corpus-wide one (``[a-z]+`` on lowered text —
+    ``term_doc_freq`` and its SQL twin use the same class).
+
+    Scale shape: pass 1 computes df for the |Q| query terms plus N with a
+    per-batch combiner through ``hash_reduce_small`` (driver sees |Q|+1
+    integers); pass 2 re-scans docs with the tiny (df, N) broadcast in
+    the closure, scores each batch, keeps a LOCAL top-k per block, and a
+    single small reduce merges the ≤ blocks×k candidate rows — the
+    full score column never leaves the workers, nothing global sorts.
+
+    Returns (doc_id, score_fp, rank) for the k highest-scoring docs with
+    score_fp > 0, ties broken by doc_id ascending. Materialized (k rows).
+    """
+    import pandas as pd
+
+    from .shuffle import hash_reduce_small
+
+    term_re = re.compile(r"[a-z]+")
+    qset = set(query_terms)
+
+    def _stats_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        n = 0
+        for t in batch.column("text").to_pylist():
+            n += 1  # N counts every document row, null text included
+            if t:
+                counts.update(qset.intersection(term_re.findall(t.lower())))
+        terms = list(counts.keys()) + [""]  # "" can't collide with [a-z]+
+        vals = [counts[t] for t in counts] + [n]
+        return pa.table(
+            {"term": pa.array(terms, pa.string()), "c": pa.array(vals, pa.int64())}
+        )
+
+    _stats_schema = pa.schema([("term", pa.string()), ("c", pa.int64())])
+
+    def _stats_sum(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("term", as_index=False, sort=False)["c"].sum()
+        # explicit schema: an empty partition would otherwise infer
+        # term: null and poison the driver-side concat
+        return pa.Table.from_pandas(df, schema=_stats_schema, preserve_index=False)
+
+    stats = hash_reduce_small(
+        rd.read_parquet(docs_path, columns=["text"]).map_batches(
+            _stats_partial, batch_format="pyarrow"
+        ),
+        ["term"],
+        _stats_sum,
+        num_partitions=4,
+        combine_fn=_stats_sum,
+    )
+    d = dict(zip(stats.column("term").to_pylist(), stats.column("c").to_pylist()))
+    n_docs = int(d.pop("", 0))
+    df_of = {t: int(v) for t, v in d.items() if v > 0}
+    if not df_of or n_docs == 0 or k < 1:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "score_fp": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+
+    def _score_topk(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch.column("doc_id").to_pylist()
+        out_ids, out_scores = [], []
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            if not t:
+                continue
+            tf = Counter(w for w in term_re.findall(t.lower()) if w in df_of)
+            if not tf:
+                continue
+            s = sum((c * scale * n_docs) // df_of[w] for w, c in tf.items())
+            if s > 0:
+                out_ids.append(i)
+                out_scores.append(s)
+        part = pd.DataFrame({"doc_id": out_ids, "score_fp": out_scores})
+        part = part.sort_values(
+            ["score_fp", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return pa.table(
+            {
+                "doc_id": pa.array(part["doc_id"].tolist(), pa.int64()),
+                "score_fp": pa.array(part["score_fp"].tolist(), pa.int64()),
+            }
+        )
+
+    def _merge_topk(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .sort_values(["score_fp", "doc_id"], ascending=[False, True], kind="stable")
+            .head(k)
+            .reset_index(drop=True)
+        )
+        df["rank"] = pd.RangeIndex(1, len(df) + 1).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    candidates = rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        _score_topk, batch_format="pyarrow"
+    )
+
+    def _const_key(t: pa.Table) -> pa.Table:
+        return t.append_column("_k", pa.array([0] * t.num_rows, pa.int64()))
+
+    merged = hash_reduce_small(
+        candidates.map_batches(_const_key, batch_format="pyarrow"),
+        ["_k"],
+        lambda t: _merge_topk(t.drop_columns(["_k"])),
+        num_partitions=2,  # constant key -> one live partition (min is 2)
+        combine_fn=lambda t: _topk_combine(t, k),
+    )
+    return merged
+
+
+def _topk_combine(t: pa.Table, k: int) -> pa.Table:
+    """Associative tree-combine for the top-k funnel: keep the k best
+    (score desc, doc_id asc) rows of an intermediate concat."""
+    df = (
+        t.to_pandas()
+        .sort_values(["score_fp", "doc_id"], ascending=[False, True], kind="stable")
+        .head(k)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)

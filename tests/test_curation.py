@@ -402,3 +402,40 @@ def test_rolling_user_agg_window(ray_session, tmp_path):
     assert list(out.loc[[1, 2, 3, 4], "rolling_max"]) == [5.0, 5.0, 5.0, 3.0]
     assert list(out.loc[[1, 2, 3, 4], "n_in_window"]) == [1, 2, 3, 3]
     assert out.loc[5, "rolling_max"] == 9.0 and out.loc[5, "n_in_window"] == 1
+
+
+def test_tfidf_topk_fixed_point(ray_session, tmp_path):
+    """Hand-checkable fixed-point TF-IDF: idf = N/df floor-scaled per
+    term, score ties break by doc_id, docs without query terms excluded,
+    null text tolerated (still counts toward N)."""
+    from atra_ray.stages.text_analysis import tfidf_topk
+
+    texts = [
+        "data data hash",   # doc 0: tf(data)=2, tf(hash)=1
+        "data join",        # doc 1
+        "hash hash hash",   # doc 2
+        "nothing relevant", # doc 3
+        None,               # doc 4 (counts toward N only)
+        "join",             # doc 5: same score as doc 1's join part? no: doc1 has data too
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    p = tmp_path / "documents.parquet"
+    pq.write_table(t, p)
+    out = tfidf_topk(str(p), query_terms=("data", "hash", "join"), k=3, scale=100)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    N = 6
+    df = {"data": 2, "hash": 2, "join": 2}
+    score = lambda tf: sum((c * 100 * N) // df[w] for w, c in tf.items())
+    exp0 = score({"data": 2, "hash": 1})  # 900
+    exp1 = score({"data": 1, "join": 1})  # 600
+    exp2 = score({"hash": 3})             # 900
+    assert rows[0]["score_fp"] == exp0 and rows[2]["score_fp"] == exp2
+    # tie 900 vs 900: doc 0 before doc 2
+    assert rows[0]["rank"] == 1 and rows[2]["rank"] == 2
+    assert rows[1]["score_fp"] == exp1 and rows[1]["rank"] == 3
+    assert 3 not in rows and 4 not in rows and 5 not in rows  # k=3 cut: doc5 (300) out
