@@ -549,6 +549,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rolling_user_agg(f"{sf_dir}/events.parquet")
 
+    def events_quantiles(sf_dir):
+        # exact per-group p50/p90 by discrete selection (index
+        # arithmetic, no interpolation) — bit-exact, oracle-certifiable
+        from atra_ray.stages.events import group_quantiles
+
+        return group_quantiles(f"{sf_dir}/events.parquet")
+
     return {
         "extract_text": extract_text,
         "extract_links": extract_links,
@@ -586,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": events_sessionize,
         "events_interval_join": events_interval_join,
         "events_rolling": events_rolling,
+        "events_quantiles": events_quantiles,
         "line_dedup": line_dedup,
         "page_repetition": page_repetition,
         "gopher_quality": gopher_quality,
@@ -1059,6 +1067,25 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts <= a.ts + INTERVAL '10 minutes'
             WHERE a.event_type = 'view'
             GROUP BY a.event_id, a.user_id, a.ts
+        """,
+        # exact discrete per-group quantiles: p_q = value at 0-indexed
+        # position ((n-1)*q_num)//q_den of the sorted group — a selected
+        # element (ties in value don't matter: the k-th order statistic
+        # is the same value under any tie order)
+        "events_quantiles": """
+            WITH r AS (
+                SELECT event_type, value,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY value, event_id
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events
+            )
+            SELECT event_type,
+                   max(n)::BIGINT AS n,
+                   max(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS p50,
+                   max(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN value END) AS p90
+            FROM r GROUP BY event_type
         """,
         # per-user rolling window, last 5 events by (ts, event_id):
         # running max + occupancy (select/count — accumulation-order-free)

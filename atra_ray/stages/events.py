@@ -41,6 +41,7 @@ __all__ = [
     "sessionize",
     "interval_join_count",
     "rolling_user_agg",
+    "group_quantiles",
 ]
 
 
@@ -319,3 +320,57 @@ def rolling_user_agg(
     from .shuffle import partitioned_map_groups
 
     return partitioned_map_groups(ds, ["user_id"], _fn, num_partitions=num_partitions)
+
+
+def group_quantiles(
+    events_path: str,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """EXACT per-group quantiles of ``value`` by event_type: the discrete
+    selection contract ``p_q = sorted_values[((n-1) * q_num) // q_den]``
+    (0-indexed, integer index arithmetic) for p50 and p90 — a selected
+    element, not an interpolation, so the result is bit-exact and
+    SQL-oracle-certifiable (interpolating quantiles differ in last ulps
+    between engines' lerp formulas).
+
+    Partitioning assumption, stated: groups are hash-partitioned by
+    event_type, and ONE GROUP'S values are sorted inside one partition —
+    valid while a single group fits a worker (event-type cardinality is
+    tiny; per-group volume is the bound). The at-scale escape hatch for
+    quantiles over arbitrarily large groups is the classic two-pass
+    histogram selection (bucket counts per group -> locate the bucket
+    holding index k -> rescan that bucket); this operator deliberately
+    keeps the one-pass shape and documents the bound instead.
+
+    Output: (event_type, n, p50, p90).
+    """
+    import numpy as np
+
+    ds = _read_events(events_path, ["event_id", "event_type", "value"], None)
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                    "p50": pd.Series(dtype="float64"),
+                    "p90": pd.Series(dtype="float64"),
+                }
+            )
+        rows = []
+        for et, g in df.groupby("event_type", sort=False, dropna=False):
+            v = np.sort(g["value"].to_numpy())
+            n = len(v)
+            rows.append(
+                (et, n, float(v[(n - 1) // 2]), float(v[((n - 1) * 9) // 10]))
+            )
+        out = pd.DataFrame(rows, columns=["event_type", "n", "p50", "p90"])
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    from .shuffle import partitioned_map_groups
+
+    return partitioned_map_groups(
+        ds, ["event_type"], _fn, num_partitions=num_partitions
+    )

@@ -249,7 +249,37 @@ def bench_suite(sf_dir: str, num_cpus: int) -> dict:
             extras["pages"] = rep["out"]
 
     from atra_ray.stages.cleaning import line_dedup_clean
+    from atra_ray.stages.events import sessionize
     from atra_ray.stages.packing import pack_sequences
+    from atra_ray.stages.text_analysis import tfidf_topk
+
+    def _pagerank_crawl_full():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from atra_ray.functions.hashing import md5_low64
+        from atra_ray.pipelines.dump import edges_dataset
+        from atra_ray.stages.graph import pagerank_fp
+
+        def _hash(b):
+            b = b.filter(pc.not_equal(b.column("kind"), "seed"))
+            return pa.table(
+                {
+                    "src": pa.array(
+                        [md5_low64(u) for u in b.column("src").to_pylist()],
+                        pa.uint64(),
+                    ),
+                    "dst": pa.array(
+                        [md5_low64(u) for u in b.column("dst").to_pylist()],
+                        pa.uint64(),
+                    ),
+                }
+            )
+
+        edges = edges_dataset(
+            str(SCRATCH / "crawl_full"), include_seeds=False
+        ).map_batches(_hash, batch_format="pyarrow")
+        return pagerank_fp(edges, num_partitions=32)
 
     suite = {
         "doc_quality": lambda: _consume(doc_quality(docs)),
@@ -265,6 +295,17 @@ def bench_suite(sf_dir: str, num_cpus: int) -> dict:
         ),
         # global token offsets over documents (two-level prefix scan)
         "pack_sequences": lambda: _consume(pack_sequences(docs, seq_len=2048)),
+        # gap-based sessionization over the events table (one user_id
+        # hash exchange + per-partition vectorized kernels)
+        "events_sessionize": lambda: _consume(
+            sessionize(f"{sf_dir}/events.parquet")
+        ),
+        # fixed-point TF-IDF retrieval (combiner df/N pass + broadcast
+        # scoring + local per-block top-k)
+        "tfidf_topk": lambda: _consume(tfidf_topk(docs)),
+        # fixed-point PageRank over the web graph the crawl_full run just
+        # produced (url->uint64 md5 ids, label-only BSP, 8 iterations)
+        "graph_pagerank": lambda: _consume(_pagerank_crawl_full()),
     }
     for name, fn in suite.items():
         t0 = time.perf_counter()

@@ -439,3 +439,33 @@ def test_tfidf_topk_fixed_point(ray_session, tmp_path):
     assert rows[0]["rank"] == 1 and rows[2]["rank"] == 2
     assert rows[1]["score_fp"] == exp1 and rows[1]["rank"] == 3
     assert 3 not in rows and 4 not in rows and 5 not in rows  # k=3 cut: doc5 (300) out
+
+
+def test_group_quantiles_discrete_selection(ray_session, tmp_path):
+    """p50/p90 are SELECTED order statistics at 0-indexed position
+    ((n-1)*q_num)//q_den — verified against hand-computed indices for
+    even and odd group sizes."""
+    import datetime as dt
+
+    from atra_ray.stages.events import group_quantiles
+
+    b = dt.datetime(2026, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = []
+    # group "a": values 10..1 reversed, n=10 -> p50 = sorted[4] = 5, p90 = sorted[8] = 9
+    for i in range(10):
+        rows.append((i, 1, b + i * m, "a", float(10 - i)))
+    # group "b": n=3 -> p50 = sorted[1], p90 = sorted[1]  ((2*9)//10 = 1)
+    for j, v in enumerate([7.0, 3.0, 5.0]):
+        rows.append((100 + j, 2, b + j * m, "b", v))
+    p = _write_events(tmp_path, rows)
+    out = (
+        group_quantiles(p, num_partitions=3)
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert out.loc["a", "n"] == 10
+    assert out.loc["a", "p50"] == 5.0 and out.loc["a", "p90"] == 9.0
+    assert out.loc["b", "n"] == 3
+    assert out.loc["b", "p50"] == 5.0 and out.loc["b", "p90"] == 5.0
