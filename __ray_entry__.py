@@ -556,6 +556,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return group_quantiles(f"{sf_dir}/events.parquet")
 
+    def events_json_stats(sf_dir):
+        # semi-structured column handling: JSON-parse props, extract the
+        # integer field, per-type stats via a distinct-(type,k,count)
+        # combiner — raw JSON never leaves its block
+        from atra_ray.stages.events import json_field_stats
+
+        return json_field_stats(f"{sf_dir}/events.parquet")
+
     return {
         "extract_text": extract_text,
         "extract_links": extract_links,
@@ -594,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_join": events_interval_join,
         "events_rolling": events_rolling,
         "events_quantiles": events_quantiles,
+        "events_json_stats": events_json_stats,
         "line_dedup": line_dedup,
         "page_repetition": page_repetition,
         "gopher_quality": gopher_quality,
@@ -1086,6 +1095,25 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS p50,
                    max(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN value END) AS p90
             FROM r GROUP BY event_type
+        """,
+        # JSON field extraction + per-type integer stats (rows whose
+        # props lacks an extractable field are excluded on both sides;
+        # the engine's contract is integers-only — identical to this
+        # cast on integer-valued fields, which the events table's props
+        # are by construction)
+        "events_json_stats": """
+            WITH x AS (
+                SELECT event_type, json_extract(props, '$.k')::BIGINT AS k
+                FROM events
+                WHERE props IS NOT NULL
+                  AND json_extract(props, '$.k') IS NOT NULL
+            )
+            SELECT event_type,
+                   count(*)::BIGINT AS n,
+                   min(k) AS min_k,
+                   max(k) AS max_k,
+                   count(DISTINCT k)::BIGINT AS n_distinct_k
+            FROM x GROUP BY event_type
         """,
         # per-user rolling window, last 5 events by (ts, event_id):
         # running max + occupancy (select/count — accumulation-order-free)

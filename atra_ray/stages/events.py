@@ -42,6 +42,7 @@ __all__ = [
     "interval_join_count",
     "rolling_user_agg",
     "group_quantiles",
+    "json_field_stats",
 ]
 
 
@@ -374,3 +375,106 @@ def group_quantiles(
     return partitioned_map_groups(
         ds, ["event_type"], _fn, num_partitions=num_partitions
     )
+
+
+def json_field_stats(
+    events_path: str,
+    field: str = "k",
+    num_partitions: int = 4,
+) -> rd.Dataset:
+    """Semi-structured column handling: parse the ``props`` JSON column,
+    extract integer field ``field``, and aggregate per event_type —
+    (event_type, n, min_k, max_k, n_distinct_k). Rows whose props is
+    null, unparseable, or missing the field are excluded (SQL
+    ``json_extract IS NOT NULL`` semantics).
+
+    Scale shape: the per-batch COMBINER collapses each block to distinct
+    (event_type, k, count) triples — bounded by type × field cardinality,
+    not row count — and the sortless ``hash_reduce_small`` exchange merges
+    partials; count/min/max/distinct are all exact integers, so the
+    result is bit-stable and SQL-certifiable. The raw JSON strings never
+    leave their block. Parsing is stdlib ``json`` per row inside the
+    batch — at 100 TB swap in a C parser (orjson / simdjson) behind the
+    same combiner; the exchange shape is already right.
+    """
+    import json
+
+    from .shuffle import hash_reduce_small
+
+    schema = pa.schema(
+        [("event_type", pa.string()), ("k", pa.int64()), ("c", pa.int64())]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        types = batch.column("event_type").to_pylist()
+        for et, p in zip(types, batch.column("props").to_pylist()):
+            if p is None:
+                continue
+            try:
+                v = json.loads(p).get(field)
+            except (ValueError, AttributeError):
+                continue
+            if isinstance(v, bool) or not isinstance(v, int):
+                continue
+            counts[(et, v)] += 1
+        keys = list(counts.keys())
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in keys], pa.string()),
+                "k": pa.array([k[1] for k in keys], pa.int64()),
+                "c": pa.array([counts[k] for k in keys], pa.int64()),
+            }
+        )
+
+    def _combine(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .groupby(["event_type", "k"], as_index=False, sort=False)["c"]
+            .sum()
+        )
+        return pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+
+    def _reduce(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .groupby(["event_type", "k"], as_index=False, sort=False)["c"]
+            .sum()
+        )
+        out = df.groupby("event_type", as_index=False, sort=False).agg(
+            n=("c", "sum"),
+            min_k=("k", "min"),
+            max_k=("k", "max"),
+            n_distinct_k=("k", "size"),
+        )
+        for col in ("n", "min_k", "max_k", "n_distinct_k"):
+            out[col] = out[col].astype("int64")
+        # explicit schema: an empty partition would otherwise infer
+        # event_type: null and poison the driver-side concat
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("n", pa.int64()),
+                    ("min_k", pa.int64()),
+                    ("max_k", pa.int64()),
+                    ("n_distinct_k", pa.int64()),
+                ]
+            ),
+            preserve_index=False,
+        )
+
+    partials = rd.read_parquet(
+        events_path, columns=["event_type", "props"]
+    ).map_batches(_partial, batch_format="pyarrow")
+    out = hash_reduce_small(
+        partials,
+        ["event_type"],
+        _reduce,
+        num_partitions=num_partitions,
+        combine_fn=_combine,
+    )
+    return rd.from_arrow(out)

@@ -264,4 +264,11 @@ def hash_reduce_small(
             ]
         outs.append(_reduce.remote(*refs))
     tables = [t for t in ray.get(outs) if t is not None]
-    return pa.concat_tables(tables) if tables else pa.table({})
+    # a live partition can still reduce to ZERO rows; its pandas-inferred
+    # schema then degrades (object -> null type) and would poison the
+    # concat. Zero-row tables contribute nothing to an aggregate — drop
+    # them, keeping one as the typed-empty fallback when all are empty.
+    non_empty = [t for t in tables if t.num_rows > 0]
+    if non_empty:
+        return pa.concat_tables(non_empty)
+    return tables[0] if tables else pa.table({})

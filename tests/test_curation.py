@@ -469,3 +469,39 @@ def test_group_quantiles_discrete_selection(ray_session, tmp_path):
     assert out.loc["a", "p50"] == 5.0 and out.loc["a", "p90"] == 9.0
     assert out.loc["b", "n"] == 3
     assert out.loc["b", "p50"] == 5.0 and out.loc["b", "p90"] == 5.0
+
+
+def test_json_field_stats_exclusions(ray_session, tmp_path):
+    """Null props, unparseable JSON, missing field, and non-integer
+    values are excluded; counts/min/max/distinct are exact."""
+    from atra_ray.stages.events import json_field_stats
+
+    props = [
+        '{"k": 5}', '{"k": 9}', '{"k": 5}',   # a: n=3, distinct {5,9}
+        None,                                  # a: null props
+        '{not json',                           # a: unparseable
+        '{"other": 1}',                        # a: missing field
+        '{"k": true}',                         # a: bool is not an int
+        '{"k": 2.5}',                          # a: float excluded
+        '{"k": -3}',                           # b: negative int fine
+    ]
+    types = ["a"] * 8 + ["b"]
+    t = pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "props": pa.array(props, pa.string()),
+        }
+    )
+    p = tmp_path / "events.parquet"
+    pq.write_table(t, p)
+    out = (
+        json_field_stats(str(p))
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert len(out) == 2
+    assert out.loc["a", "n"] == 3
+    assert out.loc["a", "min_k"] == 5 and out.loc["a", "max_k"] == 9
+    assert out.loc["a", "n_distinct_k"] == 2
+    assert out.loc["b", "n"] == 1 and out.loc["b", "min_k"] == -3
