@@ -161,6 +161,18 @@ def _link_combine_fn(link_fn, num_shards, block):
     return [t.filter(pa.array(sh == s)) for s in range(num_shards)]
 
 
+def _chk_write_fn(payload, dir_path: str) -> bool:
+    """Checkpoint writer task: persist one shard's snapshot (the actor's
+    ``checkpoint_data`` output, resolved by Ray before this runs) —
+    the write overlaps the next wave's fetch instead of serializing the
+    wave loop. _SUCCESS is the driver's job, after ALL shards land."""
+    stem, table, meta = payload
+    p = Path(dir_path)
+    pq.write_table(table, p / f"{stem}.parquet")
+    (p / f"{stem}.json").write_text(meta)
+    return True
+
+
 def _small_wave_fn(fetch_fn, link_fn, bl_pats, *pop_blocks):
     """Whole-wave fast path for SMALL waves (≲1k urls): poll-filter +
     fetch/extract + link explode/filter + min-depth dedup in ONE Ray task,
@@ -712,6 +724,17 @@ def run_crawl(
         _link_combine = ray.remote(num_returns=_num_seen)(_link_combine_fn)
     if small_wave_max is None:
         small_wave_max = max(1024, batch_size)
+    _chk_write = ray.remote(_chk_write_fn)
+    pending_chk: tuple | None = None
+
+    def _finalize_chk(pending) -> None:
+        if pending is None:
+            return
+        refs, p_dir, lineage_json = pending
+        ray.get(refs)  # every shard's parquet+json landed
+        (p_dir / "lineage.json").write_text(lineage_json)
+        (p_dir / "_SUCCESS").touch()
+
     prev_admitted = len(seeds)  # last wave's fresh admissions (seeds now)
     wave = start_wave
     while True:
@@ -928,20 +951,36 @@ def run_crawl(
         )
 
         if (wave - start_wave) % checkpoint_every == 0:
+            # ASYNC checkpoint: the actors return snapshot tables (cheap,
+            # ordered by their mailboxes — the delta is fixed before any
+            # wave-w+1 mark), plain writer tasks persist them OVERLAPPED
+            # with the next wave's fetch, and _SUCCESS lands only at
+            # finalize once every shard's write completed — resume never
+            # sees a half-written round. Only one round is ever in
+            # flight: the next checkpoint (or loop exit) finalizes the
+            # previous one first.
+            t_chk_wait = time.monotonic()
+            _finalize_chk(pending_chk)
+            chk_wait = time.monotonic() - t_chk_wait
             chk_dir = out / "chk" / f"round={wave}"
             chk_dir.mkdir(parents=True, exist_ok=True)
             # seen checkpoints are deltas (urls touched this wave); every
             # 8th round a FULL compaction bounds the restore chain
             full = (wave - start_wave) % (checkpoint_every * 8) == 0
-            ray.get(
-                [f.checkpoint.remote(str(chk_dir)) for f in frontier]
-                + [s.checkpoint.remote(str(chk_dir), full) for s in seen]
-            )
-            (chk_dir / "lineage.json").write_text(json.dumps(lineage))
-            (chk_dir / "_SUCCESS").touch()
+            write_refs = [
+                _chk_write.remote(f.checkpoint_data.remote(), str(chk_dir))
+                for f in frontier
+            ] + [
+                _chk_write.remote(s.checkpoint_data.remote(full), str(chk_dir))
+                for s in seen
+            ]
+            pending_chk = (write_refs, chk_dir, json.dumps(lineage))
             lineage[-1]["t_checkpoint_s"] = round(time.monotonic() - t_passes, 3)
+            lineage[-1]["t_chk_drain_s"] = round(chk_wait, 3)
         wave += 1
 
+    _finalize_chk(pending_chk)
+    pending_chk = None
     wall = time.monotonic() - t0
     # final link-state export: shard-parallel writes into a parquet DIR
     # (readers use pq.read_table / read_parquet on the directory); the

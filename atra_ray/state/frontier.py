@@ -323,9 +323,12 @@ class FrontierShardState:
         }
 
     # ---- checkpoint -----------------------------------------------------
-    def checkpoint(self, dir_path: str) -> None:
-        p = Path(dir_path)
-        p.mkdir(parents=True, exist_ok=True)
+    def checkpoint_data(self) -> tuple:
+        """(file_stem, snapshot_table, meta_json) — the in-actor part of a
+        checkpoint is ONLY the state snapshot; persisting it is a plain
+        task the crawl driver overlaps with the next wave's fetch (the
+        actor returns immediately and is free to serve wave w+1 pops
+        while round w's parquet writes in parallel)."""
         cols = {k: [] for k in ("url", "origin", "dow", "dts", "tds", "rc", "is_seed", "age", "born")}
         for origin, q in self.queues.items():
             for tds, dow, rc, url, dts, seed, age, born in q:
@@ -350,14 +353,21 @@ class FrontierShardState:
             t = pa.concat_tables(
                 [t.cast(spilled[0].schema), *spilled]
             ) if spilled else t
-        pq.write_table(t, p / f"frontier_shard_{self.shard_id}.parquet")
         meta = {
             "host_seq": dict(self.host_seq),
             "last_access": self.last_access,
             "dropped_by_age": self.dropped_by_age,
             "delays": self.delays,
         }
-        (p / f"frontier_shard_{self.shard_id}.json").write_text(json.dumps(meta))
+        return f"frontier_shard_{self.shard_id}", t, json.dumps(meta)
+
+    def checkpoint(self, dir_path: str) -> None:
+        """Synchronous convenience form (tests / non-overlapped callers)."""
+        stem, t, meta = self.checkpoint_data()
+        p = Path(dir_path)
+        p.mkdir(parents=True, exist_ok=True)
+        pq.write_table(t, p / f"{stem}.parquet")
+        (p / f"{stem}.json").write_text(meta)
 
     def restore(self, dir_path: str) -> int:
         p = Path(dir_path)

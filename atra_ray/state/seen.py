@@ -565,21 +565,31 @@ class SeenShardState:
     # writes the whole shard (compaction point); restore replays the
     # delta chain from the latest full checkpoint forward (records are
     # complete rows, so later-wins replay reproduces the state exactly).
-    def checkpoint(self, dir_path: str, full: bool = False) -> None:
-        p = Path(dir_path)
-        p.mkdir(parents=True, exist_ok=True)
+    def checkpoint_data(self, full: bool = False) -> tuple:
+        """(file_stem, delta-or-full table, meta_json) — snapshot only;
+        the write is a plain task the crawl driver overlaps with the next
+        wave (see frontier.checkpoint_data). The dirty set clears HERE:
+        the delta is fixed the moment it is snapshotted, and the actor's
+        in-order mailbox guarantees this runs before any wave-w+1 mark."""
         if full:
             t = self.snapshot_table()
         else:
             t = self._rows_table(sorted(self._dirty))
-        pq.write_table(t, p / f"seen_shard_{self.shard_id}.parquet")
         meta = {
             "num_bits": self.num_bits,
             "num_hashes": self.num_hashes,
             "full": bool(full),
         }
-        (p / f"seen_shard_{self.shard_id}.json").write_text(json.dumps(meta))
         self._dirty.clear()
+        return f"seen_shard_{self.shard_id}", t, json.dumps(meta)
+
+    def checkpoint(self, dir_path: str, full: bool = False) -> None:
+        """Synchronous convenience form (tests / non-overlapped callers)."""
+        stem, t, meta = self.checkpoint_data(full)
+        p = Path(dir_path)
+        p.mkdir(parents=True, exist_ok=True)
+        pq.write_table(t, p / f"{stem}.parquet")
+        (p / f"{stem}.json").write_text(meta)
 
     def restore(self, dir_paths) -> int:
         """Rebuild state + bloom from the checkpoint chain (recover-mode
