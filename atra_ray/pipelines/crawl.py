@@ -351,6 +351,7 @@ def run_crawl(
     seen_max_resident: int | None = None,
     frontier_max_resident: int | None = None,
     small_wave_max: int | None = None,
+    async_checkpoint: bool = True,
 ) -> dict:
     """Run (or resume) a crawl; returns a summary dict. Ray must already be
     initialised by the caller (never initialised here)."""
@@ -724,7 +725,9 @@ def run_crawl(
         _link_combine = ray.remote(num_returns=_num_seen)(_link_combine_fn)
     if small_wave_max is None:
         small_wave_max = max(1024, batch_size)
-    _chk_write = ray.remote(_chk_write_fn)
+    # writer tasks are IO-bound (parquet flush): fractional CPU so they
+    # never displace a fetch task from the schedule while overlapping
+    _chk_write = ray.remote(num_cpus=0.25)(_chk_write_fn)
     pending_chk: tuple | None = None
 
     def _finalize_chk(pending) -> None:
@@ -967,14 +970,22 @@ def run_crawl(
             # seen checkpoints are deltas (urls touched this wave); every
             # 8th round a FULL compaction bounds the restore chain
             full = (wave - start_wave) % (checkpoint_every * 8) == 0
-            write_refs = [
-                _chk_write.remote(f.checkpoint_data.remote(), str(chk_dir))
-                for f in frontier
-            ] + [
-                _chk_write.remote(s.checkpoint_data.remote(full), str(chk_dir))
-                for s in seen
-            ]
-            pending_chk = (write_refs, chk_dir, json.dumps(lineage))
+            if async_checkpoint:
+                write_refs = [
+                    _chk_write.remote(f.checkpoint_data.remote(), str(chk_dir))
+                    for f in frontier
+                ] + [
+                    _chk_write.remote(s.checkpoint_data.remote(full), str(chk_dir))
+                    for s in seen
+                ]
+                pending_chk = (write_refs, chk_dir, json.dumps(lineage))
+            else:
+                ray.get(
+                    [f.checkpoint.remote(str(chk_dir)) for f in frontier]
+                    + [s.checkpoint.remote(str(chk_dir), full) for s in seen]
+                )
+                (chk_dir / "lineage.json").write_text(json.dumps(lineage))
+                (chk_dir / "_SUCCESS").touch()
             lineage[-1]["t_checkpoint_s"] = round(time.monotonic() - t_passes, 3)
             lineage[-1]["t_chk_drain_s"] = round(chk_wait, 3)
         wave += 1
