@@ -22,7 +22,7 @@ Three groups of queries:
    over metadata-only labels) — no SQL equivalent; the driver records
    rows-only checks for them.
 
-38 queries total: 35 oracle-MATCH (SQL or generator/simulator oracle),
+47 queries total: 44 oracle-MATCH (SQL or generator/simulator oracle),
 3 rows-only by nature.
 """
 

@@ -48,11 +48,15 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse the per-scanline filters. ``raw`` is the decompressed
     stream reshaped to (h, 1 + stride); returns (h, stride) uint8.
 
-    Filter math is defined on bytes mod 256 (int16 intermediates for the
+    Filter math is defined on bytes mod 256 (int intermediates for the
     Paeth/Average predictors). Rows depend on the previous row, so the
-    outer loop is per scanline; within a row, Sub/Paeth dependencies run
-    per pixel-group column (bpp-strided) — still vectorized across the
-    bpp channels."""
+    outer loop is per scanline. Within a row: None/Up are whole-row numpy
+    ops, Sub is an exact per-channel cumulative sum mod 256 (vectorized —
+    cur[x] = row[x] + cur[x-bpp] unrolls to a prefix sum per bpp-strided
+    channel), while Average/Paeth carry a true left-to-right dependency
+    through the predictor and stay per-byte Python loops (they are rare
+    in encoder output compared to Sub/Up; vectorizing Paeth exactly needs
+    a scan primitive numpy lacks)."""
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
@@ -60,10 +64,11 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
         row = raw[y, 1:].copy()
         if ftype == 0:  # None
             cur = row
-        elif ftype == 1:  # Sub
+        elif ftype == 1:  # Sub: prefix sum mod 256 per channel
             cur = row
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+            for o in range(bpp):
+                lane = cur[o::bpp]
+                np.copyto(lane, np.cumsum(lane, dtype=np.uint64) & 0xFF)
         elif ftype == 2:  # Up
             cur = (row.astype(np.int16) + prev).astype(np.uint8)
         elif ftype == 3:  # Average
@@ -106,9 +111,12 @@ def decode_png(data: bytes) -> np.ndarray:
     idat = bytearray()
     for ctype, body in _chunks(data):
         if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", body)
-            )
+            try:
+                width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                    struct.unpack(">IIBBBBB", body)
+                )
+            except struct.error as e:  # truncated IHDR is DATA, not a crash
+                raise ValueError("truncated PNG IHDR") from e
         elif ctype == b"PLTE":
             if len(body) % 3:
                 raise ValueError("bad PLTE length")

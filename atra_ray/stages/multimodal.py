@@ -103,7 +103,10 @@ def encode_pam(rate: int, samples: np.ndarray) -> bytes:
 def decode_pam(data: bytes) -> tuple[int, np.ndarray]:
     if data[:4] != _PAM_MAGIC:
         raise ValueError("not a PAM payload")
-    (rate,) = struct.unpack_from("<i", data, 4)
+    try:
+        (rate,) = struct.unpack_from("<i", data, 4)
+    except struct.error as e:  # truncated header is DATA, not a crash
+        raise ValueError("truncated PAM header") from e
     return rate, np.frombuffer(data[8:], dtype="<i2")
 
 

@@ -932,3 +932,37 @@ def test_dup_clusters_transitive(docs_parquet):
     # docs 0,1,2 are the near-dup family (see docs_parquet fixture)
     assert out[0] == 0 and out[1] == 0 and out[2] == 0
     assert 3 not in out and 4 not in out
+
+
+def test_truncated_headers_are_data_not_crashes():
+    """A truncated PNG IHDR or PAM header must become an ok=False /
+    duration-0 row, never a struct.error that poisons the batch
+    (code-review r4 findings 1-2)."""
+    import struct
+    import zlib
+
+    import pyarrow as pa_
+
+    from atra_ray.functions.png import PNG_MAGIC
+    from atra_ray.stages.multimodal import DecodeAudioStage, DecodeImageStage
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    bad_png = PNG_MAGIC + chunk(b"IHDR", b"\x00" * 5) + chunk(b"IEND", b"")
+    img = DecodeImageStage(resize_to=4)
+    assert img._one(bad_png)[0] is False  # not struct.error
+
+    bad_pam = b"PAM1\x00"  # header cut mid-rate
+    batch = pa_.table(
+        {
+            "media_id": pa_.array([1], pa_.int64()),
+            "mime": pa_.array(["audio/x-pam"], pa_.string()),
+            "data": pa_.array([bad_pam], pa_.binary()),
+        }
+    )
+    out = DecodeAudioStage(window=16)(batch).to_pylist()[0]
+    assert out["duration_s"] == 0.0 and out["rms_frames"] == []
