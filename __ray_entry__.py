@@ -22,7 +22,7 @@ Three groups of queries:
    over metadata-only labels) — no SQL equivalent; the driver records
    rows-only checks for them.
 
-47 queries total: 44 oracle-MATCH (SQL or generator/simulator oracle),
+49 queries total: 46 oracle-MATCH (SQL or generator/simulator oracle),
 3 rows-only by nature.
 """
 
@@ -556,6 +556,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return group_quantiles(f"{sf_dir}/events.parquet")
 
+    def events_topk_users(sf_dir):
+        # heavy hitters per group: top-5 users by event count per type,
+        # (count desc, user_id asc) — combiner ships distinct pairs only
+        from atra_ray.stages.events import group_topk_users
+
+        return group_topk_users(f"{sf_dir}/events.parquet")
+
+    def events_histogram(sf_dir):
+        # distributed fixed-bin histogram: batches collapse to
+        # types×bins partials; raw values never cross the wire
+        from atra_ray.stages.events import value_histogram
+
+        return value_histogram(f"{sf_dir}/events.parquet")
+
     def events_json_stats(sf_dir):
         # semi-structured column handling: JSON-parse props, extract the
         # integer field, per-type stats via a distinct-(type,k,count)
@@ -603,6 +617,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": events_rolling,
         "events_quantiles": events_quantiles,
         "events_json_stats": events_json_stats,
+        "events_topk_users": events_topk_users,
+        "events_histogram": events_histogram,
         "line_dedup": line_dedup,
         "page_repetition": page_repetition,
         "gopher_quality": gopher_quality,
@@ -1095,6 +1111,36 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS p50,
                    max(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN value END) AS p90
             FROM r GROUP BY event_type
+        """,
+        # heavy hitters: top-5 users per event_type by count, fully
+        # deterministic rank order (count desc, user_id asc)
+        "events_topk_users": """
+            WITH c AS (
+                SELECT event_type, user_id, count(*)::BIGINT AS n_events
+                FROM events GROUP BY event_type, user_id
+            ), r AS (
+                SELECT event_type, user_id, n_events,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY n_events DESC, user_id
+                       )::BIGINT AS rank
+                FROM c
+            )
+            SELECT event_type, user_id, n_events, rank
+            FROM r WHERE rank <= 5
+        """,
+        # fixed-bin histogram: bin = floor((value-lo)/width) clamped to
+        # the edge bins; same double arithmetic both sides, counts exact
+        "events_histogram": """
+            WITH b AS (
+                SELECT event_type,
+                       least(greatest(floor((value - 0.0) / 10.0), 0), 19)::BIGINT
+                           AS bin
+                FROM events
+            )
+            SELECT event_type, bin, count(*)::BIGINT AS n,
+                   (0.0 + bin * 10.0)::DOUBLE AS bin_lo
+            FROM b GROUP BY event_type, bin
         """,
         # JSON field extraction + per-type integer stats (rows whose
         # props lacks an extractable field are excluded on both sides;

@@ -43,6 +43,8 @@ __all__ = [
     "rolling_user_agg",
     "group_quantiles",
     "json_field_stats",
+    "group_topk_users",
+    "value_histogram",
 ]
 
 
@@ -476,5 +478,149 @@ def json_field_stats(
         _reduce,
         num_partitions=num_partitions,
         combine_fn=_combine,
+    )
+    return rd.from_arrow(out)
+
+
+def group_topk_users(
+    events_path: str,
+    k: int = 5,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Heavy hitters per group: the top-``k`` users by event count within
+    each event_type, ranked (count desc, user_id asc — fully
+    deterministic, so SQL-certifiable).
+
+    Scale shape: per-batch combiner emits (event_type, user_id, partial
+    count) — bounded by the batch's distinct pairs — then ONE exchange
+    keyed by event_type sums the partials and keeps k rows per group.
+    The exchange payload is distinct (type, user) pairs, never raw
+    events; the k-row-per-group result is small by construction. (With
+    billions of distinct users per type, the refinement is a first
+    exchange keyed (type, user) to finish the counts, then a local
+    top-k + tiny per-type merge — same primitives, one more hop.)
+    """
+    from .shuffle import partitioned_map_groups
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(
+            ["event_type", "user_id"], use_threads=False
+        ).aggregate([("event_id", "count")])
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "user_id": t.column("user_id"),
+                "c": t.column("event_id_count").cast(pa.int64()),
+            }
+        )
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "rank": pd.Series(dtype="int64"),
+                }
+            )
+        g = df.groupby(["event_type", "user_id"], as_index=False, sort=False)["c"].sum()
+        g = g.sort_values(
+            ["event_type", "c", "user_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        g["rank"] = g.groupby("event_type", sort=False).cumcount() + 1
+        g = g[g["rank"] <= k].rename(columns={"c": "n_events"})
+        g["n_events"] = g["n_events"].astype("int64")
+        g["rank"] = g["rank"].astype("int64")
+        return g.reset_index(drop=True)
+
+    partials = rd.read_parquet(
+        events_path, columns=["event_type", "user_id", "event_id"]
+    ).map_batches(_partial, batch_format="pyarrow")
+    return partitioned_map_groups(
+        partials, ["event_type"], _fn, num_partitions=num_partitions
+    )
+
+
+def value_histogram(
+    events_path: str,
+    lo: float = 0.0,
+    hi: float = 200.0,
+    n_bins: int = 20,
+    num_partitions: int = 4,
+) -> rd.Dataset:
+    """Distributed fixed-bin histogram of ``value`` per event_type:
+    (event_type, bin, bin_lo, n) with ``bin = floor((value - lo) /
+    width)`` clamped into [0, n_bins-1] (under/overflow land in the edge
+    bins — SQL ``least/greatest`` mirror). Bin edges are derived from
+    (lo, hi, n_bins) by the same double arithmetic on both sides, and
+    counts are integers, so the result is bit-stable.
+
+    The classic combiner: each batch collapses to at most types×bins
+    partial rows; the sortless exchange sums them. Raw values never
+    cross the wire."""
+    import numpy as np
+
+    from .shuffle import hash_reduce_small
+
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    width = (hi - lo) / n_bins
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("bin", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pandas(),
+                "bin": np.clip(
+                    np.floor(
+                        (batch.column("value").to_numpy(zero_copy_only=False) - lo)
+                        / width
+                    ),
+                    0,
+                    n_bins - 1,
+                ).astype("int64"),
+            }
+        )
+        g = df.groupby(["event_type", "bin"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, schema=schema, preserve_index=False)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby(["event_type", "bin"], as_index=False, sort=False)["n"]
+            .sum()
+        )
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, schema=schema, preserve_index=False)
+
+    partials = rd.read_parquet(
+        events_path, columns=["event_type", "value"]
+    ).map_batches(_partial, batch_format="pyarrow")
+    out = _merge(
+        hash_reduce_small(
+            partials,
+            ["event_type", "bin"],
+            _merge,
+            num_partitions=num_partitions,
+            combine_fn=_merge,
+        )
+    )
+    out = out.append_column(
+        "bin_lo",
+        pa.array(
+            (lo + out.column("bin").to_numpy(zero_copy_only=False) * width),
+            pa.float64(),
+        ),
     )
     return rd.from_arrow(out)

@@ -505,3 +505,54 @@ def test_json_field_stats_exclusions(ray_session, tmp_path):
     assert out.loc["a", "min_k"] == 5 and out.loc["a", "max_k"] == 9
     assert out.loc["a", "n_distinct_k"] == 2
     assert out.loc["b", "n"] == 1 and out.loc["b", "min_k"] == -3
+
+
+def test_group_topk_users_tiebreak(ray_session, tmp_path):
+    """Equal counts rank by user_id ascending; k cuts per group."""
+    import datetime as dt
+
+    from atra_ray.stages.events import group_topk_users
+
+    b = dt.datetime(2026, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows, eid = [], 0
+    for u, n in [(9, 3), (2, 3), (5, 1), (7, 2)]:  # type "a"
+        for i in range(n):
+            rows.append((eid, u, b + eid * m, "a", 0.0)); eid += 1
+    rows.append((eid, 1, b, "b", 0.0)); eid += 1
+    p = _write_events(tmp_path, rows)
+    out = (
+        group_topk_users(p, k=3, num_partitions=2)
+        .to_pandas()
+        .sort_values(["event_type", "rank"])
+        .reset_index(drop=True)
+    )
+    a = out[out.event_type == "a"]
+    # counts: u2=3, u9=3 (tie -> u2 first), u7=2; u5 (1) cut by k=3
+    assert list(a.user_id) == [2, 9, 7]
+    assert list(a.n_events) == [3, 3, 2]
+    assert list(a["rank"]) == [1, 2, 3]
+    assert out[out.event_type == "b"].iloc[0].user_id == 1
+
+
+def test_value_histogram_clamps_edges(ray_session, tmp_path):
+    """Underflow/overflow land in the first/last bin; bin_lo derives
+    from (lo, width)."""
+    import datetime as dt
+
+    from atra_ray.stages.events import value_histogram
+
+    b = dt.datetime(2026, 1, 1)
+    vals = [-5.0, 0.0, 9.99, 10.0, 199.9, 200.0, 1e6]
+    rows = [(i, 1, b, "a", v) for i, v in enumerate(vals)]
+    p = _write_events(tmp_path, rows)
+    out = (
+        value_histogram(p, lo=0.0, hi=200.0, n_bins=20)
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert out.loc[0, "n"] == 3       # -5 (clamped), 0.0, 9.99
+    assert out.loc[1, "n"] == 1       # 10.0
+    assert out.loc[19, "n"] == 3      # 199.9, 200.0 (clamped), 1e6 (clamped)
+    assert out.loc[19, "bin_lo"] == 190.0
