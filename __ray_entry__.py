@@ -22,7 +22,7 @@ Three groups of queries:
    over metadata-only labels) — no SQL equivalent; the driver records
    rows-only checks for them.
 
-49 queries total: 46 oracle-MATCH (SQL or generator/simulator oracle),
+50 queries total: 47 oracle-MATCH (SQL or generator/simulator oracle),
 3 rows-only by nature.
 """
 
@@ -556,6 +556,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return group_quantiles(f"{sf_dir}/events.parquet")
 
+    def events_sliding_window(sf_dir):
+        # hopping-window aggregate (60-min windows, 15-min slide): the
+        # combiner collapses to slide buckets FIRST, then explodes by the
+        # constant window/slide factor — exchange carries bucket
+        # partials, never F x events
+        from atra_ray.stages.events import sliding_window_agg
+
+        return sliding_window_agg(f"{sf_dir}/events.parquet")
+
     def events_topk_users(sf_dir):
         # heavy hitters per group: top-5 users by event count per type,
         # (count desc, user_id asc) — combiner ships distinct pairs only
@@ -617,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": events_rolling,
         "events_quantiles": events_quantiles,
         "events_json_stats": events_json_stats,
+        "events_sliding_window": events_sliding_window,
         "events_topk_users": events_topk_users,
         "events_histogram": events_histogram,
         "line_dedup": line_dedup,
@@ -1111,6 +1121,22 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS p50,
                    max(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN value END) AS p90
             FROM r GROUP BY event_type
+        """,
+        # sliding (hopping) windows: an event at ts belongs to exactly
+        # window/slide = 4 epoch-aligned windows; time_bucket == the
+        # engine's dt.floor
+        "events_sliding_window": """
+            WITH x AS (
+                SELECT event_type, value,
+                       time_bucket(INTERVAL '15 minutes', ts)
+                           - i * INTERVAL '15 minutes' AS window_start
+                FROM events CROSS JOIN generate_series(0, 3) t(i)
+            )
+            SELECT event_type, window_start,
+                   count(*)::BIGINT AS n,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM x GROUP BY event_type, window_start
         """,
         # heavy hitters: top-5 users per event_type by count, fully
         # deterministic rank order (count desc, user_id asc)

@@ -45,6 +45,7 @@ __all__ = [
     "json_field_stats",
     "group_topk_users",
     "value_histogram",
+    "sliding_window_agg",
 ]
 
 
@@ -624,3 +625,81 @@ def value_histogram(
         ),
     )
     return rd.from_arrow(out)
+
+
+def sliding_window_agg(
+    events_path: str,
+    window_minutes: int = 60,
+    slide_minutes: int = 15,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Sliding (hopping) window aggregate: count and value extrema per
+    event_type per ``window_minutes`` window sliding every
+    ``slide_minutes`` (window must be a multiple of slide). An event at
+    ``ts`` belongs to exactly ``window/slide`` windows — the combiner
+    EXPLODES each batch by that constant factor into (type, window_start)
+    partials, then the sortless reduce merges them; the explode happens
+    on already-collapsed per-batch groups, so the exchange carries
+    ≤ F × types × buckets rows per batch, never F × events. Aggregates
+    are count/extrema (order-free, bit-stable). Window starts are
+    epoch-aligned buckets (pandas ``dt.floor`` == DuckDB
+    ``time_bucket``)."""
+    from .shuffle import hash_reduce_small
+
+    if window_minutes % slide_minutes:
+        raise ValueError("window_minutes must be a multiple of slide_minutes")
+    factor = window_minutes // slide_minutes
+    slide = pd.Timedelta(minutes=slide_minutes)
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("window_start", pa.timestamp("ns")),
+            ("n", pa.int64()),
+            ("min_value", pa.float64()),
+            ("max_value", pa.float64()),
+        ]
+    )
+
+    def _partial(df: pd.DataFrame) -> pa.Table:
+        df = df.copy(deep=False)
+        df["_b"] = df["ts"].dt.floor(f"{slide_minutes}min")
+        g = df.groupby(["event_type", "_b"], sort=False, as_index=False).agg(
+            n=("value", "size"),
+            min_value=("value", "min"),
+            max_value=("value", "max"),
+        )
+        parts = []
+        for i in range(factor):  # explode AFTER collapsing to buckets
+            p = g.copy(deep=False)
+            p["window_start"] = p["_b"] - i * slide
+            parts.append(p.drop(columns=["_b"]))
+        out = pd.concat(parts, ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(
+            out[["event_type", "window_start", "n", "min_value", "max_value"]],
+            schema=schema,
+            preserve_index=False,
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby(["event_type", "window_start"], sort=False, as_index=False)
+            .agg(n=("n", "sum"), min_value=("min_value", "min"),
+                 max_value=("max_value", "max"))
+        )
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, schema=schema, preserve_index=False)
+
+    partials = rd.read_parquet(
+        events_path, columns=["event_type", "ts", "value"]
+    ).map_batches(_partial, batch_format="pandas")
+    return rd.from_arrow(
+        hash_reduce_small(
+            partials,
+            ["event_type", "window_start"],
+            _merge,
+            num_partitions=num_partitions,
+            combine_fn=_merge,
+        )
+    )

@@ -556,3 +556,36 @@ def test_value_histogram_clamps_edges(ray_session, tmp_path):
     assert out.loc[1, "n"] == 1       # 10.0
     assert out.loc[19, "n"] == 3      # 199.9, 200.0 (clamped), 1e6 (clamped)
     assert out.loc[19, "bin_lo"] == 190.0
+
+
+def test_sliding_window_agg_membership(ray_session, tmp_path):
+    """An event belongs to exactly window/slide epoch-aligned windows;
+    counts/extrema aggregate across the hop; bad window/slide rejected."""
+    import datetime as dt
+
+    from atra_ray.stages.events import sliding_window_agg
+
+    b = dt.datetime(2026, 1, 1, 10, 7)   # inside bucket 10:00
+    rows = [
+        (1, 1, b, "a", 5.0),
+        (2, 1, b + dt.timedelta(minutes=10), "a", 9.0),  # bucket 10:15
+    ]
+    p = _write_events(tmp_path, rows)
+    out = (
+        sliding_window_agg(p, window_minutes=60, slide_minutes=15)
+        .to_pandas()
+        .set_index("window_start")
+        .sort_index()
+    )
+    # event 1 -> windows starting 09:15..10:00; event 2 -> 09:30..10:15
+    h = lambda hh, mm: dt.datetime(2026, 1, 1, hh, mm)
+    assert set(out.index) == {
+        h(9, 15), h(9, 30), h(9, 45), h(10, 0), h(10, 15),
+    }
+    assert out.loc[h(9, 15), "n"] == 1 and out.loc[h(9, 15), "max_value"] == 5.0
+    assert out.loc[h(9, 30), "n"] == 2
+    assert out.loc[h(9, 30), "min_value"] == 5.0
+    assert out.loc[h(9, 30), "max_value"] == 9.0
+    assert out.loc[h(10, 15), "n"] == 1 and out.loc[h(10, 15), "min_value"] == 9.0
+    with pytest.raises(ValueError):
+        sliding_window_agg(p, window_minutes=50, slide_minutes=15)
