@@ -2,12 +2,14 @@
 
 Images — one per document id, ``width = 16 + id % 32``, ``height =
 16 + (id * 7) % 32``, pixels from a blake2b stream (pure function of the
-id — no RNG state). REAL formats: even ids encode as PNG (RGB, or
-grayscale when ``id % 8 == 2`` — exercises both color types), odd ids as
+id — no RNG state). REAL formats: ids ``% 4 == 1`` encode as baseline
+JPEG (4:4:4; grayscale when ``id % 8 == 5`` — lossy, so only header
+facts are oracle-compared), remaining even ids as PNG (RGB, or grayscale
+when ``id % 8 == 2`` — exercises both color types), remaining odd ids as
 the synthetic PXM twin. The arithmetic dimensions give the decode
 pipeline a DuckDB-expressible oracle: the engine must parse width/height
-out of the binary payload (PNG IHDR or PXM header); the oracle recomputes
-them from doc_id.
+out of the binary payload (PNG IHDR, JPEG SOF0 or PXM header); the
+oracle recomputes them from doc_id.
 
 Audio — ``rate = 8000 + (id % 3) * 4000``, ``n_samples = rate // 2 +
 id % 500``, int16 samples from the same blake2b stream. Even ids encode
@@ -26,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..functions.jpeg import encode_jpeg
 from ..functions.png import encode_png
 from ..stages.multimodal import encode_pam, encode_pxm
 
@@ -38,7 +41,7 @@ __all__ = [
     "video_params",
 ]
 
-_VERSION = "2"  # v2: real PNG/WAV payloads interleaved with PXM/PAM
+_VERSION = "3"  # v3: real JPEG joins PNG/WAV in the fixture mix
 _VIDEO_VERSION = "1"  # Y4M (YUV4MPEG2) + VIDX synthetic twin
 
 
@@ -92,7 +95,13 @@ def generate_media(out_dir: str, ids: list[int]) -> str:
     for i in ids:
         w, h = media_dims(i)
         px = _pixels(i, w, h)
-        if i % 2 == 0:
+        if i % 4 == 1:
+            # real baseline JPEG (4:4:4, Annex-K tables) — lossy, so only
+            # header facts (dims) are oracle-compared; every 8th a
+            # grayscale stream
+            blobs.append(encode_jpeg(px[:, :, :1] if i % 8 == 5 else px))
+            mimes.append("image/jpeg")
+        elif i % 2 == 0:
             # grayscale every 4th even id: both PNG color types verified
             blobs.append(encode_png(px[:, :, :1] if i % 8 == 2 else px))
             mimes.append("image/png")

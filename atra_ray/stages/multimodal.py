@@ -36,6 +36,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from ..functions.jpeg import JPEG_MAGIC, decode_jpeg
 from ..functions.png import PNG_MAGIC, decode_png
 
 __all__ = [
@@ -113,10 +114,11 @@ def decode_pam(data: bytes) -> tuple[int, np.ndarray]:
 class DecodeImageStage:
     """map_batches actor: binary image column -> (width, height, features).
 
-    Sniffs the payload magic: PNG (real format, pure-stdlib decoder) or
-    PXM (synthetic twin). Corrupt or unrecognized payloads yield
-    ``ok=False`` rows with zero features — a decode error is DATA, not an
-    exception (a 100-TB media crawl always contains garbage bytes)."""
+    Sniffs the payload magic: PNG or baseline JPEG (real formats,
+    pure-stdlib decoders) or PXM (synthetic twin). Corrupt or
+    unrecognized payloads yield ``ok=False`` rows with zero features — a
+    decode error is DATA, not an exception (a 100-TB media crawl always
+    contains garbage bytes)."""
 
     def __init__(self, feat_dim: int = 16, resize_to: int = 8):
         self.feat_dim = feat_dim
@@ -141,6 +143,13 @@ class DecodeImageStage:
             try:
                 img = decode_png(data)
             except (ValueError, zlib.error):
+                return False, 0, 0, np.zeros(self.feat_dim)
+            h, w = img.shape[:2]
+            return True, w, h, self._features(img)
+        if data[:2] == JPEG_MAGIC[:2]:
+            try:
+                img = decode_jpeg(data)
+            except ValueError:
                 return False, 0, 0, np.zeros(self.feat_dim)
             h, w = img.shape[:2]
             return True, w, h, self._features(img)

@@ -966,3 +966,67 @@ def test_truncated_headers_are_data_not_crashes():
     )
     out = DecodeAudioStage(window=16)(batch).to_pylist()[0]
     assert out["duration_s"] == 0.0 and out["rms_frames"] == []
+
+
+def test_jpeg_codec_roundtrip_and_limits():
+    """Pure-stdlib baseline JPEG: flat blocks reconstruct exactly,
+    gradients within a few levels, noise within quant-table error;
+    odd dims crop correctly; non-baseline / truncated streams raise
+    ValueError (never struct.error)."""
+    from atra_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(3)
+    flat = np.full((24, 17, 3), 130, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat)), flat)
+    g = np.linspace(0, 255, 32 * 40).reshape(32, 40).astype(np.uint8)
+    og = decode_jpeg(encode_jpeg(g))
+    assert og.shape == (32, 40, 1)
+    assert np.abs(og[:, :, 0].astype(int) - g.astype(int)).max() <= 4
+    r = rng.randint(0, 256, (16, 16, 3), np.uint8)
+    orr = decode_jpeg(encode_jpeg(r))
+    assert orr.shape == r.shape
+    assert np.abs(orr.astype(int) - r.astype(int)).mean() < 40  # Q50 noise bound
+    odd = rng.randint(0, 256, (9, 13), np.uint8)
+    assert decode_jpeg(encode_jpeg(odd)).shape == (9, 13, 1)
+    good = encode_jpeg(flat)
+    for bad in (b"\xff\xd8\xffjunk", good[:40], good[:-20],
+                good.replace(b"\xff\xc0", b"\xff\xc2", 1)):  # progressive SOF
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jpeg_through_decode_stage(tmp_path):
+    """JPEG payloads flow through the actor-pool image stage: dims from
+    SOF0, features close to the source pixels (lossy tolerance), corrupt
+    JPEG rows ok=False."""
+    import ray.data as rd
+
+    from atra_ray.functions.jpeg import encode_jpeg
+    from atra_ray.stages.multimodal import DecodeImageStage
+
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, (20, 14, 3), np.uint8)
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "mime": pa.array(["image/jpeg"] * 2, pa.string()),
+            "data": pa.array(
+                [encode_jpeg(px), b"\xff\xd8\xff\xe0broken"], pa.binary()
+            ),
+        }
+    )
+    p = tmp_path / "m.parquet"
+    pq.write_table(t, p)
+    out = (
+        rd.read_parquet(str(p))
+        .map_batches(DecodeImageStage, batch_format="pyarrow",
+                     batch_size=2, concurrency=1)
+        .to_pandas()
+        .set_index("media_id")
+    )
+    assert out.loc[1, "ok"] and (out.loc[1, "width"], out.loc[1, "height"]) == (14, 20)
+    want = px.mean(axis=(0, 1)) / 255.0
+    got = np.array(out.loc[1, "features"])[:3]
+    assert np.abs(got - want).max() < 0.05  # channel means survive Q50
+    assert not out.loc[2, "ok"]
