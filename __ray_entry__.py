@@ -22,7 +22,7 @@ Three groups of queries:
    over metadata-only labels) — no SQL equivalent; the driver records
    rows-only checks for them.
 
-50 queries total: 47 oracle-MATCH (SQL or generator/simulator oracle),
+52 queries total: 49 oracle-MATCH (SQL or generator/simulator oracle),
 3 rows-only by nature.
 """
 
@@ -202,6 +202,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pagerank_fp(
             edges.map_batches(_hash, batch_format="pyarrow"), num_partitions=16
         )
+
+    def orders_revenue_by_nation(sf_dir):
+        # chained co-partitioned hash joins (lineitem⋈orders⋈customer,
+        # one exchange per hop, combiner pre-aggregation at every hop) +
+        # 25-row nation broadcast; revenue in exact integer cents
+        from atra_ray.stages.relational import revenue_by_nation
+
+        return revenue_by_nation(sf_dir)
+
+    def segment_order_stats(sf_dir):
+        # single co-partitioned orders⋈customer join + count/extrema
+        # grouped reduce (order-free, bit-exact)
+        from atra_ray.stages.relational import segment_order_stats as _sos
+
+        return _sos(sf_dir)
 
     def token_counts(sf_dir):
         from atra_ray.stages.text_analysis import token_counts as _tc
@@ -595,6 +610,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_order": crawl_order,
         "crawl_edges": crawl_edges,
         "graph_pagerank": graph_pagerank,
+        "orders_revenue_by_nation": orders_revenue_by_nation,
+        "segment_order_stats": segment_order_stats,
         "token_counts": token_counts,
         "term_doc_freq": term_doc_freq,
         "tfidf_search_topk": tfidf_search_topk,
@@ -919,6 +936,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # per-term document frequency; identical RE2 tokenization both sides
+        # relational joins: revenue as integer cents (floor(x*100+0.5)
+        # per item, cast BEFORE the SUM so no float accumulation exists
+        # on either side)
+        "orders_revenue_by_nation": """
+            SELECT n_name,
+                   SUM(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)::BIGINT
+                       AS revenue_cents,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            GROUP BY n_name
+        """,
+        "segment_order_stats": """
+            SELECT c_mktsegment, o_orderstatus,
+                   count(*)::BIGINT AS n_orders,
+                   max(o_totalprice) AS max_totalprice,
+                   min(o_orderdate) AS first_orderdate
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            GROUP BY c_mktsegment, o_orderstatus
+        """,
         # fixed-point TF-IDF retrieval: idf = exact rational N/df,
         # floor-scaled per term; integer sums == the engine's bit-for-bit
         "tfidf_search_topk": """

@@ -589,3 +589,41 @@ def test_sliding_window_agg_membership(ray_session, tmp_path):
     assert out.loc[h(10, 15), "n"] == 1 and out.loc[h(10, 15), "min_value"] == 9.0
     with pytest.raises(ValueError):
         sliding_window_agg(p, window_minutes=50, slide_minutes=15)
+
+
+def test_revenue_by_nation_exact_cents(ray_session, tmp_path):
+    """Two-hop co-partitioned join rolls lineitem revenue to nations with
+    exact integer-cents math; customers without orders and orders without
+    lineitems drop out (inner-join semantics)."""
+    from atra_ray.stages.relational import revenue_by_nation
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([100, 100, 200, 300], pa.int64()),
+        "l_extendedprice": pa.array([10.004, 20.006, 5.0, 7.77], pa.float64()),
+        "l_discount": pa.array([0.0, 0.5, 0.1, 0.0], pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([100, 200, 300, 400], pa.int64()),  # 400: no items
+        "o_custkey": pa.array([1, 1, 2, 2], pa.int64()),
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),  # 3: no orders
+        "c_nationkey": pa.array([7, 8, 9], pa.int32()),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([7, 8, 9], pa.int32()),
+        "n_name": pa.array(["FR", "DE", "JP"], pa.string()),
+    }), tmp_path / "nation.parquet")
+    out = (
+        revenue_by_nation(str(tmp_path), num_partitions=3)
+        .to_pandas()
+        .set_index("n_name")
+        .sort_index()
+    )
+    import math
+    cents = lambda p, d: math.floor(p * (1 - d) * 100 + 0.5)
+    # FR: order 100 (1000 + 1000) + order 200 (450) ; DE: order 300 (777)
+    assert out.loc["FR", "revenue_cents"] == cents(10.004, 0) + cents(20.006, 0.5) + cents(5.0, 0.1)
+    assert out.loc["FR", "n_items"] == 3
+    assert out.loc["DE", "revenue_cents"] == cents(7.77, 0) and out.loc["DE", "n_items"] == 1
+    assert "JP" not in out.index
