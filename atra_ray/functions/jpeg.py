@@ -4,10 +4,13 @@ Scope (documented, enforced): baseline sequential DCT (SOF0), 8-bit,
 grayscale or YCbCr 4:4:4, standard JPEG Annex-K quantization (quality-50)
 and Huffman tables. The encoder exists to make REAL JPEG fixture bytes
 (`sources/media.py`); the decoder is the production path in
-``DecodeImageStage`` (multimodal.py) — it parses any baseline 4:4:4/gray
-JFIF stream, and REJECTS progressive (SOF2), arithmetic, 12-bit and
-subsampled (4:2:0/4:2:2) streams with ValueError, which the stage
-surfaces as an ok=False row (decode errors are DATA, not exceptions).
+``DecodeImageStage`` (multimodal.py) — it parses baseline 4:4:4/gray
+JFIF streams (incl. 0xFF fill bytes before markers), and REJECTS
+progressive (SOF2), arithmetic, 12-bit, subsampled (4:2:0/4:2:2) and
+restart-interval (DRI) streams with ValueError, which the stage
+surfaces as an ok=False row (decode errors are DATA, not exceptions —
+truncated-segment struct/index failures convert at the decode_jpeg
+boundary).
 
 Why not byte-exact oracles: JPEG is lossy — the driver oracle checks the
 header-parsed dimensions (id arithmetic), and tests bound the roundtrip
@@ -290,13 +293,9 @@ class _BitReader:
             nxt = d[self.pos]
             if nxt == 0x00:
                 self.pos += 1
-            elif 0xD0 <= nxt <= 0xD7:  # restart marker: reset bits
-                self.pos += 1
-                self.acc = 0
-                self.nbits = 0
-                self._fill()
-                return
             else:
+                # incl. RSTn: restart intervals are rejected at DRI, so a
+                # restart marker mid-entropy means a stream we'd corrupt
                 raise ValueError("unexpected marker in entropy stream")
         self.acc = (self.acc << 8) | b
         self.nbits += 8
@@ -336,7 +335,18 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline 4:4:4 / grayscale JFIF bytes -> (h, w, c) uint8."""
+    """Baseline 4:4:4 / grayscale JFIF bytes -> (h, w, c) uint8.
+
+    EVERY malformed-stream failure surfaces as ValueError (the stage
+    contract: decode errors are DATA) — the inner parser's struct/index
+    errors on truncated segments are converted at this boundary."""
+    try:
+        return _decode_jpeg_inner(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError("malformed JPEG stream") from e
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if not data.startswith(JPEG_MAGIC[:2]):
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -348,6 +358,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -393,6 +406,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+        elif marker == 0xDD:  # DRI: restart intervals are out of scope
+            # (decoding them needs DC-predictor resets + pad-bit resync,
+            # T.81 E.2.4 — reject rather than silently corrupt pixels)
+            if len(body) >= 2 and struct.unpack(">H", body[:2])[0] != 0:
+                raise ValueError("JPEG restart intervals unsupported")
         elif marker == 0xDA:  # SOS
             if h is None:
                 raise ValueError("JPEG SOS before SOF")

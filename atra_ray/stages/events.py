@@ -608,14 +608,14 @@ def value_histogram(
     partials = rd.read_parquet(
         events_path, columns=["event_type", "value"]
     ).map_batches(_partial, batch_format="pyarrow")
-    out = _merge(
-        hash_reduce_small(
-            partials,
-            ["event_type", "bin"],
-            _merge,
-            num_partitions=num_partitions,
-            combine_fn=_merge,
-        )
+    # keys are disjoint across partitions, so the reduce output is
+    # already fully merged per (event_type, bin)
+    out = hash_reduce_small(
+        partials,
+        ["event_type", "bin"],
+        _merge,
+        num_partitions=num_partitions,
+        combine_fn=_merge,
     )
     out = out.append_column(
         "bin_lo",

@@ -989,10 +989,19 @@ def test_jpeg_codec_roundtrip_and_limits():
     odd = rng.randint(0, 256, (9, 13), np.uint8)
     assert decode_jpeg(encode_jpeg(odd)).shape == (9, 13, 1)
     good = encode_jpeg(flat)
-    for bad in (b"\xff\xd8\xffjunk", good[:40], good[:-20],
-                good.replace(b"\xff\xc0", b"\xff\xc2", 1)):  # progressive SOF
+    for bad in (
+        b"\xff\xd8\xffjunk", good[:40], good[:-20],
+        good.replace(b"\xff\xc0", b"\xff\xc2", 1),   # progressive SOF
+        b"\xff\xd8\xff\xc0\x00\x04\x08\x00",         # SOF body too short
+        b"\xff\xd8\xff\xc4\x00\x03\x00",            # truncated DHT
+        # DRI with a nonzero restart interval: rejected, never corrupted
+        good.replace(b"\xff\xda", b"\xff\xdd\x00\x04\x00\x08\xff\xda", 1),
+    ):
         with pytest.raises(ValueError):
             decode_jpeg(bad)
+    # T.81 B.1.1.2 fill bytes before a marker are legal — still decodes
+    filled = good.replace(b"\xff\xdb", b"\xff\xff\xdb", 1)
+    assert np.array_equal(decode_jpeg(filled), flat)
 
 
 @pytest.mark.usefixtures("ray_session")
