@@ -3,6 +3,7 @@ sampling, and the sortless hash_reduce_small exchange they ride on."""
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -627,3 +628,70 @@ def test_revenue_by_nation_exact_cents(ray_session, tmp_path):
     assert out.loc["FR", "n_items"] == 3
     assert out.loc["DE", "revenue_cents"] == cents(7.77, 0) and out.loc["DE", "n_items"] == 1
     assert "JP" not in out.index
+
+
+def test_temporal_ops_match_naive_reference_on_random_events(ray_session, tmp_path):
+    """Randomized conformance: 600 events across 12 users with FORCED
+    ts collisions (coarse time grid) — asof / interval / rolling results
+    must equal brute-force per-user Python references."""
+    import datetime as dt
+
+    from atra_ray.stages.events import (
+        asof_join_events,
+        interval_join_count,
+        rolling_user_agg,
+    )
+
+    rng = np.random.RandomState(42)
+    n = 600
+    base = dt.datetime(2026, 3, 1)
+    rows = []
+    for eid in range(n):
+        u = int(rng.randint(0, 12))
+        ts = base + dt.timedelta(minutes=int(rng.randint(0, 120)))  # ties likely
+        et = ["purchase", "click", "view"][int(rng.randint(0, 3))]
+        rows.append((eid, u, ts, et, float(rng.randint(0, 1000)) / 10))
+    p = _write_events(tmp_path, rows)
+
+    by_user: dict = {}
+    for eid, u, ts, et, v in rows:
+        by_user.setdefault(u, []).append((eid, ts, et, v))
+
+    # --- asof: prior-or-equal click per purchase, right-before-left at
+    # equal ts, max event_id among same-instant clicks
+    out = asof_join_events(p, num_partitions=5).to_pandas().set_index("event_id")
+    for u, evs in by_user.items():
+        clicks = sorted(
+            [(ts, eid, v) for eid, ts, et, v in evs if et == "click"]
+        )
+        for eid, ts, et, v in evs:
+            if et != "purchase":
+                continue
+            cand = [(cts, ceid, cv) for cts, ceid, cv in clicks if cts <= ts]
+            row = out.loc[eid]
+            if not cand:
+                assert pd.isna(row["prior_value"]), eid
+            else:
+                want = max(cand)  # latest ts, then max event_id
+                assert row["prior_value"] == want[2], eid
+                assert row["prior_ts"] == want[0], eid
+
+    # --- interval: clicks in [ts, ts+10min] inclusive per view
+    ic = interval_join_count(p, num_partitions=5).to_pandas().set_index("event_id")
+    H = dt.timedelta(minutes=10)
+    for u, evs in by_user.items():
+        clicks = [ts for eid, ts, et, v in evs if et == "click"]
+        for eid, ts, et, v in evs:
+            if et != "view":
+                continue
+            want = sum(1 for c in clicks if ts <= c <= ts + H)
+            assert ic.loc[eid, "n_followups"] == want, eid
+
+    # --- rolling: last-5 max / occupancy ordered (ts, event_id)
+    ro = rolling_user_agg(p, window=5, num_partitions=5).to_pandas().set_index("event_id")
+    for u, evs in by_user.items():
+        ordered = sorted(evs, key=lambda e: (e[1], e[0]))
+        for i, (eid, ts, et, v) in enumerate(ordered):
+            win = [x[3] for x in ordered[max(0, i - 4) : i + 1]]
+            assert ro.loc[eid, "rolling_max"] == max(win), eid
+            assert ro.loc[eid, "n_in_window"] == len(win), eid
