@@ -1039,3 +1039,23 @@ def test_jpeg_through_decode_stage(tmp_path):
     got = np.array(out.loc[1, "features"])[:3]
     assert np.abs(got - want).max() < 0.05  # channel means survive Q50
     assert not out.loc[2, "ok"]
+
+
+def test_jpeg_roundtrip_size_sweep():
+    """Dims survive exactly and reconstruction stays within Q50 bounds
+    across block-aligned, odd, tiny and skinny shapes, both channel
+    counts."""
+    from atra_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(17)
+    for h, w, c in [(8, 8, 1), (8, 8, 3), (1, 1, 3), (1, 17, 1), (23, 1, 3),
+                    (15, 9, 3), (32, 24, 1), (19, 33, 3)]:
+        # smooth-ish content: low-frequency base + mild noise (the web's
+        # actual distribution; pure noise is the worst case covered above)
+        base = np.linspace(0, 200, h * w).reshape(h, w)
+        px = np.clip(
+            base[:, :, None] + rng.randint(-20, 20, (h, w, c)), 0, 255
+        ).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(px))
+        assert out.shape == (h, w, c), (h, w, c)
+        assert np.abs(out.astype(int) - px.astype(int)).mean() < 16, (h, w, c)
