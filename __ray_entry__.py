@@ -22,7 +22,7 @@ Three groups of queries:
    over metadata-only labels) — no SQL equivalent; the driver records
    rows-only checks for them.
 
-52 queries total: 49 oracle-MATCH (SQL or generator/simulator oracle),
+53 queries total: 50 oracle-MATCH (SQL or generator/simulator oracle),
 3 rows-only by nature.
 """
 
@@ -444,6 +444,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _ma(path)
 
+    def media_tone(sf_dir):
+        # spectral analysis: dominant FFT bin of the tone clips the
+        # generator plants at bin-center frequencies (id % 4 == 3) —
+        # the oracle recomputes bin + hz from the id arithmetic
+        import pyarrow.parquet as pq2
+
+        from atra_ray.sources.media import generate_audio
+        from atra_ray.stages.multimodal import media_tone as _mt
+
+        ids = (
+            pq2.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+            .column("doc_id")
+            .to_pylist()
+        )
+        path = generate_audio(
+            f"/tmp/atra_media/{Path(sf_dir).name}", sorted(ids)
+        )
+        return _mt(path)
+
     def video_frames(sf_dir):
         # Y4M (real YUV4MPEG2) + VIDX video frame-sampling: the engine
         # parses width/height/fps/frame-count out of the binary payload
@@ -635,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_language": doc_language,
         "media_decode": media_decode,
         "media_audio": media_audio,
+        "media_tone": media_tone,
         "video_frames": video_frames,
         "events_windowed": events_windowed,
         "events_asof_join": events_asof_join,
@@ -1055,6 +1075,17 @@ def oracle_sql() -> dict[str, str]:
                     / (8000 + (doc_id % 3) * 4000)) AS duration_s,
                    (((8000 + (doc_id % 3) * 4000) // 2 + doc_id % 500) // 1024)::BIGINT AS n_frames
             FROM documents
+        """,
+        # spectral tone detection: the generator's sines sit at FFT bin
+        # CENTER k = 20 + id % 50 of a 1024-point frame, so argmax == k;
+        # hz = (k * rate) / 1024.0 — integer product then ONE float
+        # division, the engine's exact expression
+        "media_tone": """
+            SELECT doc_id AS media_id,
+                   (20 + doc_id % 50)::BIGINT AS dominant_bin,
+                   (((20 + doc_id % 50) * (8000 + (doc_id % 3) * 4000))::DOUBLE
+                    / 1024.0) AS dominant_hz
+            FROM documents WHERE doc_id % 4 = 3
         """,
         # video frame-sample: width/height/fps/n_frames parsed from the
         # Y4M/VIDX header; n_sampled = ceil(n_frames / stride), stride=4

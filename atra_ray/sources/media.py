@@ -38,10 +38,11 @@ __all__ = [
     "generate_video",
     "media_dims",
     "audio_params",
+    "tone_params",
     "video_params",
 ]
 
-_VERSION = "3"  # v3: real JPEG joins PNG/WAV in the fixture mix
+_VERSION = "4"  # v4: bin-center sine tones in the audio mix (id%4==3)
 _VIDEO_VERSION = "1"  # Y4M (YUV4MPEG2) + VIDX synthetic twin
 
 
@@ -53,6 +54,12 @@ def audio_params(media_id: int) -> tuple[int, int]:
     """(sample_rate, n_samples) from the id arithmetic (the SQL oracle)."""
     rate = 8000 + (media_id % 3) * 4000
     return rate, rate // 2 + media_id % 500
+
+
+def tone_params(media_id: int) -> int:
+    """FFT bin index (1024-point frame) of the pure-sine clips the
+    generator plants at ``id % 4 == 3`` — the spectral oracle."""
+    return 20 + media_id % 50
 
 
 def _byte_stream(tag: str, media_id: int, need: int) -> bytes:
@@ -209,10 +216,20 @@ def generate_audio(out_dir: str, ids: list[int]) -> str:
     blobs, mimes = [], []
     for i in ids:
         rate, n = audio_params(i)
-        samples = (
-            np.frombuffer(_byte_stream("audio", i, n * 2), dtype="<i2")
-            .astype(np.int16)
-        )
+        if i % 4 == 3:
+            # pure sine pinned to FFT bin CENTER k of a 1024-point frame
+            # (f = k*rate/1024): the spectral-analysis oracle can predict
+            # the dominant bin from id arithmetic (tone_params)
+            k = tone_params(i)
+            t = np.arange(n)
+            samples = np.round(
+                12000.0 * np.sin(2.0 * np.pi * k * t / 1024.0)
+            ).astype(np.int16)
+        else:
+            samples = (
+                np.frombuffer(_byte_stream("audio", i, n * 2), dtype="<i2")
+                .astype(np.int16)
+            )
         if i % 2 == 0:
             blobs.append(_encode_wav(rate, samples))
             mimes.append("audio/wav")

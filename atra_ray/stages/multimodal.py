@@ -53,6 +53,8 @@ __all__ = [
     "media_decode",
     "media_audio",
     "media_frames",
+    "media_tone",
+    "ToneDetectStage",
 ]
 
 MEDIA_SCHEMA = pa.schema(
@@ -459,4 +461,92 @@ def media_decode(media_path: str, concurrency: int = 2) -> "object":
             concurrency=concurrency,
         )
         .select_columns(["media_id", "width", "height"])
+    )
+
+
+class ToneDetectStage:
+    """map_batches actor: audio binary column -> dominant spectral bin of
+    the first ``nfft``-sample frame (numpy rfft magnitude argmax over
+    bins 1..nfft/2 — DC excluded). Shares DecodeAudioStage's WAV/PAM
+    decode; corrupt payloads come back ok=False with bin -1."""
+
+    def __init__(self, nfft: int = 1024):
+        if nfft < 16 or nfft & (nfft - 1):
+            raise ValueError("nfft must be a power of two >= 16")
+        self.nfft = nfft
+        self._dec = DecodeAudioStage()
+
+    def _one(self, data: bytes | None) -> tuple[bool, int, int, float]:
+        import wave as _wave
+
+        if data is None:
+            return False, 0, -1, 0.0
+        try:
+            rate, samples = self._dec._decode(bytes(data))
+        except (ValueError, TypeError, EOFError, _wave.Error):
+            return False, 0, -1, 0.0
+        if rate <= 0 or len(samples) < self.nfft:
+            return False, int(max(rate, 0)), -1, 0.0
+        mag = np.abs(np.fft.rfft(samples[: self.nfft]))
+        b = int(np.argmax(mag[1:])) + 1  # skip DC
+        return True, int(rate), b, (b * rate) / float(self.nfft)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        oks, rates, bins, hzs = [], [], [], []
+        for d in batch.column("data").to_pylist():
+            ok, r, b, hz = self._one(d)
+            oks.append(ok)
+            rates.append(r)
+            bins.append(b)
+            hzs.append(hz)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "ok": pa.array(oks, pa.bool_()),
+                "rate": pa.array(rates, pa.int32()),
+                "dominant_bin": pa.array(bins, pa.int64()),
+                "dominant_hz": pa.array(hzs, pa.float64()),
+            }
+        )
+
+
+def media_tone(audio_path: str, concurrency: int = 2, nfft: int = 1024) -> "object":
+    """The driver-checked spectral pipeline over the TONE clips
+    (media_id % 4 == 3 — the generator plants bin-center sines there):
+    (media_id, dominant_bin, dominant_hz). dominant_hz is computed as
+    ``(bin * rate) / float(nfft)`` — integer product then one float
+    division, the exact expression the SQL oracle runs."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "dominant_bin": batch.column("dominant_bin"),
+                "dominant_hz": batch.column("dominant_hz"),
+            }
+        )
+
+    def _tone_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id")
+        import pyarrow.compute as pc2
+
+        return batch.filter(
+            pc2.equal(
+                pc2.subtract(ids, pc2.multiply(pc2.divide(ids, 4), 4)), 3
+            )
+        )
+
+    return (
+        rd.read_parquet(audio_path, columns=["media_id", "mime", "data"])
+        .map_batches(_tone_rows, batch_format="pyarrow")
+        .map_batches(
+            ToneDetectStage,
+            fn_constructor_kwargs={"nfft": nfft},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=concurrency,
+        )
+        .map_batches(_project, batch_format="pyarrow")
     )

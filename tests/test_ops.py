@@ -1059,3 +1059,28 @@ def test_jpeg_roundtrip_size_sweep():
         out = decode_jpeg(encode_jpeg(px))
         assert out.shape == (h, w, c), (h, w, c)
         assert np.abs(out.astype(int) - px.astype(int)).mean() < 16, (h, w, c)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_tone_detection(tmp_path):
+    """Bin-center sine clips resolve to the planted FFT bin through the
+    actor-pool stage (WAV and PAM containers); noise clips are excluded
+    by the id filter; corrupt payloads come back ok=False."""
+    from atra_ray.sources.media import generate_audio, tone_params, audio_params
+    from atra_ray.stages.multimodal import ToneDetectStage, media_tone
+
+    ids = list(range(24))
+    path = generate_audio(str(tmp_path), ids)
+    out = media_tone(path, nfft=1024).to_pandas().set_index("media_id")
+    tone_ids = [i for i in ids if i % 4 == 3]
+    assert sorted(out.index) == tone_ids
+    for i in tone_ids:
+        k = tone_params(i)
+        rate, _ = audio_params(i)
+        assert out.loc[i, "dominant_bin"] == k, i
+        assert out.loc[i, "dominant_hz"] == (k * rate) / 1024.0, i
+    st = ToneDetectStage(nfft=1024)
+    assert st._one(b"\x00junk")[0] is False
+    assert st._one(None)[0] is False
+    with pytest.raises(ValueError):
+        ToneDetectStage(nfft=1000)  # not a power of two
