@@ -1079,13 +1079,14 @@ def oracle_sql() -> dict[str, str]:
         # spectral tone detection: the generator's sines sit at FFT bin
         # CENTER k = 20 + id % 50 of a 1024-point frame, so argmax == k;
         # hz = (k * rate) / 1024.0 — integer product then ONE float
-        # division, the engine's exact expression
+        # division, the engine's exact expression. Tone ids span both
+        # parities (id%4 in {0,3}) so WAV and PAM decodes are both checked
         "media_tone": """
             SELECT doc_id AS media_id,
                    (20 + doc_id % 50)::BIGINT AS dominant_bin,
                    (((20 + doc_id % 50) * (8000 + (doc_id % 3) * 4000))::DOUBLE
                     / 1024.0) AS dominant_hz
-            FROM documents WHERE doc_id % 4 = 3
+            FROM documents WHERE doc_id % 4 IN (0, 3)
         """,
         # video frame-sample: width/height/fps/n_frames parsed from the
         # Y4M/VIDX header; n_sampled = ceil(n_frames / stride), stride=4
@@ -1226,13 +1227,14 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 5
         """,
         # fixed-bin histogram: bin = floor((value-lo)/width) clamped to
-        # the edge bins; same double arithmetic both sides, counts exact
+        # the edge bins; same double arithmetic both sides, counts exact;
+        # null values carry no bin on either side (engine masks NaN)
         "events_histogram": """
             WITH b AS (
                 SELECT event_type,
                        least(greatest(floor((value - 0.0) / 10.0), 0), 19)::BIGINT
                            AS bin
-                FROM events
+                FROM events WHERE value IS NOT NULL
             )
             SELECT event_type, bin, count(*)::BIGINT AS n,
                    (0.0 + bin * 10.0)::DOUBLE AS bin_lo

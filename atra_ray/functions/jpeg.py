@@ -409,7 +409,9 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI: restart intervals are out of scope
             # (decoding them needs DC-predictor resets + pad-bit resync,
             # T.81 E.2.4 — reject rather than silently corrupt pixels)
-            if len(body) >= 2 and struct.unpack(">H", body[:2])[0] != 0:
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
+            if struct.unpack(">H", body[:2])[0] != 0:
                 raise ValueError("JPEG restart intervals unsupported")
         elif marker == 0xDA:  # SOS
             if h is None:

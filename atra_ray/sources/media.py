@@ -42,7 +42,7 @@ __all__ = [
     "video_params",
 ]
 
-_VERSION = "4"  # v4: bin-center sine tones in the audio mix (id%4==3)
+_VERSION = "5"  # v5: tone clips on id%4 in {0,3} so BOTH containers carry tones
 _VIDEO_VERSION = "1"  # Y4M (YUV4MPEG2) + VIDX synthetic twin
 
 
@@ -58,7 +58,7 @@ def audio_params(media_id: int) -> tuple[int, int]:
 
 def tone_params(media_id: int) -> int:
     """FFT bin index (1024-point frame) of the pure-sine clips the
-    generator plants at ``id % 4 == 3`` — the spectral oracle."""
+    generator plants at ``id % 4 in {0, 3}`` — the spectral oracle."""
     return 20 + media_id % 50
 
 
@@ -216,10 +216,12 @@ def generate_audio(out_dir: str, ids: list[int]) -> str:
     blobs, mimes = [], []
     for i in ids:
         rate, n = audio_params(i)
-        if i % 4 == 3:
+        if i % 4 in (0, 3):
             # pure sine pinned to FFT bin CENTER k of a 1024-point frame
             # (f = k*rate/1024): the spectral-analysis oracle can predict
-            # the dominant bin from id arithmetic (tone_params)
+            # the dominant bin from id arithmetic (tone_params). The id
+            # class {0, 3} spans both parities, so both the WAV (even id)
+            # and PAM (odd id) container paths carry tone clips
             k = tone_params(i)
             t = np.arange(n)
             samples = np.round(

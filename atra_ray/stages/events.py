@@ -21,7 +21,11 @@ inside a partition with vectorized pandas kernels (``merge_asof``,
 grouped ``ffill``/``shift``/``rolling``), never a Python loop over rows
 or keys. There is no global sort: ordering is established per partition
 after the exchange, which is valid because every operator here orders
-WITHIN a user's timeline only. At 100 TB the residual assumption is that
+WITHIN a user's timeline only. All four DROP rows whose ``ts`` is null
+(documented contract): a NaT would break the sorted-timeline kernels
+(``merge_asof`` raises mid-task) and SQL engines' NULL window ordering
+is engine-specific anyway — one bad row must not fail an operator.
+At 100 TB the residual assumption is that
 one user's history fits a partition's worker heap; the standard
 escape-hatch — sub-partition by (user, time-bucket) and stitch
 boundary state in a second tiny exchange — composes with the same
@@ -143,6 +147,9 @@ def asof_join_events(
     )
 
     def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        # contract: rows with null ts are dropped (a NaT would break the
+        # sorted-timeline kernels mid-task; see module docstring)
+        df = df[df["ts"].notna()]
         if df.empty:
             out = df.reindex(
                 columns=["event_id", "user_id", "ts", "value", "prior_ts", "prior_value"]
@@ -187,6 +194,7 @@ def sessionize(
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["ts"].notna()]  # null-ts contract, see module docstring
         if df.empty:
             out = df.reindex(columns=["user_id", "ts", "value"])
             out = out.assign(session_id=pd.Series(dtype="int64"))
@@ -241,6 +249,9 @@ def interval_join_count(
 
     def _fn(df: pd.DataFrame) -> pd.DataFrame:
         cols = ["event_id", "user_id", "ts", "n_followups"]
+        # contract: null-ts rows are dropped — a single NaT would violate
+        # merge_asof's sorted-key requirement and fail the whole partition
+        df = df[df["ts"].notna()]
         if df.empty:
             out = df.reindex(columns=["event_id", "user_id", "ts"])
             return out.assign(n_followups=pd.Series(dtype="int64"))
@@ -307,6 +318,7 @@ def rolling_user_agg(
     ds = _read_events(events_path, ["event_id", "user_id", "ts", "value"], None)
 
     def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["ts"].notna()]  # null-ts contract, see module docstring
         if df.empty:
             out = df.reindex(columns=["event_id", "user_id", "ts"])
             return out.assign(
@@ -318,7 +330,11 @@ def rolling_user_agg(
         )
         r = df.groupby("user_id", sort=False)["value"].rolling(window, min_periods=1)
         df["rolling_max"] = r.max().droplevel(0)
-        df["n_in_window"] = r.count().droplevel(0).astype("int64")
+        # occupancy = rows in the window (SQL count(*) OVER w), computed
+        # from the per-user row index — NOT rolling .count(), which counts
+        # non-NaN values and would diverge on rows with null value
+        occ = df.groupby("user_id", sort=False).cumcount() + 1
+        df["n_in_window"] = occ.clip(upper=window).astype("int64")
         return df[["event_id", "user_id", "ts", "rolling_max", "n_in_window"]]
 
     from .shuffle import partitioned_map_groups
@@ -329,54 +345,259 @@ def rolling_user_agg(
 def group_quantiles(
     events_path: str,
     num_partitions: int = 8,
+    n_buckets: int = 512,
+    rescan_cap: int = 1024,
 ) -> rd.Dataset:
     """EXACT per-group quantiles of ``value`` by event_type: the discrete
     selection contract ``p_q = sorted_values[((n-1) * q_num) // q_den]``
-    (0-indexed, integer index arithmetic) for p50 and p90 — a selected
-    element, not an interpolation, so the result is bit-exact and
-    SQL-oracle-certifiable (interpolating quantiles differ in last ulps
-    between engines' lerp formulas).
+    (0-indexed, integer index arithmetic, NaN/null values ordered last —
+    numpy's sort and SQL's ASC NULLS LAST agree) for p50 and p90 — a
+    selected element, not an interpolation, so the result is bit-exact
+    and SQL-oracle-certifiable.
 
-    Partitioning assumption, stated: groups are hash-partitioned by
-    event_type, and ONE GROUP'S values are sorted inside one partition —
-    valid while a single group fits a worker (event-type cardinality is
-    tiny; per-group volume is the bound). The at-scale escape hatch for
-    quantiles over arbitrarily large groups is the classic two-pass
-    histogram selection (bucket counts per group -> locate the bucket
-    holding index k -> rescan that bucket); this operator deliberately
-    keeps the one-pass shape and documents the bound instead.
+    Scale shape — TWO-PASS HISTOGRAM SELECTION: no partition (and no
+    worker) ever holds a whole group's values.
 
-    Output: (event_type, n, p50, p90).
+    1. One combiner pass computes per-group (count, nan count, min, max)
+       — partial rows per batch, sortless merge, driver sees one row per
+       group.
+    2. Bucket passes: each remaining (group, quantile) target holds a
+       closed value interval [lo, hi] known to contain its order
+       statistic at relative rank r. A scan bins each group's in-interval
+       values into ``n_buckets`` fixed buckets (count + min/max per
+       bucket; the batch combiner emits at most states x buckets rows),
+       the driver locates the bucket holding rank r and narrows the
+       interval to that bucket's ACTUAL [min, max] (binning is monotone
+       in v, so a bucket is a contiguous value interval and equal values
+       share a bucket — the narrowed interval contains exactly the
+       bucket's values). A bucket whose min == max resolves immediately
+       (the degenerate heavy-tie case). Each pass divides the candidate
+       count by ~n_buckets for non-degenerate data.
+    3. Once a target's candidate count is <= ``rescan_cap``, one filtered
+       collect pass gathers just those values to the driver (bounded by
+       cap x targets), which sorts and selects index r.
+
+    Candidate intervals are driver-tiny (2 floats per group x quantile)
+    and ship in the task closure — with unbounded group cardinality they
+    would go through ``ray.put`` instead. Scan count is
+    1 + levels + 1 with levels = ceil(log_buckets(n_group / cap)),
+    i.e. 1 bucket pass covers groups up to cap * n_buckets ~ 0.5M values
+    and 2 passes up to ~270M at the defaults.
+
+    Output: (event_type, n, p50, p90) — n counts ALL rows of the group
+    (null values included, mirroring the oracle's count(*) OVER).
     """
     import numpy as np
 
-    ds = _read_events(events_path, ["event_id", "event_type", "value"], None)
+    from .shuffle import hash_reduce_small
 
-    def _fn(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame(
+    _QUANTS = (("p50", 1, 2), ("p90", 9, 10))
+
+    # ---- pass 1: per-group n / n_nan / min / max --------------------
+    _mm_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("n_num", pa.int64()),
+            ("vmin", pa.float64()),
+            ("vmax", pa.float64()),
+        ]
+    )
+
+    def _mm_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("event_type", sort=False, dropna=False, as_index=False).agg(
+            n=("value", "size"),
+            n_num=("value", "count"),  # non-NaN
+            vmin=("value", "min"),
+            vmax=("value", "max"),
+        )
+        for c in ("n", "n_num"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, schema=_mm_schema, preserve_index=False)
+
+    def _mm_merge(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby(
+            "event_type", sort=False, dropna=False, as_index=False
+        ).agg(n=("n", "sum"), n_num=("n_num", "sum"), vmin=("vmin", "min"),
+              vmax=("vmax", "max"))
+        for c in ("n", "n_num"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, schema=_mm_schema, preserve_index=False)
+
+    stats = hash_reduce_small(
+        rd.read_parquet(events_path, columns=["event_type", "value"]).map_batches(
+            _mm_partial, batch_format="pandas"
+        ),
+        ["event_type"],
+        _mm_merge,
+        num_partitions=num_partitions,
+        combine_fn=_mm_merge,
+    ).to_pandas()
+
+    # driver state: one entry per (group, quantile) still being located
+    results: dict = {}  # event_type -> {"n": int, "p50": float|None, ...}
+    states: dict = {}  # sid -> {et, q, lo, hi, c, r}
+    sid = 0
+    for row in stats.itertuples(index=False):
+        et, n, n_num = row.event_type, int(row.n), int(row.n_num)
+        res = results.setdefault(et, {"n": n})
+        for q, num, den in _QUANTS:
+            k = ((n - 1) * num) // den
+            if k >= n_num:  # order statistic lands in the NaN tail
+                res[q] = None
+            elif row.vmin == row.vmax:
+                res[q] = float(row.vmin)
+            else:
+                states[sid] = {
+                    "et": et, "q": q,
+                    "lo": float(row.vmin), "hi": float(row.vmax),
+                    "c": n_num, "r": k,
+                }
+                sid += 1
+
+    # ---- pass 2..L: histogram refinement ----------------------------
+    _bk_schema = pa.schema(
+        [
+            ("sid", pa.int64()),
+            ("bin", pa.int64()),
+            ("c", pa.int64()),
+            ("bmin", pa.float64()),
+            ("bmax", pa.float64()),
+        ]
+    )
+
+    def _bucket_pass(pending: dict) -> pd.DataFrame:
+        specs = [
+            (s, st["et"], st["lo"], st["hi"]) for s, st in pending.items()
+        ]
+
+        def _partial(df: pd.DataFrame) -> pa.Table:
+            parts = []
+            v_all = df["value"].to_numpy()
+            et_all = df["event_type"].to_numpy()
+            for s, et, lo, hi in specs:
+                m = (et_all == et) & (v_all >= lo) & (v_all <= hi)
+                vv = v_all[m]
+                if not len(vv):
+                    continue
+                w = (hi - lo) / n_buckets
+                bins = np.clip(
+                    np.floor((vv - lo) / w), 0, n_buckets - 1
+                ).astype("int64")
+                p = pd.DataFrame({"bin": bins, "v": vv})
+                g = p.groupby("bin", sort=False, as_index=False).agg(
+                    c=("v", "size"), bmin=("v", "min"), bmax=("v", "max")
+                )
+                g.insert(0, "sid", s)
+                parts.append(g)
+            if not parts:
+                return _bk_schema.empty_table()
+            out = pd.concat(parts, ignore_index=True)
+            for c in ("sid", "bin", "c"):
+                out[c] = out[c].astype("int64")
+            return pa.Table.from_pandas(out, schema=_bk_schema, preserve_index=False)
+
+        def _merge(t: pa.Table) -> pa.Table:
+            g = t.to_pandas().groupby(
+                ["sid", "bin"], sort=False, as_index=False
+            ).agg(c=("c", "sum"), bmin=("bmin", "min"), bmax=("bmax", "max"))
+            for c in ("sid", "bin", "c"):
+                g[c] = g[c].astype("int64")
+            return pa.Table.from_pandas(g, schema=_bk_schema, preserve_index=False)
+
+        return hash_reduce_small(
+            rd.read_parquet(
+                events_path, columns=["event_type", "value"]
+            ).map_batches(_partial, batch_format="pandas"),
+            ["sid"],
+            _merge,
+            num_partitions=num_partitions,
+            combine_fn=_merge,
+        ).to_pandas()
+
+    level = 0
+    while True:
+        pending = {s: st for s, st in states.items() if st["c"] > rescan_cap}
+        if not pending:
+            break
+        level += 1
+        if level > 64:  # float64 ranges split long before 64 levels
+            raise RuntimeError("group_quantiles failed to converge")
+        bk = _bucket_pass(pending)
+        for s, st in pending.items():
+            rows = bk[bk["sid"] == s].sort_values("bin")
+            cum = 0
+            for b, c, bmin, bmax in zip(rows["bin"], rows["c"], rows["bmin"],
+                                        rows["bmax"]):
+                if st["r"] < cum + c:
+                    st["r"] -= cum
+                    st["c"] = int(c)
+                    st["lo"], st["hi"] = float(bmin), float(bmax)
+                    if bmin == bmax:  # heavy-tie bucket: resolved exactly
+                        results[st["et"]][st["q"]] = float(bmin)
+                        st["c"] = 0  # mark done (drops from pending/collect)
+                    break
+                cum += int(c)
+            else:  # pragma: no cover - counts must cover rank r
+                raise RuntimeError("group_quantiles rank fell outside buckets")
+
+    # ---- pass L+1: bounded rescan of the located intervals ----------
+    collect = {s: st for s, st in states.items() if st["c"] > 0}
+    if collect:
+        specs = [(s, st["et"], st["lo"], st["hi"]) for s, st in collect.items()]
+
+        def _gather(df: pd.DataFrame) -> pa.Table:
+            v_all = df["value"].to_numpy()
+            et_all = df["event_type"].to_numpy()
+            sids, vals = [np.empty(0, dtype="int64")], [np.empty(0)]
+            for s, et, lo, hi in specs:
+                m = (et_all == et) & (v_all >= lo) & (v_all <= hi)
+                vv = v_all[m]
+                sids.append(np.full(len(vv), s, dtype="int64"))
+                vals.append(vv)
+            return pa.table(
                 {
-                    "event_type": pd.Series(dtype="object"),
-                    "n": pd.Series(dtype="int64"),
-                    "p50": pd.Series(dtype="float64"),
-                    "p90": pd.Series(dtype="float64"),
+                    "sid": pa.array(np.concatenate(sids), pa.int64()),
+                    "v": pa.array(
+                        np.concatenate(vals).astype("float64"), pa.float64()
+                    ),
                 }
             )
-        rows = []
-        for et, g in df.groupby("event_type", sort=False, dropna=False):
-            v = np.sort(g["value"].to_numpy())
-            n = len(v)
-            rows.append(
-                (et, n, float(v[(n - 1) // 2]), float(v[((n - 1) * 9) // 10]))
-            )
-        out = pd.DataFrame(rows, columns=["event_type", "n", "p50", "p90"])
-        out["n"] = out["n"].astype("int64")
-        return out
 
-    from .shuffle import partitioned_map_groups
+        got = (
+            rd.read_parquet(events_path, columns=["event_type", "value"])
+            .map_batches(_gather, batch_format="pandas")
+            .to_pandas()
+        )  # <= rescan_cap x targets rows by construction
+        for s, st in collect.items():
+            vv = np.sort(got.loc[got["sid"] == s, "v"].to_numpy())
+            if len(vv) != st["c"]:  # pragma: no cover
+                raise RuntimeError("group_quantiles rescan count mismatch")
+            results[st["et"]][st["q"]] = float(vv[st["r"]])
 
-    return partitioned_map_groups(
-        ds, ["event_type"], _fn, num_partitions=num_partitions
+    out = pd.DataFrame(
+        [
+            (et, res["n"], res.get("p50"), res.get("p90"))
+            for et, res in results.items()
+        ],
+        columns=["event_type", "n", "p50", "p90"],
+    )
+    out["n"] = out["n"].astype("int64")
+    out["p50"] = out["p50"].astype("float64")
+    out["p90"] = out["p90"].astype("float64")
+    return rd.from_arrow(
+        pa.Table.from_pandas(
+            out,
+            schema=pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("n", pa.int64()),
+                    ("p50", pa.float64()),
+                    ("p90", pa.float64()),
+                ]
+            ),
+            preserve_index=False,
+        )
     )
 
 
@@ -396,11 +617,14 @@ def json_field_stats(
     not row count — and the sortless ``hash_reduce_small`` exchange merges
     partials; count/min/max/distinct are all exact integers, so the
     result is bit-stable and SQL-certifiable. The raw JSON strings never
-    leave their block. Parsing is stdlib ``json`` per row inside the
-    batch — at 100 TB swap in a C parser (orjson / simdjson) behind the
-    same combiner; the exchange shape is already right.
+    leave their block. Parsing uses the C parser (orjson) when present,
+    stdlib ``json`` otherwise — both yield identical dict/int values for
+    the integer-field contract, so the result is parser-independent.
     """
-    import json
+    try:  # C JSON parser if available; semantics identical for this use
+        import orjson as _json
+    except ImportError:  # pragma: no cover - environment-dependent
+        import json as _json
 
     from .shuffle import hash_reduce_small
 
@@ -417,7 +641,7 @@ def json_field_stats(
             if p is None:
                 continue
             try:
-                v = json.loads(p).get(field)
+                v = _json.loads(p).get(field)
             except (ValueError, AttributeError):
                 continue
             if isinstance(v, bool) or not isinstance(v, int):
@@ -561,7 +785,10 @@ def value_histogram(
 
     The classic combiner: each batch collapses to at most types×bins
     partial rows; the sortless exchange sums them. Raw values never
-    cross the wire."""
+    cross the wire. Fully Arrow-native — the batch never converts to
+    pandas. Null/NaN values carry no bin (they are dropped before
+    binning, mirroring the oracle's ``WHERE value IS NOT NULL``;
+    unmasked, np.floor(NaN).astype(int64) would mint a garbage bin)."""
     import numpy as np
 
     from .shuffle import hash_reduce_small
@@ -578,32 +805,28 @@ def value_histogram(
     )
 
     def _partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(v)
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
+            v = v[keep]
+        bins = np.clip(np.floor((v - lo) / width), 0, n_bins - 1).astype("int64")
+        t = pa.table(
             {
-                "event_type": batch.column("event_type").to_pandas(),
-                "bin": np.clip(
-                    np.floor(
-                        (batch.column("value").to_numpy(zero_copy_only=False) - lo)
-                        / width
-                    ),
-                    0,
-                    n_bins - 1,
-                ).astype("int64"),
+                "event_type": batch.column("event_type"),
+                "bin": pa.array(bins, pa.int64()),
             }
         )
-        g = df.groupby(["event_type", "bin"], as_index=False, sort=False).size()
-        g = g.rename(columns={"size": "n"})
-        g["n"] = g["n"].astype("int64")
-        return pa.Table.from_pandas(g, schema=schema, preserve_index=False)
+        g = t.group_by(["event_type", "bin"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["event_type", "bin", "n"]).cast(schema)
 
     def _merge(t: pa.Table) -> pa.Table:
-        g = (
-            t.to_pandas()
-            .groupby(["event_type", "bin"], as_index=False, sort=False)["n"]
-            .sum()
+        g = t.group_by(["event_type", "bin"], use_threads=False).aggregate(
+            [("n", "sum")]
         )
-        g["n"] = g["n"].astype("int64")
-        return pa.Table.from_pandas(g, schema=schema, preserve_index=False)
+        return g.rename_columns(["event_type", "bin", "n"]).cast(schema)
 
     partials = rd.read_parquet(
         events_path, columns=["event_type", "value"]

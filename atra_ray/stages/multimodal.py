@@ -512,7 +512,8 @@ class ToneDetectStage:
 
 def media_tone(audio_path: str, concurrency: int = 2, nfft: int = 1024) -> "object":
     """The driver-checked spectral pipeline over the TONE clips
-    (media_id % 4 == 3 — the generator plants bin-center sines there):
+    (media_id % 4 in {0, 3} — the generator plants bin-center sines
+    there, covering both the WAV and PAM container decode paths):
     (media_id, dominant_bin, dominant_hz). dominant_hz is computed as
     ``(bin * rate) / float(nfft)`` — integer product then one float
     division, the exact expression the SQL oracle runs."""
@@ -532,10 +533,9 @@ def media_tone(audio_path: str, concurrency: int = 2, nfft: int = 1024) -> "obje
         ids = batch.column("media_id")
         import pyarrow.compute as pc2
 
+        mod = pc2.subtract(ids, pc2.multiply(pc2.divide(ids, 4), 4))
         return batch.filter(
-            pc2.equal(
-                pc2.subtract(ids, pc2.multiply(pc2.divide(ids, 4), 4)), 3
-            )
+            pc2.or_(pc2.equal(mod, 3), pc2.equal(mod, 0))
         )
 
     return (

@@ -1072,8 +1072,11 @@ def test_media_tone_detection(tmp_path):
     ids = list(range(24))
     path = generate_audio(str(tmp_path), ids)
     out = media_tone(path, nfft=1024).to_pandas().set_index("media_id")
-    tone_ids = [i for i in ids if i % 4 == 3]
+    tone_ids = [i for i in ids if i % 4 in (0, 3)]
     assert sorted(out.index) == tone_ids
+    # both container decode paths are exercised: even tone ids are WAV,
+    # odd tone ids are PAM
+    assert any(i % 2 == 0 for i in tone_ids) and any(i % 2 == 1 for i in tone_ids)
     for i in tone_ids:
         k = tone_params(i)
         rate, _ = audio_params(i)
