@@ -621,6 +621,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return json_field_stats(f"{sf_dir}/events.parquet")
 
+    # Ordering contract (SURVEY §2.9): the driver's correctness collector
+    # snapshots at most ~50 entries (CORRECTNESS_r04 dropped the dict's
+    # last three), so every ORACLE-BACKED query sits in the first 50
+    # positions and the three rows-only-by-design entries (ann_lsh_topk /
+    # ann_ivf_topk approximate bucketing, doc_language metadata-only) sit
+    # LAST — they are the only ones allowed to fall off the snapshot, and
+    # each has pytest coverage (recall/accuracy tests) independent of the
+    # driver. tests/test_entry.py pins the registry size + tail order.
     return {
         "extract_text": extract_text,
         "extract_links": extract_links,
@@ -636,7 +644,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_search_topk": tfidf_search_topk,
         "embedding_dup_pairs": embedding_dup_pairs,
         "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
-        "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_exact_topk": ann_ivf_exact_topk,
         "gdbr_clean_pages": gdbr_clean_pages,
         "crawl_host_stats": crawl_host_stats,
@@ -645,13 +652,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": lang_distribution,
         "dedup_exact": dedup_exact,
         "ann_cosine_topk": ann_cosine_topk,
-        "ann_lsh_topk": ann_lsh_topk,
         "minhash_dup_pairs": minhash_dup_pairs,
         "simhash_dup_pairs": simhash_dup_pairs,
         "dup_clusters": dup_clusters,
         "dedup_minhash": dedup_minhash,
         "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
-        "doc_language": doc_language,
         "media_decode": media_decode,
         "media_audio": media_audio,
         "media_tone": media_tone,
@@ -675,6 +680,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": decontaminate,
         "stratified_sample": stratified_sample,
         "weighted_sample": weighted_sample,
+        # --- rows-only-by-design tail (see ordering contract above) ---
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "doc_language": doc_language,
     }
 
 
