@@ -181,6 +181,7 @@ def sessionize(
     events_path: str,
     gap_minutes: int = 30,
     num_partitions: int = 32,
+    bucket_hours: int | None = None,
 ) -> rd.Dataset:
     """Gap-based sessionization: a user's events ordered by (ts, event_id)
     start a new session whenever the gap to the previous event EXCEEDS
@@ -189,9 +190,25 @@ def sessionize(
     session_end, n_events, min_value, max_value) with session_id numbered
     1..k per user in time order. Aggregates are count/extrema on purpose —
     order-insensitive and float-exact, so the result is bit-stable under
-    any partitioning (a float SUM would not be)."""
+    any partitioning (a float SUM would not be).
+
+    ``bucket_hours`` selects the AT-SCALE escape hatch (the module
+    docstring's "sub-partition by (user, time-bucket) and stitch
+    boundary state"): rows are hash-partitioned on (user_id, floor(ts)
+    time bucket) instead of user_id alone — so ONE user's history no
+    longer has to fit a single worker — each sub-partition emits its
+    candidate session SEGMENTS, and a second, segments-only exchange on
+    user_id merges consecutive segments whose boundary gap is <= gap and
+    numbers the final sessions. The merge is exact because (a) a
+    bucket's events all precede the next bucket's (floor(ts) is monotone
+    in ts), so segment start-order equals event order, and (b) every
+    aggregate is mergeable (count sums; extrema take min/max). The
+    second exchange carries one row per candidate segment — O(sessions),
+    never O(events)."""
     ds = _read_events(events_path, ["event_id", "user_id", "ts", "value"], None)
     gap = pd.Timedelta(minutes=gap_minutes)
+    if bucket_hours is not None:
+        return _sessionize_bucketed(ds, gap, bucket_hours, num_partitions)
 
     def _fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["ts"].notna()]  # null-ts contract, see module docstring
@@ -223,6 +240,98 @@ def sessionize(
     from .shuffle import partitioned_map_groups
 
     return partitioned_map_groups(ds, ["user_id"], _fn, num_partitions=num_partitions)
+
+
+def _sessionize_bucketed(
+    ds: rd.Dataset,
+    gap: pd.Timedelta,
+    bucket_hours: int,
+    num_partitions: int,
+) -> rd.Dataset:
+    """(user, time-bucket) sub-partitioned sessionize with boundary-state
+    stitching — see ``sessionize(bucket_hours=...)``. Byte-identical to
+    the one-exchange path (tests/test_curation.py proves it on a single
+    user spanning many buckets)."""
+    from .shuffle import partitioned_map_groups
+
+    freq = f"{bucket_hours}h"
+
+    def _add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_bucket"] = df["ts"].dt.floor(freq)
+        return df
+
+    _seg_cols = [
+        "user_id", "session_start", "session_end",
+        "n_events", "min_value", "max_value",
+    ]
+
+    def _segments(df: pd.DataFrame) -> pd.DataFrame:
+        # candidate sessions WITHIN one (user, bucket) sub-partition —
+        # identical kernel to the one-pass path, minus the numbering
+        df = df[df["ts"].notna()]
+        if df.empty:
+            out = df.reindex(columns=["user_id", "ts", "value"])
+            return out.reindex(columns=_seg_cols)
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(
+            drop=True
+        )
+        grp = ["user_id", "_bucket"]
+        prev = df.groupby(grp, sort=False)["ts"].shift()
+        new_s = prev.isna() | ((df["ts"] - prev) > gap)
+        df["_seg"] = new_s.astype("int64").groupby(
+            [df["user_id"], df["_bucket"]], sort=False
+        ).cumsum()
+        out = df.groupby(grp + ["_seg"], as_index=False, sort=False).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "size"),
+            min_value=("value", "min"),
+            max_value=("value", "max"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[_seg_cols]
+
+    def _stitch(df: pd.DataFrame) -> pd.DataFrame:
+        # merge consecutive segments of a user whose boundary gap <= gap;
+        # segments from earlier buckets strictly precede later ones, so
+        # start-order == event order and the gap test at the seam is the
+        # exact one-pass test
+        cols = [
+            "user_id", "session_id", "session_start", "session_end",
+            "n_events", "min_value", "max_value",
+        ]
+        if df.empty:
+            return df.assign(session_id=pd.Series(dtype="int64")).reindex(
+                columns=cols
+            )
+        df = df.sort_values(
+            ["user_id", "session_start", "session_end"], kind="stable"
+        ).reset_index(drop=True)
+        prev_end = df.groupby("user_id", sort=False)["session_end"].shift()
+        new_s = prev_end.isna() | ((df["session_start"] - prev_end) > gap)
+        df["session_id"] = new_s.astype("int64").groupby(
+            df["user_id"], sort=False
+        ).cumsum()
+        out = df.groupby(["user_id", "session_id"], as_index=False, sort=False).agg(
+            session_start=("session_start", "min"),
+            session_end=("session_end", "max"),
+            n_events=("n_events", "sum"),
+            min_value=("min_value", "min"),
+            max_value=("max_value", "max"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[cols]
+
+    segs = partitioned_map_groups(
+        ds.map_batches(_add_bucket, batch_format="pandas"),
+        ["user_id", "_bucket"],
+        _segments,
+        num_partitions=num_partitions,
+    )
+    return partitioned_map_groups(
+        segs, ["user_id"], _stitch, num_partitions=num_partitions
+    )
 
 
 def interval_join_count(

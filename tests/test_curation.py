@@ -472,6 +472,54 @@ def test_group_quantiles_discrete_selection(ray_session, tmp_path):
     assert out.loc["b", "p50"] == 5.0 and out.loc["b", "p90"] == 5.0
 
 
+def test_sessionize_bucketed_boundary_stitch(ray_session, tmp_path):
+    """The (user, time-bucket) sub-partitioned path: ONE user's events
+    span many 1-hour buckets, with sessions that cross bucket boundaries
+    (25-min steps chain across the hour line) and sessions fully inside
+    a bucket — the stitched result is byte-identical to the
+    one-exchange path."""
+    import datetime as dt
+
+    from atra_ray.stages.events import sessionize
+
+    b = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: a 10-hour chain of 25-min steps (one long session crossing
+    # every bucket boundary), then a 2-hour pause, then a tight burst
+    t = b
+    for _ in range(24):
+        rows.append((eid, 1, t, "view", float(eid)))
+        eid += 1
+        t += dt.timedelta(minutes=25)
+    t += dt.timedelta(hours=2)
+    for _ in range(5):
+        rows.append((eid, 1, t, "click", float(100 - eid)))
+        eid += 1
+        t += dt.timedelta(minutes=5)
+    # exactly-gap pause ON a bucket boundary keeps the session (>gap
+    # starts one): event at :30 then next at 01:00:00 with gap=30min
+    rows.append((1000, 2, b + dt.timedelta(minutes=30), "view", 1.0))
+    rows.append((1001, 2, b + dt.timedelta(hours=1), "view", 2.0))
+    rows.append((1002, 2, b + dt.timedelta(hours=1, minutes=31), "view", 3.0))
+    p = _write_events(tmp_path, rows)
+
+    def canon(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["user_id", "session_id"])
+            .reset_index(drop=True)
+        )
+
+    one = canon(sessionize(p, num_partitions=3))
+    bucketed = canon(sessionize(p, num_partitions=5, bucket_hours=1))
+    pd.testing.assert_frame_equal(one, bucketed)
+    # sanity: user 1 really spans many buckets but only 2 sessions
+    assert one.loc[one.user_id == 1, "session_id"].tolist() == [1, 2]
+    # user 2: the exactly-30-min seam merges, the 31-min one splits
+    assert one.loc[one.user_id == 2, "n_events"].tolist() == [2, 1]
+
+
 def test_group_quantiles_histogram_path_large_group(ray_session, tmp_path):
     """The two-pass histogram selection: ONE group larger than a batch
     (and far larger than rescan_cap), num_partitions=8 — no partition
