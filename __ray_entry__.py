@@ -711,7 +711,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # and simulator oracles read via read_parquet)
 # ---------------------------------------------------------------------------
 
-_STOPWORD_SQL_RE = r"\b(the|and|of|to|in|is|that|for|on|with|as|a)\b"
+def _stopword_case_sql() -> str:
+    """Per-language stopword count as a CASE over constant-pattern RE2
+    branches (one per vendored language list, English fallback) — built
+    from the SAME LANG_STOPWORDS dict the engine uses, so the two sides
+    cannot drift. Each branch keeps a constant regex (DuckDB's fast
+    path)."""
+    from atra_ray.stages.text_analysis import LANG_STOPWORDS, lang_stopword_re
+
+    branches = " ".join(
+        f"WHEN lang = '{lg}' THEN "
+        f"length(regexp_extract_all(lower(text), '{lang_stopword_re(lg)}'))"
+        for lg in sorted(LANG_STOPWORDS)
+    )
+    fallback = (
+        f"length(regexp_extract_all(lower(text), '{lang_stopword_re('en')}'))"
+    )
+    return f"(CASE {branches} ELSE {fallback} END)"
+
+
+_STOPWORD_COUNT_SQL = _stopword_case_sql()
 
 # shared CTE for the exact n-gram Jaccard oracle (threshold 0.5, n=3):
 # tokenize like python's text.lower().split(), build distinct word-3-gram
@@ -1057,14 +1076,16 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
             WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.43
         """,
-        # documents-table operators (RE2 regex semantics on both sides)
+        # documents-table operators (RE2 regex semantics on both sides;
+        # stopword counting keyed by the row's lang column — the CASE is
+        # generated from the engine's own LANG_STOPWORDS dict)
         "doc_quality": f"""
             SELECT doc_id,
                    length(text)::BIGINT AS n_chars,
                    length(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens,
-                   length(regexp_extract_all(lower(text), '{_STOPWORD_SQL_RE}'))::BIGINT AS n_stopwords,
+                   {_STOPWORD_COUNT_SQL}::BIGINT AS n_stopwords,
                    length(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS n_punct,
-                   length(regexp_extract_all(lower(text), '{_STOPWORD_SQL_RE}'))::DOUBLE
+                   {_STOPWORD_COUNT_SQL}::DOUBLE
                      / GREATEST(length(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)::DOUBLE
                      AS stop_ratio
             FROM documents

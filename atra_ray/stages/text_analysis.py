@@ -36,10 +36,43 @@ TOKEN_RE = r"[A-Za-z0-9]+"
 # pack_sequences and weighted_sample AND their SQL oracles — single point
 # of truth (a change here must be mirrored in every oracle string)
 WS_WORD_RE = r"[^ \t\n\r\f]+"
-# \b word-bounded high-frequency English function words (subset of
-# functions/langdetect.py's list — kept short so the SQL mirror stays legible)
-_STOPWORDS = ("the", "and", "of", "to", "in", "is", "that", "for", "on", "with", "as", "a")
-STOPWORD_RE = r"\b(" + "|".join(_STOPWORDS) + r")\b"
+# Per-language stopword lists — compact vendored subsets of the public
+# ISO-639 stopword inventories (the reference vendors full lists in its
+# iso_stopwords crate, /root/reference/iso_stopwords/src/lib.rs; these
+# are the highest-frequency function words of each list). Keyed by the
+# documents table's ISO 639-1 `lang` codes.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "on",
+           "with", "as", "a", "it", "was", "at", "by", "this", "be"),
+    "es": ("de", "la", "que", "el", "en", "y", "a", "los", "del", "se",
+           "las", "por", "un", "para", "con", "no", "una", "su"),
+    "de": ("der", "die", "und", "in", "den", "von", "zu", "das", "mit",
+           "sich", "des", "auf", "ist", "im", "dem", "nicht", "ein", "als"),
+    "fr": ("de", "la", "le", "et", "les", "des", "en", "un", "du", "une",
+           "que", "est", "dans", "qui", "par", "pour", "sur", "au"),
+    # zh function words are not \b-delimited (RE2's \b is an ASCII word
+    # boundary and CJK codepoints are non-word chars, so \b(的)\b can
+    # never match) — counted as plain substring occurrences instead
+    "zh": ("的", "了", "是", "在", "和", "有", "我", "不", "这", "们",
+           "他", "上", "就", "也", "都", "个"),
+}
+_NO_WORD_BOUNDARY = {"zh"}
+
+
+def lang_stopword_re(lang: str) -> str:
+    """RE2 pattern counting ``lang``'s stopwords (English fallback for
+    unknown codes). Shared verbatim with the SQL oracle — both pyarrow
+    and DuckDB run RE2, so counts are bit-identical."""
+    words = LANG_STOPWORDS.get(lang, LANG_STOPWORDS["en"])
+    alt = "(" + "|".join(words) + ")"
+    if lang in _NO_WORD_BOUNDARY:
+        return alt
+    return r"\b" + alt + r"\b"
+
+
+# legacy single-language export (the English list) — kept for callers
+# that count stopwords on text with no language column
+STOPWORD_RE = lang_stopword_re("en")
 PUNCT_RE = r"[.,;:!?]"
 _WS_RE = re.compile(r"[ \t\n\r\f]+")  # matches RE2/DuckDB '\s' semantics
 
@@ -47,30 +80,54 @@ _WS_RE = re.compile(r"[ \t\n\r\f]+")  # matches RE2/DuckDB '\s' semantics
 def doc_quality(docs_path: str) -> rd.Dataset:
     """doc_id, n_chars, n_tokens, n_stopwords, n_punct, stop_ratio —
     the counting backbone of a quality-scoring stage (length/punct/stopword
-    ratios)."""
+    ratios). Stopword counting is keyed by the document's ``lang`` column
+    (per-language vendored lists, English fallback; a corpus with no lang
+    column counts everything as English) — multilingual corpora would
+    otherwise underweight every non-English page. Each batch groups rows
+    by the <=5 languages present and runs ONE vectorized RE2 pass per
+    language over that slice (never per row)."""
+    import numpy as np
+    import pyarrow.parquet as pqt
+
+    try:
+        has_lang = "lang" in pqt.ParquetDataset(docs_path).schema.names
+    except (OSError, ValueError):  # pragma: no cover - odd layouts
+        has_lang = False
+    cols = ["doc_id", "text"] + (["lang"] if has_lang else [])
 
     def _stats(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
         lower = pc.utf8_lower(text)
-        n_tokens = pc.count_substring_regex(text, TOKEN_RE)
-        n_stop = pc.count_substring_regex(lower, STOPWORD_RE)
+        n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64())
+        if has_lang:
+            langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+            langs[langs == None] = "en"  # noqa: E711 - element-wise None test
+        else:
+            langs = np.full(len(batch), "en", dtype=object)
+        n_stop = np.zeros(len(batch), dtype=np.int64)
+        for lg in np.unique(langs):
+            m = langs == lg
+            sub = lower if m.all() else lower.filter(pa.array(m))
+            c = pc.count_substring_regex(sub, lang_stopword_re(str(lg)))
+            n_stop[m] = np.asarray(c.cast(pa.int64()))
+        n_stop_arr = pa.array(n_stop, pa.int64())
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
-                "n_tokens": pc.cast(n_tokens, pa.int64()),
-                "n_stopwords": pc.cast(n_stop, pa.int64()),
+                "n_tokens": n_tokens,
+                "n_stopwords": n_stop_arr,
                 "n_punct": pc.cast(
                     pc.count_substring_regex(text, PUNCT_RE), pa.int64()
                 ),
                 "stop_ratio": pc.divide(
-                    pc.cast(n_stop, pa.float64()),
+                    pc.cast(n_stop_arr, pa.float64()),
                     pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64()),
                 ),
             }
         )
 
-    return rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+    return rd.read_parquet(docs_path, columns=cols).map_batches(
         _stats, batch_format="pyarrow"
     )
 

@@ -219,8 +219,42 @@ def test_doc_quality_counts(docs_parquet):
 
     df = doc_quality(docs_parquet).to_pandas().set_index("doc_id")
     assert df.loc[0, "n_tokens"] == 9
-    assert df.loc[0, "n_stopwords"] == 2  # "the" twice
+    assert df.loc[0, "n_stopwords"] == 2  # "the" twice (en fallback: no lang col)
     assert df.loc[0, "n_chars"] == len("the quick brown fox jumps over the lazy dog")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_quality_per_language_stopwords(tmp_path):
+    """Stopword counting keys on the row's lang: the same token counts
+    differently under different language lists, zh counts plain CJK
+    substrings (no \\b — RE2 word boundaries are ASCII-only), and an
+    unknown lang falls back to the English list."""
+    from atra_ray.stages.text_analysis import doc_quality
+
+    rows = [
+        (0, "la casa de la colina", "es"),   # es: la x2, de -> 3
+        (1, "la casa de la colina", "fr"),   # fr: la x2, de -> 3 (same words!)
+        (2, "la casa de la colina", "en"),   # en: none of these -> 0
+        (3, "这是我的书和他的笔", "zh"),        # zh: 这,是,我,的x2,和,他 -> 7
+        (4, "the cat and the hat", "xx"),    # unknown -> en list: the x2, and
+    ]
+    p = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        p,
+    )
+    df = doc_quality(str(p)).to_pandas().set_index("doc_id")
+    assert df.loc[0, "n_stopwords"] == 3
+    assert df.loc[1, "n_stopwords"] == 3
+    assert df.loc[2, "n_stopwords"] == 0
+    assert df.loc[3, "n_stopwords"] == 7
+    assert df.loc[4, "n_stopwords"] == 3
 
 
 def test_png_roundtrip_all_color_types():
