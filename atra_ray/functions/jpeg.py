@@ -1,16 +1,18 @@
 """Pure-stdlib baseline JPEG (JFIF) codec — numpy DCT, no PIL/libjpeg.
 
 Scope (documented, enforced): baseline sequential DCT (SOF0), 8-bit,
-grayscale or YCbCr 4:4:4, standard JPEG Annex-K quantization (quality-50)
+grayscale or YCbCr with 4:4:4, 4:2:2 or 4:2:0 chroma subsampling (any
+integer sampling-factor ratio, MCU-interleaved per T.81 A.2.3 with
+nearest-neighbor chroma upsampling on decode — real-world corpora are
+overwhelmingly 4:2:0), standard JPEG Annex-K quantization (quality-50)
 and Huffman tables. The encoder exists to make REAL JPEG fixture bytes
 (`sources/media.py`); the decoder is the production path in
-``DecodeImageStage`` (multimodal.py) — it parses baseline 4:4:4/gray
-JFIF streams (incl. 0xFF fill bytes before markers), and REJECTS
-progressive (SOF2), arithmetic, 12-bit, subsampled (4:2:0/4:2:2) and
-restart-interval (DRI) streams with ValueError, which the stage
-surfaces as an ok=False row (decode errors are DATA, not exceptions —
-truncated-segment struct/index failures convert at the decode_jpeg
-boundary).
+``DecodeImageStage`` (multimodal.py) — it parses baseline JFIF streams
+(incl. 0xFF fill bytes before markers), and REJECTS progressive (SOF2),
+arithmetic, 12-bit, non-integer sampling ratios and restart-interval
+(DRI) streams with ValueError, which the stage surfaces as an ok=False
+row (decode errors are DATA, not exceptions — truncated-segment
+struct/index failures convert at the decode_jpeg boundary).
 
 Why not byte-exact oracles: JPEG is lossy — the driver oracle checks the
 header-parsed dimensions (id arithmetic), and tests bound the roundtrip
@@ -200,18 +202,49 @@ def _encode_component(blocks: np.ndarray, q: np.ndarray, dc_tab, ac_tab, w, pred
     return pred
 
 
+def _edge_pad(plane: np.ndarray, H: int, W: int) -> np.ndarray:
+    """Edge-replicate ``plane`` up to (H, W)."""
+    h, w = plane.shape
+    p = np.empty((H, W), dtype=np.float64)
+    p[:h, :w] = plane
+    p[h:, :w] = plane[-1:, :]
+    p[:, w:] = p[:, w - 1 : w]
+    return p
+
+
 def _blocks_of(plane: np.ndarray) -> np.ndarray:
     """(h, w) float plane -> (n_blocks, 8, 8) in raster MCU order, edge
     padded to multiples of 8."""
     h, w = plane.shape
     H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    p = np.empty((H, W), dtype=np.float64)
-    p[:h, :w] = plane
-    p[h:, :w] = plane[-1:, :]
-    p[:, w:] = p[:, w - 1 : w]
+    p = _edge_pad(plane, H, W)
     return (
         p.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
     )
+
+
+def _mcu_blocks(plane: np.ndarray, hf: int, vf: int, mcu_h: int, mcu_w: int) -> np.ndarray:
+    """(h, w) float plane -> (n_mcus, hf*vf, 8, 8): the component's data
+    units grouped per MCU in T.81 A.2.3 interleave order (raster over the
+    component's hf x vf blocks within each MCU), edge padded to the MCU
+    grid."""
+    p = _edge_pad(plane, mcu_h * vf * 8, mcu_w * hf * 8)
+    return (
+        p.reshape(mcu_h, vf, 8, mcu_w, hf, 8)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(mcu_h * mcu_w, vf * hf, 8, 8)
+    )
+
+
+def _downsample(plane: np.ndarray, hf: int, vf: int) -> np.ndarray:
+    """Box-average chroma downsampling by (vf, hf) with edge padding —
+    the encoder's sampling filter (any filter is spec-legal)."""
+    if hf == 1 and vf == 1:
+        return plane
+    h, w = plane.shape
+    H, W = -(-h // vf) * vf, -(-w // hf) * hf
+    p = _edge_pad(plane, H, W)
+    return p.reshape(H // vf, vf, W // hf, hf).mean(axis=(1, 3))
 
 
 def _dht_segment(tclass: int, tid: int, table) -> bytes:
@@ -220,13 +253,26 @@ def _dht_segment(tclass: int, tid: int, table) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(px: np.ndarray) -> bytes:
-    """(h, w) or (h, w, 1|3) uint8 -> baseline JFIF bytes (4:4:4)."""
+_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def encode_jpeg(px: np.ndarray, subsampling: str = "444") -> bytes:
+    """(h, w) or (h, w, 1|3) uint8 -> baseline JFIF bytes.
+
+    ``subsampling`` picks the luma sampling factors for 3-channel input:
+    "444" (1x1, every component full resolution), "422" (2x1 — chroma
+    halved horizontally), "420" (2x2 — chroma halved both ways, the
+    near-universal real-world layout). Chroma planes are box-averaged
+    down and the scan is MCU-interleaved per T.81 A.2.3. Ignored for
+    grayscale."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, c = px.shape
     if c not in (1, 3):
         raise ValueError("encode_jpeg supports 1 or 3 channels")
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hf, vf = _SUBSAMPLING[subsampling] if c == 3 else (1, 1)
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tid, q in ([(0, _QY)] if c == 1 else [(0, _QY), (1, _QC)]):
@@ -235,7 +281,8 @@ def encode_jpeg(px: np.ndarray) -> bytes:
     out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * c) + bytes([8])
     out += struct.pack(">HH", h, w) + bytes([c])
     for ci in range(c):
-        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4
+        samp = (hf << 4) | vf if ci == 0 else 0x11
+        out += bytes([ci + 1, samp, 0 if ci == 0 else 1])
     out += _dht_segment(0, 0, _DC_LUM) + _dht_segment(1, 0, _AC_LUM)
     if c == 3:
         out += _dht_segment(0, 1, _DC_CHR) + _dht_segment(1, 1, _AC_CHR)
@@ -248,26 +295,35 @@ def encode_jpeg(px: np.ndarray) -> bytes:
         r, g, b = f[..., 0], f[..., 1], f[..., 2]
         planes = [
             0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            _downsample(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0, hf, vf),
+            _downsample(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0, hf, vf),
         ]
     else:
         planes = [f[..., 0]]
     dc_l, ac_l = _huff_codes(*_DC_LUM), _huff_codes(*_AC_LUM)
     dc_c, ac_c = _huff_codes(*_DC_CHR), _huff_codes(*_AC_CHR)
-    # 4:4:4 MCU = one 8x8 block per component, interleaved: encode block
-    # i of every component before block i+1
+    # MCU interleave: per MCU the luma's hf*vf blocks in raster order,
+    # then one block of each chroma component (T.81 A.2.3); 4:4:4
+    # degenerates to one block per component
+    mcu_h, mcu_w = -(-h // (8 * vf)), -(-w // (8 * hf))
     comp_blocks = [
-        _blocks_of(np.clip(p, 0, 255) - 128.0) for p in planes
+        _mcu_blocks(
+            np.clip(p, 0, 255) - 128.0,
+            hf if ci == 0 else 1,
+            vf if ci == 0 else 1,
+            mcu_h,
+            mcu_w,
+        )
+        for ci, p in enumerate(planes)
     ]
     wtr = _BitWriter()
     preds = [0] * c
-    for i in range(comp_blocks[0].shape[0]):
+    for i in range(mcu_h * mcu_w):
         for ci in range(c):
             q = _QY if ci == 0 else _QC
             dct_tabs = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
             preds[ci] = _encode_component(
-                comp_blocks[ci][i : i + 1], q, dct_tabs[0], dct_tabs[1], wtr, preds[ci]
+                comp_blocks[ci][i], q, dct_tabs[0], dct_tabs[1], wtr, preds[ci]
             )
     out += wtr.flush()
     out += b"\xff\xd9"  # EOI
@@ -400,8 +456,9 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise ValueError("only 4:4:4 (no subsampling) supported")
+                hf, vf = samp >> 4, samp & 0xF
+                if not (1 <= hf <= 4 and 1 <= vf <= 4):
+                    raise ValueError("bad JPEG sampling factors")
                 comps.append((cid, samp, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -421,47 +478,87 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cid, tabs >> 4, tabs & 0xF))
+            if ns != len(comps):
+                raise ValueError("multi-scan baseline JPEG unsupported")
             rdr = _BitReader(data, pos + seglen)
-            nb_h, nb_w = (h + 7) // 8, (w + 7) // 8
-            planes = [np.zeros((nb_h * 8, nb_w * 8)) for _ in scan]
-            preds = [0] * ns
-            qs = []
             comp_by_id = {c[0]: c for c in comps}
+            hmax = max(c[1] >> 4 for c in comps)
+            vmax = max(c[1] & 0xF for c in comps)
+            # per-scan-component geometry (T.81 A.1.1 / A.2.4): sampling
+            # factors, per-MCU block grid, true sample dims, upsampling
+            # ratio back to image resolution
+            qs, facs, dims = [], [], []
             for cid, _, _ in scan:
                 if cid not in comp_by_id or comp_by_id[cid][2] not in qtabs:
                     raise ValueError("JPEG scan references missing tables")
-                qs.append(qtabs[comp_by_id[cid][2]])
-            for by in range(nb_h):
-                for bx in range(nb_w):
-                    for si, (cid, dc_id, ac_id) in enumerate(scan):
-                        dc_lut = htabs.get((0, dc_id))
-                        ac_lut = htabs.get((1, ac_id))
-                        if dc_lut is None or ac_lut is None:
-                            raise ValueError("JPEG scan references missing tables")
-                        s = rdr.huff(dc_lut)
-                        diff = _extend(rdr.bits(s), s) if s else 0
-                        preds[si] += diff
-                        zz = np.zeros(64, dtype=np.int64)
-                        zz[0] = preds[si]
-                        k = 1
-                        while k < 64:
-                            rs = rdr.huff(ac_lut)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            size = rs & 0xF
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            zz[k] = _extend(rdr.bits(size), size)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[_ZIGZAG] = zz * qs[si].reshape(64)[_ZIGZAG]
-                        block = _C.T @ coef.reshape(8, 8) @ _C + 128.0
-                        planes[si][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-            planes = [p[:h, :w] for p in planes]
+                _, samp, tq = comp_by_id[cid]
+                hf, vf = samp >> 4, samp & 0xF
+                if ns == 1:
+                    hf = vf = hmax = vmax = 1  # single-comp scan: own grid
+                if hmax % hf or vmax % vf:
+                    raise ValueError("non-integer JPEG sampling ratio")
+                qs.append(qtabs[tq])
+                facs.append((hf, vf))
+                dims.append((-(-h * vf // vmax), -(-w * hf // hmax)))
+            mcu_h, mcu_w = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+            planes = [
+                np.zeros((mcu_h * vf * 8, mcu_w * hf * 8))
+                for hf, vf in facs
+            ]
+            preds = [0] * ns
+            luts = []
+            for _, dc_id, ac_id in scan:
+                dc_lut = htabs.get((0, dc_id))
+                ac_lut = htabs.get((1, ac_id))
+                if dc_lut is None or ac_lut is None:
+                    raise ValueError("JPEG scan references missing tables")
+                luts.append((dc_lut, ac_lut))
+            for my in range(mcu_h):
+                for mx in range(mcu_w):
+                    for si in range(ns):
+                        hf, vf = facs[si]
+                        dc_lut, ac_lut = luts[si]
+                        for by in range(vf):
+                            for bx in range(hf):
+                                s = rdr.huff(dc_lut)
+                                diff = _extend(rdr.bits(s), s) if s else 0
+                                preds[si] += diff
+                                zz = np.zeros(64, dtype=np.int64)
+                                zz[0] = preds[si]
+                                k = 1
+                                while k < 64:
+                                    rs = rdr.huff(ac_lut)
+                                    if rs == 0x00:  # EOB
+                                        break
+                                    if rs == 0xF0:  # ZRL
+                                        k += 16
+                                        continue
+                                    k += rs >> 4
+                                    size = rs & 0xF
+                                    if k > 63:
+                                        raise ValueError("JPEG AC index overflow")
+                                    zz[k] = _extend(rdr.bits(size), size)
+                                    k += 1
+                                coef = np.zeros(64, dtype=np.float64)
+                                coef[_ZIGZAG] = zz * qs[si].reshape(64)[_ZIGZAG]
+                                block = _C.T @ coef.reshape(8, 8) @ _C + 128.0
+                                r0 = (my * vf + by) * 8
+                                c0 = (mx * hf + bx) * 8
+                                planes[si][r0 : r0 + 8, c0 : c0 + 8] = block
+            # crop to true sample dims, then nearest-neighbor upsample
+            # chroma back to image resolution (sample replication)
+            up = []
+            for si in range(ns):
+                hf, vf = facs[si]
+                ch, cw = dims[si]
+                p = planes[si][:ch, :cw]
+                ry, rx = vmax // vf, hmax // hf
+                if ry > 1:
+                    p = np.repeat(p, ry, axis=0)
+                if rx > 1:
+                    p = np.repeat(p, rx, axis=1)
+                up.append(p[:h, :w])
+            planes = up
             if ns == 1:
                 out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
                 return out[:, :, None]

@@ -42,7 +42,7 @@ __all__ = [
     "video_params",
 ]
 
-_VERSION = "5"  # v5: tone clips on id%4 in {0,3} so BOTH containers carry tones
+_VERSION = "6"  # v6: tone clips on id%4 in {0,3}; JPEG mix cycles 444/422/420
 _VIDEO_VERSION = "1"  # Y4M (YUV4MPEG2) + VIDX synthetic twin
 
 
@@ -103,10 +103,16 @@ def generate_media(out_dir: str, ids: list[int]) -> str:
         w, h = media_dims(i)
         px = _pixels(i, w, h)
         if i % 4 == 1:
-            # real baseline JPEG (4:4:4, Annex-K tables) — lossy, so only
-            # header facts (dims) are oracle-compared; every 8th a
-            # grayscale stream
-            blobs.append(encode_jpeg(px[:, :, :1] if i % 8 == 5 else px))
+            # real baseline JPEG (Annex-K tables) — lossy, so only header
+            # facts (dims) are oracle-compared; every 8th a grayscale
+            # stream, and the color streams cycle 4:4:4 / 4:2:2 / 4:2:0
+            # chroma subsampling so the MCU-interleaved decode paths are
+            # all driver-exercised (real corpora are mostly 4:2:0)
+            if i % 8 == 5:
+                blobs.append(encode_jpeg(px[:, :, :1]))
+            else:
+                sub = ("444", "422", "420")[(i // 4) % 3]
+                blobs.append(encode_jpeg(px, subsampling=sub))
             mimes.append("image/jpeg")
         elif i % 2 == 0:
             # grayscale every 4th even id: both PNG color types verified

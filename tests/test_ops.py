@@ -1095,6 +1095,37 @@ def test_jpeg_roundtrip_size_sweep():
         assert np.abs(out.astype(int) - px.astype(int)).mean() < 16, (h, w, c)
 
 
+def test_jpeg_subsampled_roundtrip():
+    """4:2:0 and 4:2:2 chroma subsampling: MCU-interleaved scan decodes
+    with exact dims at odd/block-straddling shapes, luma survives near-
+    losslessly on smooth content (chroma is box-averaged down then
+    sample-replicated up, so color error is bounded but nonzero), and
+    grayscale ignores the subsampling parameter entirely."""
+    from atra_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(31)
+    for h, w in [(16, 16), (17, 23), (8, 8), (1, 1), (9, 40), (33, 15)]:
+        base = np.linspace(30, 220, h * w).reshape(h, w)
+        px = np.clip(
+            base[:, :, None] + rng.randint(-15, 15, (h, w, 3)), 0, 255
+        ).astype(np.uint8)
+        for sub in ("420", "422"):
+            out = decode_jpeg(encode_jpeg(px, subsampling=sub))
+            assert out.shape == (h, w, 3), (h, w, sub)
+            err = np.abs(out.astype(int) - px.astype(int))
+            assert err.mean() < 16, (h, w, sub, err.mean())
+    # flat color: chroma constant, so subsampling is exactly invertible
+    flat = np.full((24, 17, 3), 130, np.uint8)
+    for sub in ("420", "422"):
+        assert np.array_equal(decode_jpeg(encode_jpeg(flat, subsampling=sub)), flat)
+    g = np.linspace(0, 255, 24 * 24).reshape(24, 24).astype(np.uint8)
+    assert np.array_equal(
+        encode_jpeg(g, subsampling="420"), encode_jpeg(g, subsampling="444")
+    )
+    with pytest.raises(ValueError):
+        encode_jpeg(flat, subsampling="411")
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_media_tone_detection(tmp_path):
     """Bin-center sine clips resolve to the planted FFT bin through the
