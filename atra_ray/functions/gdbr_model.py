@@ -150,9 +150,14 @@ def featurize(text: str, idf: np.ndarray | None = None) -> np.ndarray:
 def score_text(
     text: str, w: np.ndarray, b: float, idf: np.ndarray | None = None
 ) -> float:
-    """P(banner) under the logistic model."""
+    """Banner score: the epsilon-SVR decision value ``w.x + b`` (targets
+    trained to +1 banner / -1 prose, mirroring the reference's liblinear
+    SVR predict(), svm/src/classifier.rs:249) mapped affinely to the
+    runtime's [~0, ~1] scale — (z+1)/2, UNclipped so the max-subtree
+    ordering above 1.0 survives. The stage's 0.5 threshold is exactly
+    the SVR's natural z=0 boundary."""
     z = float(featurize(text, idf) @ w + b)
-    return 1.0 / (1.0 + np.exp(-z))
+    return (z + 1.0) / 2.0
 
 
 _WEIGHTS_PATH = Path(__file__).resolve().parent.parent / "data" / "gdbr_weights.npz"

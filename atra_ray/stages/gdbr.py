@@ -5,9 +5,11 @@ TF-IDF of tokenized node text and removes the max-scoring subtree above a
 threshold before link extraction (atra/src/gdbr/identifier.rs:80-759,
 svm/src/classifier.rs). Our analog:
 
-- per-language LOGISTIC model over hashed TF (functions/gdbr_model.py),
-  trained offline by tools/train_gdbr.py; the weight registry loads ONCE
-  per actor in ``__init__`` (the T5 pattern), never per batch;
+- per-language L2-loss epsilon-insensitive SVR over hashed TF-IDF
+  (functions/gdbr_model.py — same model family as the reference's
+  liblinear L2R_L2LOSS_SVR), trained offline by tools/train_gdbr.py;
+  the weight registry loads ONCE per actor in ``__init__`` (the T5
+  pattern), never per batch;
 - scoring at DOM-SUBTREE granularity: a lightweight DOM builder
   (``_DomParser``) mirrors extract_html's text contract exactly (text
   nodes stripped at tag boundaries, script/style skipped, charrefs

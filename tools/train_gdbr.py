@@ -2,9 +2,11 @@
 entry at the bottom of atra/src/gdbr/identifier.rs + svm/ crate, with the
 TF-IDF corpus statistics of text_processing/src/tf_idf.rs).
 
-Per language: logistic regression over hashed TF-IDF features
-(functions/gdbr_model.py), full-batch gradient descent, seeded and fully
-deterministic. The pipeline mirrors the reference's shape:
+Per language: L2-regularized L2-loss epsilon-insensitive SVR over hashed
+TF-IDF features (functions/gdbr_model.py) — the same model family as the
+reference's liblinear L2R_L2LOSS_SVR — full-batch gradient descent with a
+Lipschitz-derived step, seeded and fully deterministic. The pipeline
+mirrors the reference's shape:
 
 1. **Corpus**: the deterministic fixture generator at sf=0.003 — the same
    page distribution the engine crawls (seed fixed, so training is
@@ -141,15 +143,36 @@ def _negative_samples(
 
 
 def _fit(X: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, float, float]:
+    """L2-regularized L2-loss epsilon-insensitive SVR (the liblinear
+    L2R_L2LOSS_SVR primal the reference trains — svm/src/config.rs
+    solver/epsilon/cost knobs, predict() in classifier.rs:249):
+
+        min_w  0.5 ||w||^2 + C * sum_i max(0, |w.x_i + b - t_i| - eps)^2
+
+    with regression targets t = +1 (banner) / -1 (prose), full-batch
+    gradient descent, seeded and deterministic. The decision value
+    w.x + b is mapped affinely to [~0, ~1] by score_text so the runtime
+    0.5 threshold sits exactly on the SVR's natural t=0 boundary."""
+    t = 2.0 * y - 1.0
     w = np.zeros(FEATURE_DIM)
     b = 0.0
-    lr, l2 = 5.0, 1e-4
-    for _ in range(400):  # full-batch GD; tiny problem, converges fast
-        z = X @ w + b
-        p = 1.0 / (1.0 + np.exp(-z))
-        g = p - y
-        w -= lr * (X.T @ g / len(y) + l2 * w)
-        b -= lr * g.mean()
+    C, eps = 4.0, 0.1
+    n = len(t)
+    # step = 1/L with L the smooth loss's Lipschitz constant
+    # (2C/n)·λmax(XᵀX [+1 bias]) + 1/n, λmax via deterministic power
+    # iteration — the squared-eps gradient is unbounded, so a hand-picked
+    # rate diverges where the old bounded logistic gradient did not
+    v = np.ones(X.shape[1]) / np.sqrt(X.shape[1])
+    for _ in range(50):
+        u = X.T @ (X @ v)
+        v = u / (np.linalg.norm(u) or 1.0)
+    lam = float(v @ (X.T @ (X @ v)))
+    lr = 1.0 / ((2.0 * C / n) * (lam + 1.0) + 1.0 / n)
+    for _ in range(2000):
+        r = X @ w + b - t
+        g = 2.0 * np.sign(r) * np.maximum(0.0, np.abs(r) - eps)
+        w -= lr * (w / n + C * (X.T @ g) / n)
+        b -= lr * C * g.mean()
     acc = float((((X @ w + b) > 0) == y.astype(bool)).mean())
     return w, b, acc
 
