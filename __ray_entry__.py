@@ -175,46 +175,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BSP: edges cached per partition once, ranks exchanged per iter.
         import pyarrow.compute as pc2
 
-        from atra_ray.functions.hashing import md5_low64
+        from atra_ray.functions.hashing import md5_low64_column
         from atra_ray.pipelines.dump import edges_dataset
         from atra_ray.stages.graph import pagerank_fp
 
         edges = edges_dataset(_crawl_out(sf_dir), include_seeds=False)
 
-        def _hash_col(col):
-            # urls repeat heavily across edges: dictionary-encode the
-            # column and md5 only the distinct values, then scatter the
-            # hashes back by code — turns the per-edge md5 pass into a
-            # per-distinct-url one (VERDICT r4 item 7)
-            import numpy as np
-            import pyarrow as pa2
-
-            out = []
-            chunks = col.chunks if isinstance(col, pa2.ChunkedArray) else [col]
-            for ch in chunks:
-                if len(ch) == 0:
-                    out.append(pa2.array([], pa2.uint64()))
-                    continue
-                enc = ch.dictionary_encode()
-                uniq = np.fromiter(
-                    (md5_low64(u) for u in enc.dictionary.to_pylist()),
-                    dtype=np.uint64,
-                    count=len(enc.dictionary),
-                )
-                idx = enc.indices.to_numpy(zero_copy_only=False)
-                out.append(pa2.array(uniq[idx], pa2.uint64()))
-            return (
-                pa2.chunked_array(out, pa2.uint64()) if len(out) != 1 else out[0]
-            )
-
         def _hash(batch):
+            # urls repeat heavily across edges: md5_low64_column
+            # dictionary-encodes and digests only distinct urls
+            # (VERDICT r4 item 7)
             import pyarrow as pa2
 
             b = batch.filter(pc2.not_equal(batch.column("kind"), "seed"))
             return pa2.table(
                 {
-                    "src": _hash_col(b.column("src")),
-                    "dst": _hash_col(b.column("dst")),
+                    "src": md5_low64_column(b.column("src")),
+                    "dst": md5_low64_column(b.column("dst")),
                 }
             )
 

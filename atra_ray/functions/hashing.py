@@ -13,9 +13,38 @@ from __future__ import annotations
 
 import hashlib
 
-__all__ = ["md5_low64"]
+__all__ = ["md5_low64", "md5_low64_column"]
 
 
 def md5_low64(value: str) -> int:
     """uint64 == DuckDB ``md5_number_lower(value)``."""
     return int.from_bytes(hashlib.md5(value.encode()).digest()[8:], "little")
+
+
+def md5_low64_column(col):
+    """Vectorized ``md5_low64`` over a pyarrow (Chunked)Array of strings
+    -> uint64 (Chunked)Array.
+
+    Values like crawl-graph urls repeat heavily within a block, so each
+    chunk is dictionary-encoded and only the DISTINCT values are md5'd,
+    then scattered back by code — turning a per-row digest pass into a
+    per-distinct-value one (the dominant cost of PageRank id prep,
+    VERDICT r4 item 7)."""
+    import numpy as np
+    import pyarrow as pa
+
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out = []
+    for ch in chunks:
+        if len(ch) == 0:
+            out.append(pa.array([], pa.uint64()))
+            continue
+        enc = ch.dictionary_encode()
+        uniq = np.fromiter(
+            (md5_low64(u) for u in enc.dictionary.to_pylist()),
+            dtype=np.uint64,
+            count=len(enc.dictionary),
+        )
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        out.append(pa.array(uniq[idx], pa.uint64()))
+    return pa.chunked_array(out, pa.uint64()) if len(out) != 1 else out[0]

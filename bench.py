@@ -257,22 +257,17 @@ def bench_suite(sf_dir: str, num_cpus: int) -> dict:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from atra_ray.functions.hashing import md5_low64
+        from atra_ray.functions.hashing import md5_low64_column
         from atra_ray.pipelines.dump import edges_dataset
         from atra_ray.stages.graph import pagerank_fp
 
         def _hash(b):
+            # distinct-url digests only (dictionary-encoded scatter)
             b = b.filter(pc.not_equal(b.column("kind"), "seed"))
             return pa.table(
                 {
-                    "src": pa.array(
-                        [md5_low64(u) for u in b.column("src").to_pylist()],
-                        pa.uint64(),
-                    ),
-                    "dst": pa.array(
-                        [md5_low64(u) for u in b.column("dst").to_pylist()],
-                        pa.uint64(),
-                    ),
+                    "src": md5_low64_column(b.column("src")),
+                    "dst": md5_low64_column(b.column("dst")),
                 }
             )
 

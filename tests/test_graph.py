@@ -83,3 +83,22 @@ def test_pagerank_fp_empty_and_degenerate():
     # only self-loops -> no effective nodes
     only_self = pagerank_fp(_edges_ds([(1, 1), (2, 2)]), num_partitions=2)
     assert only_self.count() == 0
+
+
+def test_md5_low64_column_matches_scalar():
+    """The dictionary-encoded column digest equals the per-row scalar on
+    repeat-heavy, unique-only, chunked and empty inputs."""
+    import pyarrow as pa
+
+    from atra_ray.functions.hashing import md5_low64, md5_low64_column
+
+    vals = ["http://a/x", "http://b/y", "http://a/x", "", "http://c",
+            "http://a/x", "http://b/y"]
+    arr = pa.array(vals, pa.string())
+    got = md5_low64_column(arr).to_pylist()
+    assert got == [md5_low64(v) for v in vals]
+    chunked = pa.chunked_array(
+        [pa.array(vals[:3]), pa.array([], pa.string()), pa.array(vals[3:])]
+    )
+    assert md5_low64_column(chunked).to_pylist() == [md5_low64(v) for v in vals]
+    assert md5_low64_column(pa.array([], pa.string())).to_pylist() == []
