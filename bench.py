@@ -54,6 +54,16 @@ def cpu_probe() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def loadavg() -> list[float]:
+    """(1, 5, 15)-minute system load averages. The single-core cpu_probe
+    misses MULTI-core co-tenants (probe ~idle while 12 foreign workers
+    occupy the other cores and starve a 32-cpu Ray run — observed r5:
+    probes 0.29-0.33 yet crawl_full 77 s vs the 17-24 s quiet band, with
+    loadavg5 = 12.4). A 5-min load of more than a few marks the window
+    contaminated regardless of the probe."""
+    return [round(v, 2) for v in os.getloadavg()]
+
+
 def _sf_of(sf_dir: str) -> float:
     name = Path(sf_dir).name  # e.g. "sf0.1"
     try:
@@ -205,6 +215,7 @@ def run_one_query(name: str, sf_dir: str, num_cpus: int) -> dict:
         "runs": walls,
         "out": out,
         "probe": [p0, cpu_probe()],
+        "loadavg": loadavg(),
     }
 
 
@@ -224,7 +235,7 @@ def bench_suite(sf_dir: str, num_cpus: int) -> dict:
     fx_pages = _fixture_dir(sf_dir) / "pages.parquet"
 
     timings: dict[str, float] = {}
-    extras: dict = {"cpu_probe": {}}
+    extras: dict = {"cpu_probe": {}, "loadavg_per_query": {}}
     for name in _HEAVY_QUERIES:
         proc = subprocess.run(
             [sys.executable, str(REPO / "bench.py"), "--single-query", name,
@@ -241,6 +252,7 @@ def bench_suite(sf_dir: str, num_cpus: int) -> dict:
         rep = json.loads(proc.stdout.splitlines()[-1])
         timings[name] = rep["seconds"]
         extras["cpu_probe"][name] = rep.get("probe")
+        extras["loadavg_per_query"][name] = rep.get("loadavg")
         if name == "crawl":
             extras["crawl_counters"] = rep["out"]
         elif name == "crawl_full":
@@ -307,6 +319,7 @@ def bench_suite(sf_dir: str, num_cpus: int) -> dict:
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
     extras["cpu_probe"]["after_suite"] = cpu_probe()
+    extras["loadavg_after_suite"] = loadavg()
     return {"timings": timings, **extras}
 
 
@@ -488,6 +501,8 @@ def main() -> None:
         "crawl": out.get("crawl_counters"),
         "crawl_full": out.get("crawl_full_counters"),
         "cpu_probe": out.get("cpu_probe"),
+        "loadavg_after_suite": out.get("loadavg_after_suite"),
+        "loadavg_per_query": out.get("loadavg_per_query"),
     }
     print(json.dumps(line))
 
