@@ -214,6 +214,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _sos(sf_dir)
 
+    def brand_region_revenue(sf_dir):
+        # lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ region: the two scaling
+        # dimensions (part, supplier) join via co-partitioned exchanges,
+        # only the 25+5-row nation/region lookups are driver-side; exact
+        # integer cents
+        from atra_ray.stages.relational import brand_region_revenue as _brr
+
+        return _brr(sf_dir)
+
     def token_counts(sf_dir):
         from atra_ray.stages.text_analysis import token_counts as _tc
 
@@ -635,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": graph_pagerank,
         "orders_revenue_by_nation": orders_revenue_by_nation,
         "segment_order_stats": segment_order_stats,
+        "brand_region_revenue": brand_region_revenue,
         "token_counts": token_counts,
         "term_doc_freq": term_doc_freq,
         "tfidf_search_topk": tfidf_search_topk,
@@ -1001,6 +1011,18 @@ def oracle_sql() -> dict[str, str]:
                    min(o_orderdate) AS first_orderdate
             FROM orders JOIN customer ON c_custkey = o_custkey
             GROUP BY c_mktsegment, o_orderstatus
+        """,
+        "brand_region_revenue": """
+            SELECT r_name, p_brand,
+                   SUM(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)::BIGINT
+                       AS revenue_cents,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            GROUP BY r_name, p_brand
         """,
         # fixed-point TF-IDF retrieval: idf = exact rational N/df,
         # floor-scaled per term; integer sums == the engine's bit-for-bit

@@ -28,7 +28,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["revenue_by_nation", "segment_order_stats"]
+__all__ = ["brand_region_revenue", "revenue_by_nation", "segment_order_stats"]
 
 
 def _cents(price: np.ndarray, discount: np.ndarray) -> np.ndarray:
@@ -299,3 +299,207 @@ def segment_order_stats(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
         )
 
     return rd.from_arrow(_rename(out))
+
+
+def brand_region_revenue(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
+    """(r_name, p_brand, revenue_cents, n_items): lineitem revenue rolled
+    up to (SUPPLIER's region, part brand) — lineitem ⋈ part ⋈ supplier ⋈
+    nation ⋈ region. The query that touches every dimension table the
+    other two relational pipelines don't (part, supplier, region).
+
+    Scale shape: part (SF x 200k) and supplier (SF x 10k) both grow with
+    the corpus, so BOTH join hops are co-partitioned exchanges over the
+    shared superset schema — never a broadcast of a scaling side. Only
+    nation (25 rows) + region (5 rows) are driver-side lookups. The
+    lineitem combiner collapses to (partkey, suppkey) partials per batch
+    before hop 1, hop outputs re-collapse per partition, and the final
+    (nation, brand) reduce sees ~25 x 125 rows. Revenue is exact integer
+    cents (see module docstring) so the rollup is order-independent and
+    hash-MATCHable."""
+    from .shuffle import hash_reduce_small, partitioned_map_groups
+
+    # ---- hop 1: partkey --------------------------------------------------
+    def _li_partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            batch.column("l_discount").to_numpy(zero_copy_only=False),
+        )
+        df = pd.DataFrame(
+            {
+                "k": batch.column("l_partkey").to_numpy(zero_copy_only=False),
+                "supp": batch.column("l_suppkey").to_numpy(zero_copy_only=False),
+                "cents": cents,
+            }
+        )
+        g = df.groupby(["k", "supp"], as_index=False, sort=False).agg(
+            cents=("cents", "sum"), n=("cents", "size")
+        )
+        m = len(g)
+        return pa.table(
+            {
+                "k": pa.array(g["k"].astype("int64"), pa.int64()),
+                "supp": pa.array(g["supp"].astype("int64"), pa.int64()),
+                "cents": pa.array(g["cents"].astype("int64"), pa.int64()),
+                "n": pa.array(g["n"].astype("int64"), pa.int64()),
+                "brand": pa.array([None] * m, pa.string()),
+                "_side": pa.array(np.zeros(m, np.int8), pa.int8()),
+            }
+        )
+
+    def _part_tag(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table(
+            {
+                "k": batch.column("p_partkey").cast(pa.int64()),
+                "supp": pa.array([None] * m, pa.int64()),
+                "cents": pa.array([None] * m, pa.int64()),
+                "n": pa.array([None] * m, pa.int64()),
+                "brand": batch.column("p_brand"),
+                "_side": pa.array(np.ones(m, np.int8), pa.int8()),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_li_partial, batch_format="pyarrow")
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(_part_tag, batch_format="pyarrow")
+
+    def _join_partkey(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["_side"] == 0]
+        right = df[df["_side"] == 1]
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "supp": pd.Series(dtype="int64"),
+                    "brand": pd.Series(dtype="object"),
+                    "cents": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        m = left[["k", "supp", "cents", "n"]].merge(
+            right[["k", "brand"]], on="k", how="inner"
+        )
+        out = m.groupby(["supp", "brand"], as_index=False, sort=False).agg(
+            cents=("cents", "sum"), n=("n", "sum")
+        )
+        for c in ("supp", "cents", "n"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    hop1 = partitioned_map_groups(
+        li.union(part), ["k"], _join_partkey, num_partitions=num_partitions
+    )
+
+    # ---- hop 2: suppkey --------------------------------------------------
+    def _hop1_tag(batch) -> pa.Table:
+        if not isinstance(batch, pa.Table):
+            batch = pa.Table.from_pandas(batch, preserve_index=False)
+        m = batch.num_rows
+        return pa.table(
+            {
+                "k": batch.column("supp").cast(pa.int64()),
+                "brand": batch.column("brand"),
+                "cents": batch.column("cents").cast(pa.int64()),
+                "n": batch.column("n").cast(pa.int64()),
+                "nat": pa.array([None] * m, pa.int64()),
+                "_side": pa.array(np.zeros(m, np.int8), pa.int8()),
+            }
+        )
+
+    def _supp_tag(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table(
+            {
+                "k": batch.column("s_suppkey").cast(pa.int64()),
+                "brand": pa.array([None] * m, pa.string()),
+                "cents": pa.array([None] * m, pa.int64()),
+                "n": pa.array([None] * m, pa.int64()),
+                "nat": batch.column("s_nationkey").cast(pa.int64()),
+                "_side": pa.array(np.ones(m, np.int8), pa.int8()),
+            }
+        )
+
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(_supp_tag, batch_format="pyarrow")
+
+    def _join_suppkey(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["_side"] == 0]
+        right = df[df["_side"] == 1]
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "nat": pd.Series(dtype="int64"),
+                    "brand": pd.Series(dtype="object"),
+                    "cents": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        m = left[["k", "brand", "cents", "n"]].merge(
+            right[["k", "nat"]], on="k", how="inner"
+        )
+        out = m.groupby(["nat", "brand"], as_index=False, sort=False).agg(
+            cents=("cents", "sum"), n=("n", "sum")
+        )
+        for c in ("nat", "cents", "n"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    hop2 = partitioned_map_groups(
+        hop1.map_batches(_hop1_tag, batch_format="pyarrow").union(supp),
+        ["k"],
+        _join_suppkey,
+        num_partitions=num_partitions,
+    )
+
+    # ---- final (nation, brand) reduce + 30-row dimension lookup ---------
+    schema = pa.schema(
+        [("nat", pa.int64()), ("brand", pa.string()),
+         ("cents", pa.int64()), ("n", pa.int64())]
+    )
+
+    def _sum(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby(["nat", "brand"], as_index=False, sort=False).agg(
+            cents=("cents", "sum"), n=("n", "sum")
+        )
+        for c in ("nat", "cents", "n"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, schema=schema, preserve_index=False)
+
+    totals = hash_reduce_small(
+        hop2, ["nat", "brand"], _sum, num_partitions=4, combine_fn=_sum
+    )
+
+    import pyarrow.parquet as pq
+
+    nt = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    rt = pq.read_table(f"{sf_dir}/region.parquet")
+    region_of = dict(
+        zip(nt.column("n_nationkey").to_pylist(), nt.column("n_regionkey").to_pylist())
+    )
+    rname_of = dict(
+        zip(rt.column("r_regionkey").to_pylist(), rt.column("r_name").to_pylist())
+    )
+    out = pa.table(
+        {
+            "r_name": pa.array(
+                [rname_of[region_of[int(v)]] for v in totals.column("nat").to_pylist()],
+                pa.string(),
+            ),
+            "p_brand": totals.column("brand"),
+            "revenue_cents": totals.column("cents"),
+            "n_items": totals.column("n"),
+        }
+    )
+    # region x brand re-collapse (several nations share a region)
+    df = out.to_pandas().groupby(["r_name", "p_brand"], as_index=False, sort=False).agg(
+        revenue_cents=("revenue_cents", "sum"), n_items=("n_items", "sum")
+    )
+    for c in ("revenue_cents", "n_items"):
+        df[c] = df[c].astype("int64")
+    return rd.from_pandas(df)

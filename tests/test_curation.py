@@ -756,6 +756,53 @@ def test_revenue_by_nation_exact_cents(ray_session, tmp_path):
     assert "JP" not in out.index
 
 
+def test_brand_region_revenue_exact_cents(ray_session, tmp_path):
+    """Two co-partitioned hops (partkey, suppkey) roll lineitem revenue to
+    (supplier region, part brand); nations sharing a region collapse, and
+    lines whose part or supplier is missing drop out (inner joins)."""
+    from atra_ray.stages.relational import brand_region_revenue
+
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([10, 11, 10, 99, 11], pa.int64()),  # 99: no supplier
+        "l_extendedprice": pa.array([10.004, 20.006, 5.0, 4.0, 7.77], pa.float64()),
+        "l_discount": pa.array([0.0, 0.5, 0.1, 0.0, 0.0], pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 4], pa.int64()),  # part 3 missing, 4 unsold
+        "p_brand": pa.array(["B1", "B2", "B9"], pa.string()),
+    }), tmp_path / "part.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([10, 11], pa.int64()),
+        "s_nationkey": pa.array([7, 8], pa.int32()),
+    }), tmp_path / "supplier.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([7, 8], pa.int32()),
+        "n_name": pa.array(["FR", "DE"], pa.string()),
+        "n_regionkey": pa.array([1, 1], pa.int32()),  # same region
+    }), tmp_path / "nation.parquet")
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([1], pa.int32()),
+        "r_name": pa.array(["EUROPE"], pa.string()),
+    }), tmp_path / "region.parquet")
+    out = (
+        brand_region_revenue(str(tmp_path), num_partitions=3)
+        .to_pandas()
+        .set_index(["r_name", "p_brand"])
+        .sort_index()
+    )
+    import math
+    cents = lambda p, d: math.floor(p * (1 - d) * 100 + 0.5)
+    # B1: supp 10 (FR) + supp 11 (DE) -> one EUROPE row (regions collapse)
+    assert out.loc[("EUROPE", "B1"), "revenue_cents"] == cents(10.004, 0) + cents(20.006, 0.5)
+    assert out.loc[("EUROPE", "B1"), "n_items"] == 2
+    # B2: only the supp-10 line survives (supp 99 has no supplier row)
+    assert out.loc[("EUROPE", "B2"), "revenue_cents"] == cents(5.0, 0.1)
+    assert out.loc[("EUROPE", "B2"), "n_items"] == 1
+    # part 3 (no part row) and B9 (unsold) never appear
+    assert len(out) == 2
+
+
 def test_temporal_ops_match_naive_reference_on_random_events(ray_session, tmp_path):
     """Randomized conformance: 600 events across 12 users with FORCED
     ts collisions (coarse time grid) — asof / interval / rolling results
