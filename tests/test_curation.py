@@ -803,6 +803,77 @@ def test_brand_region_revenue_exact_cents(ray_session, tmp_path):
     assert len(out) == 2
 
 
+def test_brand_region_revenue_random_conformance(ray_session, tmp_path):
+    """Seeded randomized conformance vs DuckDB: skewed fact table (one hot
+    part, one hot supplier), dangling foreign keys on both dimensions, and
+    a nation->region collapse — the exact-cents rollup must hash-match the
+    SQL recomputation row for row."""
+    import duckdb
+
+    from atra_ray.stages.relational import brand_region_revenue
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    # skew: part 1 takes ~40% of lines, supplier 10 ~30%; keys 90+/990+
+    # dangle (no dimension row)
+    partk = np.where(rng.rand(n) < 0.4, 1, rng.randint(1, 100, n))
+    suppk = np.where(rng.rand(n) < 0.3, 10, rng.randint(10, 1000, n))
+    li = pa.table({
+        "l_partkey": pa.array(partk, pa.int64()),
+        "l_suppkey": pa.array(suppk, pa.int64()),
+        "l_extendedprice": pa.array(
+            np.round(rng.rand(n) * 1000, 3), pa.float64()
+        ),
+        "l_discount": pa.array(
+            np.round(rng.randint(0, 11, n) / 100.0, 2), pa.float64()
+        ),
+    })
+    part = pa.table({
+        "p_partkey": pa.array(np.arange(1, 90), pa.int64()),
+        "p_brand": pa.array([f"B{k % 7}" for k in range(1, 90)], pa.string()),
+    })
+    supp = pa.table({
+        "s_suppkey": pa.array(np.arange(10, 990), pa.int64()),
+        "s_nationkey": pa.array((np.arange(10, 990) % 25).astype("int32"), pa.int32()),
+    })
+    nat = pa.table({
+        "n_nationkey": pa.array(np.arange(25, dtype="int32"), pa.int32()),
+        "n_name": pa.array([f"N{k}" for k in range(25)], pa.string()),
+        "n_regionkey": pa.array((np.arange(25) % 5).astype("int32"), pa.int32()),
+    })
+    reg = pa.table({
+        "r_regionkey": pa.array(np.arange(5, dtype="int32"), pa.int32()),
+        "r_name": pa.array([f"R{k}" for k in range(5)], pa.string()),
+    })
+    for name, t in [("lineitem", li), ("part", part), ("supplier", supp),
+                    ("nation", nat), ("region", reg)]:
+        pq.write_table(t, tmp_path / f"{name}.parquet")
+
+    got = (
+        brand_region_revenue(str(tmp_path), num_partitions=7)
+        .to_pandas()
+        .sort_values(["r_name", "p_brand"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(f"""
+        SELECT r_name, p_brand,
+               SUM(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)::BIGINT
+                   AS revenue_cents,
+               count(*)::BIGINT AS n_items
+        FROM read_parquet('{tmp_path}/lineitem.parquet') li
+        JOIN read_parquet('{tmp_path}/part.parquet') p ON p_partkey = l_partkey
+        JOIN read_parquet('{tmp_path}/supplier.parquet') s ON s_suppkey = l_suppkey
+        JOIN read_parquet('{tmp_path}/nation.parquet') n ON n_nationkey = s_nationkey
+        JOIN read_parquet('{tmp_path}/region.parquet') r ON r_regionkey = n_regionkey
+        GROUP BY r_name, p_brand
+        ORDER BY r_name, p_brand
+    """).df().reset_index(drop=True)
+    assert got["revenue_cents"].tolist() == want["revenue_cents"].tolist()
+    assert got["n_items"].tolist() == want["n_items"].tolist()
+    assert got["r_name"].tolist() == want["r_name"].tolist()
+    assert got["p_brand"].tolist() == want["p_brand"].tolist()
+
+
 def test_temporal_ops_match_naive_reference_on_random_events(ray_session, tmp_path):
     """Randomized conformance: 600 events across 12 users with FORCED
     ts collisions (coarse time grid) — asof / interval / rolling results
