@@ -485,17 +485,22 @@ def brand_region_revenue(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     rname_of = dict(
         zip(rt.column("r_regionkey").to_pylist(), rt.column("r_name").to_pylist())
     )
+    # inner-join semantics: a nationkey with no nation row (or a region
+    # key with no region row) drops the group, exactly like the oracle's
+    # JOIN chain — never a KeyError
+    r_names = [
+        rname_of.get(region_of.get(int(v)))
+        for v in totals.column("nat").to_pylist()
+    ]
+    keep = pa.array([rn is not None for rn in r_names])
     out = pa.table(
         {
-            "r_name": pa.array(
-                [rname_of[region_of[int(v)]] for v in totals.column("nat").to_pylist()],
-                pa.string(),
-            ),
+            "r_name": pa.array(r_names, pa.string()),
             "p_brand": totals.column("brand"),
             "revenue_cents": totals.column("cents"),
             "n_items": totals.column("n"),
         }
-    )
+    ).filter(keep)
     # region x brand re-collapse (several nations share a region)
     df = out.to_pandas().groupby(["r_name", "p_brand"], as_index=False, sort=False).agg(
         revenue_cents=("revenue_cents", "sum"), n_items=("n_items", "sum")

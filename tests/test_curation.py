@@ -836,10 +836,12 @@ def test_brand_region_revenue_random_conformance(ray_session, tmp_path):
         "s_suppkey": pa.array(np.arange(10, 990), pa.int64()),
         "s_nationkey": pa.array((np.arange(10, 990) % 25).astype("int32"), pa.int32()),
     })
+    # nations 23/24 are MISSING: suppliers with those nationkeys dangle
+    # at the nation hop and must drop (inner-join semantics), not raise
     nat = pa.table({
-        "n_nationkey": pa.array(np.arange(25, dtype="int32"), pa.int32()),
-        "n_name": pa.array([f"N{k}" for k in range(25)], pa.string()),
-        "n_regionkey": pa.array((np.arange(25) % 5).astype("int32"), pa.int32()),
+        "n_nationkey": pa.array(np.arange(23, dtype="int32"), pa.int32()),
+        "n_name": pa.array([f"N{k}" for k in range(23)], pa.string()),
+        "n_regionkey": pa.array((np.arange(23) % 5).astype("int32"), pa.int32()),
     })
     reg = pa.table({
         "r_regionkey": pa.array(np.arange(5, dtype="int32"), pa.int32()),
