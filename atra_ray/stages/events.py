@@ -495,6 +495,13 @@ def group_quantiles(
 
     Output: (event_type, n, p50, p90) — n counts ALL rows of the group
     (null values included, mirroring the oracle's count(*) OVER).
+
+    ±inf values are exact: pass 1 counts them per group and keeps
+    vmin/vmax FINITE (an interval containing an infinity has infinite
+    bucket width), the driver answers ranks landing in the -inf prefix /
+    +inf suffix from the counts alone, and the finite-interval passes
+    exclude infs by construction (lo/hi are finite bounds). Sort order
+    matches numpy/SQL: -inf < finite < +inf < NaN-or-NULL.
     """
     import numpy as np
 
@@ -508,28 +515,42 @@ def group_quantiles(
             ("event_type", pa.string()),
             ("n", pa.int64()),
             ("n_num", pa.int64()),
+            ("n_neg", pa.int64()),
+            ("n_pos", pa.int64()),
             ("vmin", pa.float64()),
             ("vmax", pa.float64()),
         ]
     )
 
     def _mm_partial(df: pd.DataFrame) -> pa.Table:
+        # ±inf are counted separately and vmin/vmax cover FINITE values
+        # only: a histogram interval containing an infinity has infinite
+        # width, so (v - lo) / w would mint NaN bins. Sorted non-NaN
+        # order is [-inf×n_neg, finite..., +inf×n_pos]; the driver
+        # resolves inf-landing ranks directly from the counts.
+        v = df["value"].to_numpy()
+        df = df[["event_type", "value"]].copy(deep=False)
+        df["_neg"] = (v == -np.inf).astype("int64")
+        df["_pos"] = (v == np.inf).astype("int64")
+        df["_fin"] = np.where(np.isfinite(v), v, np.nan)
         g = df.groupby("event_type", sort=False, dropna=False, as_index=False).agg(
             n=("value", "size"),
-            n_num=("value", "count"),  # non-NaN
-            vmin=("value", "min"),
-            vmax=("value", "max"),
+            n_num=("value", "count"),  # non-NaN (infs included)
+            n_neg=("_neg", "sum"),
+            n_pos=("_pos", "sum"),
+            vmin=("_fin", "min"),
+            vmax=("_fin", "max"),
         )
-        for c in ("n", "n_num"):
+        for c in ("n", "n_num", "n_neg", "n_pos"):
             g[c] = g[c].astype("int64")
         return pa.Table.from_pandas(g, schema=_mm_schema, preserve_index=False)
 
     def _mm_merge(t: pa.Table) -> pa.Table:
         g = t.to_pandas().groupby(
             "event_type", sort=False, dropna=False, as_index=False
-        ).agg(n=("n", "sum"), n_num=("n_num", "sum"), vmin=("vmin", "min"),
-              vmax=("vmax", "max"))
-        for c in ("n", "n_num"):
+        ).agg(n=("n", "sum"), n_num=("n_num", "sum"), n_neg=("n_neg", "sum"),
+              n_pos=("n_pos", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max"))
+        for c in ("n", "n_num", "n_neg", "n_pos"):
             g[c] = g[c].astype("int64")
         return pa.Table.from_pandas(g, schema=_mm_schema, preserve_index=False)
 
@@ -549,18 +570,24 @@ def group_quantiles(
     sid = 0
     for row in stats.itertuples(index=False):
         et, n, n_num = row.event_type, int(row.n), int(row.n_num)
+        n_neg, n_pos = int(row.n_neg), int(row.n_pos)
+        n_fin = n_num - n_neg - n_pos
         res = results.setdefault(et, {"n": n})
         for q, num, den in _QUANTS:
             k = ((n - 1) * num) // den
             if k >= n_num:  # order statistic lands in the NaN tail
                 res[q] = None
-            elif row.vmin == row.vmax:
+            elif k < n_neg:  # rank inside the -inf prefix
+                res[q] = float("-inf")
+            elif k >= n_neg + n_fin:  # rank inside the +inf suffix
+                res[q] = float("inf")
+            elif row.vmin == row.vmax:  # all finite values equal
                 res[q] = float(row.vmin)
             else:
                 states[sid] = {
                     "et": et, "q": q,
                     "lo": float(row.vmin), "hi": float(row.vmax),
-                    "c": n_num, "r": k,
+                    "c": n_fin, "r": k - n_neg,
                 }
                 sid += 1
 

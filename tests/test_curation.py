@@ -549,6 +549,55 @@ def test_group_quantiles_histogram_path_large_group(ray_session, tmp_path):
     assert out.loc["solo", "p90"] == s[((n - 1) * 9) // 10]
 
 
+def test_group_quantiles_infinite_values(ray_session, tmp_path):
+    """±inf values must be EXACT, not NaN-bin garbage: a histogram
+    interval containing an infinity has infinite bucket width, so the
+    min/max pass keeps finite bounds and the driver answers inf-landing
+    ranks from the per-group ±inf counts. Sort order contract:
+    -inf < finite < +inf < NaN. Checked against numpy selection on the
+    same data across partition counts, with groups whose p50/p90 land
+    in the -inf prefix, the finite middle (via the histogram path) and
+    the +inf suffix."""
+    import datetime as dt
+
+    import numpy as np
+
+    from atra_ray.stages.events import group_quantiles
+
+    b = dt.datetime(2026, 1, 1)
+    m = dt.timedelta(seconds=1)
+    rng = np.random.RandomState(3)
+    groups = {
+        # p50 lands on a finite value (histogram path forced: 2000 values
+        # >> rescan_cap), p90 lands inside the +inf suffix
+        "mid": np.concatenate(
+            [[-np.inf] * 100, np.round(rng.rand(2000) * 50, 3), [np.inf] * 400]
+        ),
+        # p50 inside the -inf prefix
+        "neg": np.concatenate([[-np.inf] * 30, rng.rand(10)]),
+        # only infs, no finite values at all (vmin/vmax are NaN)
+        "allinf": np.array([-np.inf] * 5 + [np.inf] * 5),
+    }
+    rows, eid = [], 0
+    for et, vals in groups.items():
+        for v in vals:
+            rows.append((eid, eid % 13, b + eid * m, et, float(v)))
+            eid += 1
+    p = _write_events(tmp_path, rows)
+    for parts in (2, 5):
+        out = (
+            group_quantiles(p, num_partitions=parts, n_buckets=32, rescan_cap=64)
+            .to_pandas()
+            .set_index("event_type")
+        )
+        for et, vals in groups.items():
+            s = np.sort(vals)  # numpy: -inf < finite < +inf (no NaN here)
+            n = len(vals)
+            assert out.loc[et, "n"] == n
+            assert out.loc[et, "p50"] == s[(n - 1) // 2], et
+            assert out.loc[et, "p90"] == s[((n - 1) * 9) // 10], et
+
+
 def test_group_quantiles_heavy_ties_and_nan_tail(ray_session, tmp_path):
     """Degenerate cases of the histogram path: a bucket of identical
     values resolves without a rescan (min == max short-circuit), and
