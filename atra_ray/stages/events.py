@@ -35,6 +35,7 @@ events are bounded by human/bot rates, not corpus size).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -437,8 +438,17 @@ def rolling_user_agg(
         df = df.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(
             drop=True
         )
-        r = df.groupby("user_id", sort=False)["value"].rolling(window, min_periods=1)
-        df["rolling_max"] = r.max().droplevel(0)
+        # shift-based running max instead of pandas rolling().max():
+        # the rolling cython kernel treats NON-FINITE values as missing,
+        # so a window containing +inf would report the largest finite
+        # value — SQL's max() OVER w says inf. np.fmax propagates ±inf
+        # and skips NaN (null) exactly like the SQL frame max; window is
+        # small (default 5), so w-1 group-bounded shifts stay vectorized.
+        g = df.groupby("user_id", sort=False)["value"]
+        acc = df["value"].to_numpy(dtype="float64", copy=True)
+        for k in range(1, window):
+            acc = np.fmax(acc, g.shift(k).to_numpy(dtype="float64"))
+        df["rolling_max"] = acc
         # occupancy = rows in the window (SQL count(*) OVER w), computed
         # from the per-user row index — NOT rolling .count(), which counts
         # non-NaN values and would diverge on rows with null value
@@ -1022,7 +1032,13 @@ def sliding_window_agg(
     def _partial(df: pd.DataFrame) -> pa.Table:
         df = df.copy(deep=False)
         df["_b"] = df["ts"].dt.floor(f"{slide_minutes}min")
-        g = df.groupby(["event_type", "_b"], sort=False, as_index=False).agg(
+        # dropna=False: a null-ts event keeps its NULL window group —
+        # SQL time_bucket(NULL) - i*slide is NULL for every i, so the
+        # oracle carries one NULL-window row per event_type (at 4x the
+        # event count, matching the explode below: NaT - i*slide = NaT)
+        g = df.groupby(
+            ["event_type", "_b"], sort=False, as_index=False, dropna=False
+        ).agg(
             n=("value", "size"),
             min_value=("value", "min"),
             max_value=("value", "max"),
@@ -1043,7 +1059,8 @@ def sliding_window_agg(
     def _merge(t: pa.Table) -> pa.Table:
         g = (
             t.to_pandas()
-            .groupby(["event_type", "window_start"], sort=False, as_index=False)
+            .groupby(["event_type", "window_start"], sort=False,
+                     as_index=False, dropna=False)
             .agg(n=("n", "sum"), min_value=("min_value", "min"),
                  max_value=("max_value", "max"))
         )
