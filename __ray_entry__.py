@@ -738,10 +738,12 @@ _NGRAM_JACCARD_SQL = r"""
              END AS g
       FROM toks
     ), exact_pairs AS (
+      -- 0/0 Jaccard := 0 (shingle-less docs never pair): empty docs are
+      -- not LSH candidates on the engine side and exact dedup owns
+      -- empty-vs-empty duplicates (stages/dedup.py signature store)
       SELECT x.doc_id AS a, y.doc_id AS b
       FROM grams x JOIN grams y ON x.doc_id < y.doc_id
       WHERE CASE
-          WHEN len(x.g) = 0 AND len(y.g) = 0 THEN 1.0
           WHEN len(x.g) = 0 OR len(y.g) = 0 THEN 0.0
           ELSE len(list_intersect(x.g, y.g))::DOUBLE
                / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))::DOUBLE

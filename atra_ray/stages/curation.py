@@ -256,13 +256,17 @@ def stratified_sample(
         df = batch.select(["doc_id", group_col]).to_pandas()
         df["h"] = _md5_low64(df["doc_id"].tolist())
         df = df.sort_values(["h", "doc_id"], kind="mergesort")
-        df = df.groupby(group_col, sort=False).head(per_group)
+        # dropna=False: a null group key is one more stratum (SQL GROUP BY
+        # keeps the NULL group; default pandas groupby would drop its rows)
+        df = df.groupby(group_col, sort=False, dropna=False).head(per_group)
         return pa.Table.from_pandas(df, schema=cand_schema, preserve_index=False)
 
     def _final_topk(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values(["h", "doc_id"], kind="mergesort")
-        df = df.groupby(group_col, sort=False).head(per_group)
-        df["rk"] = (df.groupby(group_col, sort=False).cumcount() + 1).astype("int64")
+        df = df.groupby(group_col, sort=False, dropna=False).head(per_group)
+        df["rk"] = (
+            df.groupby(group_col, sort=False, dropna=False).cumcount() + 1
+        ).astype("int64")
         return pa.Table.from_pandas(
             df[["doc_id", group_col, "rk"]], schema=out_schema, preserve_index=False
         )

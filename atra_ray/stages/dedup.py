@@ -62,7 +62,11 @@ def dedup_exact(docs_path: str) -> rd.Dataset:
         )
 
     def _min_per_fp(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("fp", as_index=False)["doc_id"].min()[["doc_id"]]
+        # dropna=False: null-text docs share a NULL fingerprint and keep
+        # exactly one survivor, mirroring SQL PARTITION BY (one NULL group)
+        return df.groupby("fp", as_index=False, dropna=False)["doc_id"].min()[
+            ["doc_id"]
+        ]
 
     return partitioned_map_groups(
         rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
@@ -107,7 +111,7 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     """uint64 hash per word-n-gram shingle, vectorized: hash tokens once,
     then combine each window by a rolling polynomial (wraparound uint64) —
     no per-gram string building or digest calls."""
-    toks = text.lower().split()
+    toks = text.lower().split() if text else []
     if not toks:
         return np.empty(0, dtype=np.uint64)
     th = _token_hashes(toks)
@@ -506,7 +510,10 @@ def ngram_jaccard_dup_pairs(
         ):
             sa, sb = _set(int(x), ta), _set(int(y), tb)
             union = len(sa | sb)
-            jac = (len(sa & sb) / union) if union else 1.0
+            # 0/0 Jaccard := 0 (no pair): shingle-less docs are not LSH
+            # candidates and exact dedup owns empty-vs-empty duplicates —
+            # same contract as the signature store and the SQL oracle
+            jac = (len(sa & sb) / union) if union else 0.0
             if jac >= threshold:
                 out_a.append(int(x))
                 out_b.append(int(y))
@@ -599,10 +606,12 @@ def dedup_minhash(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text: str) -> int:
+def simhash64(text: str | None) -> int:
     """Classic 64-bit SimHash over whitespace tokens — vectorized: hash
-    unique tokens once, unpack all bits at once, weighted column sums."""
-    toks = text.lower().split()
+    unique tokens once, unpack all bits at once, weighted column sums.
+    Null text fingerprints like empty text (0) — the SQL oracle's
+    LEFT JOIN + coalesce(f, 0) keeps null-text docs at signature 0."""
+    toks = text.lower().split() if text else []
     if not toks:
         return 0
     th = _token_hashes(toks)

@@ -74,7 +74,10 @@ def pack_sequences(
 
     def _range_totals(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
-        toks = batch.column("n_tokens").to_numpy()
+        # null n_tokens (null text) contributes 0 to the running offsets —
+        # the SQL window sum ignores NULL rows; unfilled, one NaN would
+        # poison every offset after it in the range
+        toks = batch.column("n_tokens").fill_null(0).to_numpy()
         rid = ids // range_size
         uniq, inv = np.unique(rid, return_inverse=True)
         tot = np.zeros(len(uniq), dtype=np.int64)
@@ -130,10 +133,16 @@ def pack_sequences(
     def _scan(df: pd.DataFrame) -> pd.DataFrame:
         off = ray.get(off_ref)
         df = df.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        # pandas cumsum skips NaN exactly like the SQL window sum skips
+        # NULL: a null-text doc gets NULL offset/seq_id, later docs are
+        # unaffected. Nullable Int64 keeps the Arrow schema int64 whether
+        # or not a partition happened to contain null rows.
         cum = df.groupby("range_id")["n_tokens"].cumsum()
         start = df["range_id"].map(off).astype("int64")
-        df["token_offset"] = start + cum - df["n_tokens"]
-        df["seq_id"] = df["token_offset"] // seq_len
+        offset = start + cum - df["n_tokens"]
+        df["token_offset"] = offset.astype("Int64")
+        df["seq_id"] = (offset // seq_len).astype("Int64")
+        df["n_tokens"] = df["n_tokens"].astype("Int64")
         return df[["doc_id", "n_tokens", "token_offset", "seq_id"]]
 
     tagged = counts.map_batches(_tag_range, batch_format="pyarrow")

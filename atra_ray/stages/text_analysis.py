@@ -109,8 +109,12 @@ def doc_quality(docs_path: str) -> rd.Dataset:
             m = langs == lg
             sub = lower if m.all() else lower.filter(pa.array(m))
             c = pc.count_substring_regex(sub, lang_stopword_re(str(lg)))
-            n_stop[m] = np.asarray(c.cast(pa.int64()))
-        n_stop_arr = pa.array(n_stop, pa.int64())
+            # fill_null before the numpy copy (a null count would cast to
+            # INT64_MIN garbage); the text-null mask below restores NULL
+            n_stop[m] = np.asarray(c.cast(pa.int64()).fill_null(0))
+        # NULL text -> NULL counts/ratio, mirroring SQL's NULL propagation
+        null_mask = np.asarray(pc.is_null(text))
+        n_stop_arr = pa.array(n_stop, pa.int64(), mask=null_mask)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -132,10 +136,13 @@ def doc_quality(docs_path: str) -> rd.Dataset:
     )
 
 
-def fingerprint_text(text: str) -> str:
+def fingerprint_text(text: str | None) -> str | None:
     """md5 of the whitespace-collapsed, lowercased text — deterministic
     document identity for exact dedup across storage systems. Mirrors
-    DuckDB `md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))`."""
+    DuckDB `md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))` —
+    including NULL in, NULL out."""
+    if text is None:
+        return None
     norm = _WS_RE.sub(" ", text.lower())
     return hashlib.md5(norm.encode("utf-8")).hexdigest()
 
@@ -283,13 +290,35 @@ def hashed_doc_frequency(docs_path: str, text_col: str = "text") -> "tuple":
 
 
 def lang_distribution(docs_path: str) -> rd.Dataset:
-    """lang, n — grouped count (the A4-style aggregate as a shuffle)."""
-    return (
-        rd.read_parquet(docs_path, columns=["lang"])
-        .groupby("lang")
-        .count()
-        .rename_columns(["lang", "n"])
+    """lang, n — grouped count (the A4-style aggregate). Batches collapse
+    to per-lang partials (a combiner) and merge through the sortless hash
+    reduce — Ray's native sort-based groupby would both shuffle full rows
+    and CRASH on a null lang key (None is not orderable against str);
+    here a null lang is one more group, mirroring SQL GROUP BY."""
+    from .shuffle import hash_reduce_small
+
+    schema = pa.schema([("lang", pa.string()), ("n", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["lang", "n"]).cast(schema)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang"], use_threads=False).aggregate([("n", "sum")])
+        return g.rename_columns(["lang", "n"]).cast(schema)
+
+    out = hash_reduce_small(
+        rd.read_parquet(docs_path, columns=["lang"]).map_batches(
+            _partial, batch_format="pyarrow"
+        ),
+        ["lang"],
+        _merge,
+        num_partitions=4,
+        combine_fn=_merge,
     )
+    return rd.from_arrow(out)
 
 
 def tfidf_topk(

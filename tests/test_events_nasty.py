@@ -139,6 +139,9 @@ def test_events_query_nasty_values_match_oracle(qname, tmp_path_factory):
             both_nan = np.isnan(a) & np.isnan(b)
             assert bool(np.all(both_nan | (a == b))), f"{qname}.{c}"
         else:
-            assert a.astype(str).tolist() == b.astype(str).tolist(), (
-                f"{qname}.{c}"
-            )
+            import pandas as pd
+
+            norm = lambda s: [
+                "<null>" if pd.isna(x) else str(x) for x in s.tolist()
+            ]
+            assert norm(a) == norm(b), f"{qname}.{c}" 

@@ -23,7 +23,12 @@ def to_pandas(obj):
         return obj
     if isinstance(obj, pa.Table):
         return obj.to_pandas()
-    return obj.to_pandas()  # ray Dataset
+    df = obj.to_pandas()  # ray Dataset
+    if df.empty and not len(df.columns) and hasattr(obj, "schema"):
+        # Ray to_pandas drops columns on an all-empty dataset even though
+        # schema() knows them — rebuild the typed empty frame
+        df = pd.DataFrame({n: [] for n in obj.schema().names})
+    return df
 
 
 def canon(df):
