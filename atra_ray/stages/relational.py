@@ -32,7 +32,11 @@ __all__ = ["brand_region_revenue", "revenue_by_nation", "segment_order_stats"]
 
 
 def _cents(price: np.ndarray, discount: np.ndarray) -> np.ndarray:
-    return np.floor(price * (1.0 - discount) * 100.0 + 0.5).astype(np.int64)
+    # null price/discount contributes 0 cents (SQL SUM ignores the NULL
+    # term; count(*) still counts the row) — unmasked, floor(NaN) would
+    # cast to INT64_MIN and poison the whole group's sum
+    v = np.floor(price * (1.0 - discount) * 100.0 + 0.5)
+    return np.where(np.isnan(v), 0, v).astype(np.int64)
 
 
 def revenue_by_nation(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:

@@ -63,6 +63,17 @@ def embedding_matrix(col) -> np.ndarray:
     )
 
 
+def _unit_rows(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Row-normalize to unit length; zero-norm rows (no direction) stay
+    all-zero instead of dividing to NaN, and the returned mask lets
+    scoring paths pin their similarities to -1.0 — DuckDB's
+    list_cosine_similarity convention for a zero vector, so the SQL
+    oracle and the engine rank them identically (last, vec_id order)."""
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    zero = (norms == 0.0).ravel()
+    return m / np.where(norms == 0.0, 1.0, norms), zero
+
+
 def load_query_matrix(emb_path: str, num_queries: int) -> tuple[np.ndarray, np.ndarray]:
     """First ``num_queries`` vectors (by vec_id) as a normalized float64
     matrix — the broadcast small side. The predicate is PUSHED INTO the
@@ -81,7 +92,10 @@ def load_query_matrix(emb_path: str, num_queries: int) -> tuple[np.ndarray, np.n
     m = embedding_matrix(t.column("embedding"))
     order = np.argsort(ids)
     ids, m = ids[order], m[order]
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    # a zero-norm query scores a CONSTANT against every candidate (0 here,
+    # -1 in the oracle) — in both cases the top-k order degenerates to the
+    # vec_id tie-break, so the rank output still matches
+    m, _ = _unit_rows(m)
     return ids, m
 
 
@@ -103,17 +117,24 @@ def ann_bruteforce_topk(emb_path: str, num_queries: int = 10, k: int = 10) -> rd
     def _local_topk(batch: pa.Table) -> pa.Table:
         qids_, qmat_ = ray.get(q_ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        x = embedding_matrix(batch.column("embedding"))
-        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        x, xz = _unit_rows(embedding_matrix(batch.column("embedding")))
         sims = x @ qmat_.T  # (n, Q)
+        if xz.any():
+            sims[xz, :] = -1.0  # zero-vector candidates rank last (oracle: -1)
+        qz_ = (qmat_ == 0.0).all(axis=1)
+        if qz_.any():
+            sims[:, qz_] = -1.0  # zero-vector query: constant -1, like the oracle
         out_q, out_v, out_s = [], [], []
         for qi, qid in enumerate(qids_):
             col = sims[:, qi]
             mask = ids != qid
             cand_ids, cand_sims = ids[mask], col[mask]
             if len(cand_ids) > k:
-                part = np.argpartition(-cand_sims, k)[:k]
-                cand_ids, cand_sims = cand_ids[part], cand_sims[part]
+                # (sim desc, vec_id asc) — the oracle's exact tie order.
+                # argpartition would pick an ARBITRARY k among equal sims
+                # at the boundary, dropping ids the global merge expects
+                sel = np.lexsort((cand_ids, -cand_sims))[:k]
+                cand_ids, cand_sims = cand_ids[sel], cand_sims[sel]
             out_q.extend([int(qid)] * len(cand_ids))
             out_v.extend(cand_ids.tolist())
             out_s.extend(cand_sims.tolist())
@@ -167,15 +188,20 @@ def embedding_dup_pairs_exact(
     m = embedding_matrix(t.column("embedding"))
     order = np.argsort(all_ids)
     all_ids, m = all_ids[order], m[order]
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    ref = ray.put((all_ids, m))
+    m, mzero = _unit_rows(m)
+    ref = ray.put((all_ids, m, mzero))
 
     def _pairs(batch: pa.Table) -> pa.Table:
-        ids_, m_ = ray.get(ref)
+        ids_, m_, mz_ = ray.get(ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        x = embedding_matrix(batch.column("embedding"))
-        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        x, xz = _unit_rows(embedding_matrix(batch.column("embedding")))
         sims = x @ m_.T  # (n, N)
+        # zero-vector rows pin to the oracle's -1 (never >= a positive
+        # threshold; NaN comparisons would agree but poison the cosine col)
+        if xz.any():
+            sims[xz, :] = -1.0
+        if mz_.any():
+            sims[:, mz_] = -1.0
         # keep only partners with larger vec_id (a < b, no self, no dup)
         larger = ids_[None, :] > ids[:, None]
         hits = (sims >= threshold) & larger
@@ -219,8 +245,7 @@ def embedding_dup_pairs_lsh(
 
     def _explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        x = embedding_matrix(batch.column("embedding"))
-        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        x, _ = _unit_rows(embedding_matrix(batch.column("embedding")))
         d = x.shape[1]
         planes = d_planes.get(d)
         if planes is None:
@@ -318,7 +343,7 @@ def ann_ivf_topk(
         if got >= 4096:
             break
     sample = np.concatenate(chunks)[:4096]
-    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    sample, _ = _unit_rows(sample)  # zero rows stay zero, never NaN centroids
     rng = np.random.RandomState(seed)
     cent = sample[rng.choice(len(sample), size=num_centroids, replace=False)]
     for _ in range(5):  # Lloyd iterations (cosine ~ dot on normalized rows)
@@ -327,7 +352,9 @@ def ann_ivf_topk(
             rows = sample[assign == c]
             if len(rows):
                 v = rows.mean(axis=0)
-                cent[c] = v / np.linalg.norm(v)
+                nv = np.linalg.norm(v)
+                if nv > 0:  # a degenerate all-zero mean keeps the old centroid
+                    cent[c] = v / nv
     q_probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]  # (Q, n_probe)
     probe_of: dict[int, list[int]] = {}
     for qi in range(len(qids)):
@@ -338,8 +365,7 @@ def ann_ivf_topk(
     def _local_topk(batch: pa.Table) -> pa.Table:
         qids_, qmat_, cent_, probe_ = ray.get(ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        x = embedding_matrix(batch.column("embedding"))
-        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        x, xz = _unit_rows(embedding_matrix(batch.column("embedding")))
         assign = np.argmax(x @ cent_.T, axis=1)
         out_q, out_v, out_s = [], [], []
         for c in np.unique(assign):
@@ -349,6 +375,12 @@ def ann_ivf_topk(
             rows = assign == c
             sub_ids, sub = ids[rows], x[rows]
             sims = sub @ qmat_[q_idx].T
+            subz = xz[rows]
+            if subz.any():
+                sims[subz, :] = -1.0  # zero-vector candidates rank last
+            qz_ = (qmat_[q_idx] == 0.0).all(axis=1)
+            if qz_.any():
+                sims[:, qz_] = -1.0  # zero-vector query: constant -1
             for ci, qi in enumerate(q_idx):
                 qid = int(qids_[qi])
                 mask = sub_ids != qid
@@ -399,8 +431,7 @@ def ann_lsh_topk(
     def _local_topk(batch: pa.Table) -> pa.Table:
         qids_, qmat_, probe_ = ray.get(q_ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        x = embedding_matrix(batch.column("embedding"))
-        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        x, xz = _unit_rows(embedding_matrix(batch.column("embedding")))
         buckets = _bucket(x)
         out_q, out_v, out_s = [], [], []
         for bb in np.unique(buckets):
@@ -410,6 +441,12 @@ def ann_lsh_topk(
             rows = buckets == bb
             sub_ids, sub = ids[rows], x[rows]
             sims = sub @ qmat_[q_idx].T
+            subz = xz[rows]
+            if subz.any():
+                sims[subz, :] = -1.0  # zero-vector candidates rank last
+            qz_ = (qmat_[q_idx] == 0.0).all(axis=1)
+            if qz_.any():
+                sims[:, qz_] = -1.0  # zero-vector query: constant -1
             for ci, qi in enumerate(q_idx):
                 qid = int(qids_[qi])
                 mask = sub_ids != qid
