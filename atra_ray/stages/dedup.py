@@ -207,7 +207,7 @@ def build_signature_store(
     st = os.stat(docs_path) if os.path.isfile(docs_path) else None
     key = hashlib.blake2b(
         f"{docs_path}|{st.st_mtime_ns if st else 0}|{st.st_size if st else 0}"
-        f"|{num_perm}|{ngram}|{num_partitions}|v4".encode(),
+        f"|{num_perm}|{ngram}|{num_partitions}|v5".encode(),
         digest_size=12,
     ).hexdigest()
     from pathlib import Path
@@ -473,7 +473,7 @@ def ngram_jaccard_dup_pairs(
     st = os.stat(docs_path) if os.path.isfile(docs_path) else None
     tkey = hashlib.blake2b(
         f"text|{docs_path}|{st.st_mtime_ns if st else 0}|{st.st_size if st else 0}"
-        f"|{num_partitions}|v2".encode(),
+        f"|{num_partitions}|v3".encode(),
         digest_size=12,
     ).hexdigest()
     from pathlib import Path
@@ -574,7 +574,7 @@ def dedup_minhash(
     st = os.stat(docs_path) if os.path.isfile(docs_path) else None
     dkey = hashlib.blake2b(
         f"drop|{docs_path}|{st.st_mtime_ns if st else 0}|{st.st_size if st else 0}"
-        f"|{threshold}|{ngram}|{num_perm}|{bands}|{max_bucket}|{num_partitions}|v2".encode(),
+        f"|{threshold}|{ngram}|{num_perm}|{bands}|{max_bucket}|{num_partitions}|v3".encode(),
         digest_size=12,
     ).hexdigest()
     drop_store = build_keyed_store(

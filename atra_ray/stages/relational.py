@@ -262,7 +262,11 @@ def segment_order_stats(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
         m = left[["k", "status", "price", "odate"]].merge(
             right[["k", "seg"]], on="k", how="inner"
         )
-        out = m.groupby(["seg", "status"], as_index=False, sort=False).agg(
+        # dropna=False: a NULL segment (or status) is one more group,
+        # exactly like SQL GROUP BY
+        out = m.groupby(
+            ["seg", "status"], as_index=False, sort=False, dropna=False
+        ).agg(
             n_orders=("k", "size"),
             max_totalprice=("price", "max"),
             first_orderdate=("odate", "min"),
@@ -284,7 +288,9 @@ def segment_order_stats(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     )
 
     def _merge(t: pa.Table) -> pa.Table:
-        g = t.to_pandas().groupby(["seg", "status"], as_index=False, sort=False).agg(
+        g = t.to_pandas().groupby(
+            ["seg", "status"], as_index=False, sort=False, dropna=False
+        ).agg(
             n_orders=("n_orders", "sum"),
             max_totalprice=("max_totalprice", "max"),
             first_orderdate=("first_orderdate", "min"),

@@ -36,9 +36,29 @@ HASH_KEY_SEED = "atra-ray-partition"
 
 def _part_id(df: pd.DataFrame, key_cols: list[str], num_partitions: int) -> pd.Series:
     """Deterministic vectorized partition id over one or more key columns
-    (pd.util.hash_pandas_object: stable for a fixed hash_key)."""
+    (pd.util.hash_pandas_object: stable for a fixed hash_key).
+
+    Numeric keys are canonicalized to float64 first: hash_pandas_object
+    hashes BY DTYPE, and the Arrow->pandas step turns an int column into
+    float64 only on blocks that happen to contain a null — so the same
+    key value (int64 7 vs float64 7.0) would otherwise land in different
+    partitions depending on its block's null count, silently breaking
+    join/groupby co-location. float64 is value-deterministic for every
+    int (lossy only above 2^53, where distinct keys may SHARE a
+    partition — co-location still holds); -0.0 folds to +0.0 so equal
+    keys never split."""
+    keys = df[key_cols].set_index(pd.RangeIndex(len(df)))  # ignore caller index
+    for c in key_cols:
+        if pd.api.types.is_numeric_dtype(keys[c].dtype) and not pd.api.types.is_float_dtype(
+            keys[c].dtype
+        ):
+            keys[c] = keys[c].astype("float64")
+        if pd.api.types.is_float_dtype(keys[c].dtype):
+            v = keys[c].to_numpy(dtype="float64", copy=True)
+            v[v == 0.0] = 0.0  # fold -0.0
+            keys[c] = v
     h = pd.util.hash_pandas_object(
-        df[key_cols].set_index(pd.RangeIndex(len(df))),  # ignore caller index
+        keys,
         index=False,
         hash_key=HASH_KEY_SEED.ljust(16)[:16],
     )
