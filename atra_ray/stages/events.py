@@ -166,7 +166,7 @@ def asof_join_events(
         ).reset_index(drop=True)
         df["prior_ts"] = df["ts"].where(df["_r"])
         df["prior_value"] = df["value"].where(df["_r"])
-        g = df.groupby("user_id", sort=False)
+        g = df.groupby("user_id", sort=False, dropna=False)
         df["prior_ts"] = g["prior_ts"].ffill()
         df["prior_value"] = g["prior_value"].ffill()
         return df.loc[
@@ -225,10 +225,14 @@ def sessionize(
         df = df.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(
             drop=True
         )
-        prev = df.groupby("user_id", sort=False)["ts"].shift()
+        prev = df.groupby("user_id", sort=False, dropna=False)["ts"].shift()
         new_s = prev.isna() | ((df["ts"] - prev) > gap)
-        df["session_id"] = new_s.astype("int64").groupby(df["user_id"], sort=False).cumsum()
-        out = df.groupby(["user_id", "session_id"], as_index=False, sort=False).agg(
+        df["session_id"] = new_s.astype("int64").groupby(
+            df["user_id"], sort=False, dropna=False
+        ).cumsum()
+        out = df.groupby(
+            ["user_id", "session_id"], as_index=False, sort=False, dropna=False
+        ).agg(
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             n_events=("event_id", "size"),
@@ -278,12 +282,14 @@ def _sessionize_bucketed(
             drop=True
         )
         grp = ["user_id", "_bucket"]
-        prev = df.groupby(grp, sort=False)["ts"].shift()
+        prev = df.groupby(grp, sort=False, dropna=False)["ts"].shift()
         new_s = prev.isna() | ((df["ts"] - prev) > gap)
         df["_seg"] = new_s.astype("int64").groupby(
-            [df["user_id"], df["_bucket"]], sort=False
+            [df["user_id"], df["_bucket"]], sort=False, dropna=False
         ).cumsum()
-        out = df.groupby(grp + ["_seg"], as_index=False, sort=False).agg(
+        out = df.groupby(
+            grp + ["_seg"], as_index=False, sort=False, dropna=False
+        ).agg(
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             n_events=("event_id", "size"),
@@ -309,12 +315,16 @@ def _sessionize_bucketed(
         df = df.sort_values(
             ["user_id", "session_start", "session_end"], kind="stable"
         ).reset_index(drop=True)
-        prev_end = df.groupby("user_id", sort=False)["session_end"].shift()
+        prev_end = df.groupby(
+            "user_id", sort=False, dropna=False
+        )["session_end"].shift()
         new_s = prev_end.isna() | ((df["session_start"] - prev_end) > gap)
         df["session_id"] = new_s.astype("int64").groupby(
-            df["user_id"], sort=False
+            df["user_id"], sort=False, dropna=False
         ).cumsum()
-        out = df.groupby(["user_id", "session_id"], as_index=False, sort=False).agg(
+        out = df.groupby(
+            ["user_id", "session_id"], as_index=False, sort=False, dropna=False
+        ).agg(
             session_start=("session_start", "min"),
             session_end=("session_end", "max"),
             n_events=("n_events", "sum"),
@@ -381,7 +391,9 @@ def interval_join_count(
             return left.assign(n_followups=pd.Series(0, index=left.index, dtype="int64"))[cols]
         # per-user 1-based rank of right events in time order (global ts
         # sort makes each user's subsequence sorted too)
-        right = right.assign(_k=right.groupby("user_id", sort=False).cumcount() + 1)
+        right = right.assign(
+            _k=right.groupby("user_id", sort=False, dropna=False).cumcount() + 1
+        )
         right = right.rename(columns={"ts": "_rts"})
         # keep the shifted key in ts's own unit (us-parquet + ns-Timedelta
         # would otherwise promote and break merge_asof's dtype match)
@@ -444,7 +456,7 @@ def rolling_user_agg(
         # value — SQL's max() OVER w says inf. np.fmax propagates ±inf
         # and skips NaN (null) exactly like the SQL frame max; window is
         # small (default 5), so w-1 group-bounded shifts stay vectorized.
-        g = df.groupby("user_id", sort=False)["value"]
+        g = df.groupby("user_id", sort=False, dropna=False)["value"]
         acc = df["value"].to_numpy(dtype="float64", copy=True)
         for k in range(1, window):
             acc = np.fmax(acc, g.shift(k).to_numpy(dtype="float64"))
@@ -452,7 +464,7 @@ def rolling_user_agg(
         # occupancy = rows in the window (SQL count(*) OVER w), computed
         # from the per-user row index — NOT rolling .count(), which counts
         # non-NaN values and would diverge on rows with null value
-        occ = df.groupby("user_id", sort=False).cumcount() + 1
+        occ = df.groupby("user_id", sort=False, dropna=False).cumcount() + 1
         df["n_in_window"] = occ.clip(upper=window).astype("int64")
         return df[["event_id", "user_id", "ts", "rolling_max", "n_in_window"]]
 
@@ -805,7 +817,8 @@ def json_field_stats(
     def _combine(t: pa.Table) -> pa.Table:
         df = (
             t.to_pandas()
-            .groupby(["event_type", "k"], as_index=False, sort=False)["c"]
+            .groupby(["event_type", "k"], as_index=False, sort=False,
+                     dropna=False)["c"]
             .sum()
         )
         return pa.Table.from_pandas(df, schema=schema, preserve_index=False)
@@ -813,10 +826,12 @@ def json_field_stats(
     def _reduce(t: pa.Table) -> pa.Table:
         df = (
             t.to_pandas()
-            .groupby(["event_type", "k"], as_index=False, sort=False)["c"]
+            .groupby(["event_type", "k"], as_index=False, sort=False,
+                     dropna=False)["c"]
             .sum()
         )
-        out = df.groupby("event_type", as_index=False, sort=False).agg(
+        out = df.groupby("event_type", as_index=False, sort=False,
+                         dropna=False).agg(
             n=("c", "sum"),
             min_k=("k", "min"),
             max_k=("k", "max"),
@@ -874,9 +889,11 @@ def group_topk_users(
     from .shuffle import partitioned_map_groups
 
     def _partial(batch: pa.Table) -> pa.Table:
-        t = batch.group_by(
-            ["event_type", "user_id"], use_threads=False
-        ).aggregate([("event_id", "count")])
+        from .shuffle import group_by_nullsafe
+
+        t = group_by_nullsafe(
+            batch, ["event_type", "user_id"], [("event_id", "count")]
+        )
         return pa.table(
             {
                 "event_type": t.column("event_type"),
@@ -895,13 +912,15 @@ def group_topk_users(
                     "rank": pd.Series(dtype="int64"),
                 }
             )
-        g = df.groupby(["event_type", "user_id"], as_index=False, sort=False)["c"].sum()
+        g = df.groupby(
+            ["event_type", "user_id"], as_index=False, sort=False, dropna=False
+        )["c"].sum()
         g = g.sort_values(
             ["event_type", "c", "user_id"],
             ascending=[True, False, True],
             kind="stable",
         )
-        g["rank"] = g.groupby("event_type", sort=False).cumcount() + 1
+        g["rank"] = g.groupby("event_type", sort=False, dropna=False).cumcount() + 1
         g = g[g["rank"] <= k].rename(columns={"c": "n_events"})
         g["n_events"] = g["n_events"].astype("int64")
         g["rank"] = g["rank"].astype("int64")
@@ -937,7 +956,7 @@ def value_histogram(
     unmasked, np.floor(NaN).astype(int64) would mint a garbage bin)."""
     import numpy as np
 
-    from .shuffle import hash_reduce_small
+    from .shuffle import group_by_nullsafe, hash_reduce_small
 
     if n_bins < 1 or not hi > lo:
         raise ValueError("need n_bins >= 1 and hi > lo")
@@ -963,15 +982,11 @@ def value_histogram(
                 "bin": pa.array(bins, pa.int64()),
             }
         )
-        g = t.group_by(["event_type", "bin"], use_threads=False).aggregate(
-            [([], "count_all")]
-        )
+        g = group_by_nullsafe(t, ["event_type", "bin"], [([], "count_all")])
         return g.rename_columns(["event_type", "bin", "n"]).cast(schema)
 
     def _merge(t: pa.Table) -> pa.Table:
-        g = t.group_by(["event_type", "bin"], use_threads=False).aggregate(
-            [("n", "sum")]
-        )
+        g = group_by_nullsafe(t, ["event_type", "bin"], [("n", "sum")])
         return g.rename_columns(["event_type", "bin", "n"]).cast(schema)
 
     partials = rd.read_parquet(

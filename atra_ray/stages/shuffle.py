@@ -28,10 +28,60 @@ __all__ = [
     "partitioned_map_groups",
     "hash_reduce_small",
     "partition_ids",
+    "group_by_nullsafe",
     "HASH_KEY_SEED",
 ]
 
 HASH_KEY_SEED = "atra-ray-partition"
+
+
+def group_by_nullsafe(
+    t: pa.Table,
+    keys: list[str],
+    aggregations: list,
+    use_threads: bool = False,
+) -> pa.Table:
+    """``pa.Table.group_by`` with correct null-key groups under MULTI-key
+    grouping.
+
+    pyarrow 16.1.0's multi-column hash grouper emits DUPLICATE groups for
+    rows whose key is null once the table spans hash-table resizes
+    (reproduced: a 700-row (string-with-nulls, int64) group_by returns
+    the same (null, bin) group several times; single-key grouping and
+    all-non-null multi-key grouping are unaffected). Every nullable key
+    is rewritten as a (filled, is_null) column pair — no sentinel can
+    collide because genuine fill-values carry is_null=false — grouped on
+    the expanded key list, then restored to a plain null key."""
+    import pyarrow.compute as pc
+
+    if len(keys) < 2:
+        return t.group_by(keys, use_threads=use_threads).aggregate(aggregations)
+    marked: list[str] = []
+    work = t
+    for k in keys:
+        col = work.column(k)
+        if col.null_count == 0:
+            continue
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            fill = pa.scalar("", col.type)
+        elif pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            fill = pa.scalar(b"", col.type)
+        else:
+            fill = pa.scalar(0).cast(col.type)
+        work = work.set_column(
+            work.schema.get_field_index(k), k, pc.fill_null(col, fill)
+        )
+        work = work.append_column(f"__{k}_isnull", pc.is_null(col))
+        marked.append(k)
+    exp_keys = keys + [f"__{k}_isnull" for k in marked]
+    g = work.group_by(exp_keys, use_threads=use_threads).aggregate(aggregations)
+    for k in marked:
+        flag = g.column(f"__{k}_isnull")
+        idx = g.schema.get_field_index(k)
+        restored = pc.if_else(flag, pa.scalar(None, g.column(k).type), g.column(k))
+        g = g.set_column(idx, k, restored)
+        g = g.remove_column(g.schema.get_field_index(f"__{k}_isnull"))
+    return g
 
 
 def _part_id(df: pd.DataFrame, key_cols: list[str], num_partitions: int) -> pd.Series:

@@ -80,8 +80,14 @@ def _nasty_events(out_dir: Path) -> str:
             props = '{"k": %d}' % int(rng.randint(-5, 100))
         rows["event_id"].append(eid)
         rows["ts"].append(ts)
-        rows["user_id"].append(uid)
-        rows["event_type"].append(types[int(rng.randint(0, len(types)))])
+        # ~1.5% null user_id: SQL PARTITION BY / GROUP BY puts them in
+        # one NULL group; temporal ops treat them like any other user
+        rows["user_id"].append(None if rng.rand() < 0.015 else uid)
+        # ~1.5% null event_type: one more GROUP BY group on both sides
+        rows["event_type"].append(
+            None if rng.rand() < 0.015
+            else types[int(rng.randint(0, len(types)))]
+        )
         rows["value"].append(value)
         rows["props"].append(props)
     t = pa.table(
