@@ -273,13 +273,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def crawl_host_stats(sf_dir):
         """Per-origin crawl stats (the 'per-host stats' shuffle of
-        SURVEY.md §4): fetched/denied/missed counts + max depth per origin,
-        hash-partitioned exchange (hot hosts bounded by the partition
-        hash, not a per-origin reducer)."""
+        SURVEY.md §4): fetched/denied/missed counts + max depth per
+        origin. COMBINER shape: each block collapses to one partial row
+        per origin it contains BEFORE the exchange, so a hot host (10^8
+        pages on one origin at crawl scale) ships #blocks partial rows,
+        never its raw rows — pre-aggregation subsumes hot-key salting for
+        these algebraic aggregates (sum/max merge associatively)."""
         import pandas as pd
         import ray.data as rd
 
-        from atra_ray.stages.shuffle import partitioned_map_groups
+        from atra_ray.stages.shuffle import hash_reduce_small
 
         out = _crawl_out(sf_dir)
         files = [str(p) for p in Path(out, "results").rglob("*.parquet")]
@@ -307,7 +310,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 out[c] = out[c].astype("int64")
             return out
 
-        return partitioned_map_groups(ds, ["origin"], _agg, num_partitions=8)
+        def _merge(t):
+            import pyarrow as pa2
+
+            g = t.to_pandas().groupby("origin", as_index=False).agg(
+                n_fetched=("n_fetched", "sum"),
+                n_denied=("n_denied", "sum"),
+                n_missed=("n_missed", "sum"),
+                max_tds=("max_tds", "max"),
+            )
+            for c in ("n_fetched", "n_denied", "n_missed", "max_tds"):
+                g[c] = g[c].astype("int64")
+            return pa2.Table.from_pandas(g, preserve_index=False)
+
+        partials = ds.map_batches(_agg, batch_format="pandas")
+        out_t = hash_reduce_small(
+            partials, ["origin"], _merge, num_partitions=4, combine_fn=_merge
+        )
+        return rd.from_arrow(out_t)
 
     def gdbr_clean_pages(sf_dir):
         import ray.data as rd
