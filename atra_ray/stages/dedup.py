@@ -57,9 +57,19 @@ def dedup_exact(docs_path: str) -> rd.Dataset:
 
     def _fp(batch: pa.Table) -> pa.Table:
         fps = [fingerprint_text(t) for t in batch.column("text").to_pylist()]
-        return pa.table(
+        t = pa.table(
             {"doc_id": batch.column("doc_id"), "fp": pa.array(fps, pa.string())}
         )
+        # per-batch combiner: min doc_id per fp BEFORE the exchange — min
+        # is associative, so a fingerprint duplicated across millions of
+        # boilerplate pages ships one partial row per block instead of
+        # every row landing on one reducer (hot-fp skew bound)
+        df = t.to_pandas().groupby("fp", as_index=False, dropna=False)[
+            "doc_id"
+        ].min()
+        return pa.Table.from_pandas(
+            df[["doc_id", "fp"]], preserve_index=False
+        ).cast(pa.schema([("doc_id", pa.int64()), ("fp", pa.string())]))
 
     def _min_per_fp(df: pd.DataFrame) -> pd.DataFrame:
         # dropna=False: null-text docs share a NULL fingerprint and keep
