@@ -675,7 +675,18 @@ def group_quantiles(
 
     level = 0
     while True:
-        pending = {s: st for s, st in states.items() if st["c"] > rescan_cap}
+        # an interval so narrow that (hi - lo) / n_buckets underflows to 0
+        # cannot be histogram-split (ulp-adjacent values under heavy ties);
+        # it holds <= ~n_buckets distinct doubles, so the count-based
+        # gather below resolves it exactly — mark it force-collected
+        for st in states.values():
+            if st["c"] > rescan_cap and (st["hi"] - st["lo"]) / n_buckets == 0.0:
+                st["force"] = True
+        pending = {
+            s: st
+            for s, st in states.items()
+            if st["c"] > rescan_cap and not st.get("force")
+        }
         if not pending:
             break
         level += 1
@@ -700,6 +711,11 @@ def group_quantiles(
                 raise RuntimeError("group_quantiles rank fell outside buckets")
 
     # ---- pass L+1: bounded rescan of the located intervals ----------
+    # COUNT-BASED gather: each batch emits distinct (sid, value, count)
+    # partials, never raw rows — the driver payload is bounded by the
+    # interval's DISTINCT values (<= rescan_cap normally; <= ~n_buckets
+    # doubles for a force-collected underflow interval) even when one
+    # value is duplicated millions of times
     collect = {s: st for s, st in states.items() if st["c"] > 0}
     if collect:
         specs = [(s, st["et"], st["lo"], st["hi"]) for s, st in collect.items()]
@@ -707,17 +723,25 @@ def group_quantiles(
         def _gather(df: pd.DataFrame) -> pa.Table:
             v_all = df["value"].to_numpy()
             et_all = df["event_type"].to_numpy()
-            sids, vals = [np.empty(0, dtype="int64")], [np.empty(0)]
+            sids, vals, cnts = [], [], []
             for s, et, lo, hi in specs:
                 m = (et_all == et) & (v_all >= lo) & (v_all <= hi)
-                vv = v_all[m]
-                sids.append(np.full(len(vv), s, dtype="int64"))
-                vals.append(vv)
+                uniq, cc = np.unique(v_all[m], return_counts=True)
+                sids.append(np.full(len(uniq), s, dtype="int64"))
+                vals.append(uniq)
+                cnts.append(cc)
+            if not sids:
+                sids, vals, cnts = (
+                    [np.empty(0, "int64")], [np.empty(0)], [np.empty(0, "int64")]
+                )
             return pa.table(
                 {
                     "sid": pa.array(np.concatenate(sids), pa.int64()),
                     "v": pa.array(
                         np.concatenate(vals).astype("float64"), pa.float64()
+                    ),
+                    "c": pa.array(
+                        np.concatenate(cnts).astype("int64"), pa.int64()
                     ),
                 }
             )
@@ -726,12 +750,16 @@ def group_quantiles(
             rd.read_parquet(events_path, columns=["event_type", "value"])
             .map_batches(_gather, batch_format="pandas")
             .to_pandas()
-        )  # <= rescan_cap x targets rows by construction
+            .groupby(["sid", "v"], as_index=False, sort=False)["c"]
+            .sum()
+        )
         for s, st in collect.items():
-            vv = np.sort(got.loc[got["sid"] == s, "v"].to_numpy())
-            if len(vv) != st["c"]:  # pragma: no cover
+            g = got[got["sid"] == s].sort_values("v")
+            counts = g["c"].to_numpy()
+            if int(counts.sum()) != st["c"]:  # pragma: no cover
                 raise RuntimeError("group_quantiles rescan count mismatch")
-            results[st["et"]][st["q"]] = float(vv[st["r"]])
+            pos = int(np.searchsorted(np.cumsum(counts), st["r"] + 1))
+            results[st["et"]][st["q"]] = float(g["v"].to_numpy()[pos])
 
     out = pd.DataFrame(
         [

@@ -598,6 +598,40 @@ def test_group_quantiles_infinite_values(ray_session, tmp_path):
             assert out.loc[et, "p90"] == s[((n - 1) * 9) // 10], et
 
 
+def test_group_quantiles_ulp_adjacent_heavy_ties(ray_session, tmp_path):
+    """Histogram-unsplittable interval: every value is one of three
+    ULP-ADJACENT doubles, each duplicated far beyond rescan_cap — bucket
+    width (hi-lo)/n_buckets underflows to 0, so the pass can never
+    narrow. The force-collect path must resolve via the count-based
+    gather (distinct values + counts, never raw rows) and still return
+    the exact order statistics."""
+    import datetime as dt
+
+    import numpy as np
+
+    from atra_ray.stages.events import group_quantiles
+
+    a = 1.5
+    b = np.nextafter(a, np.inf)
+    c = np.nextafter(b, np.inf)
+    vals = np.array([a] * 700 + [b] * 900 + [c] * 400)
+    base = dt.datetime(2026, 1, 1)
+    m = dt.timedelta(seconds=1)
+    rows = [(i, i % 11, base + i * m, "ulp", float(vals[i]))
+            for i in range(len(vals))]
+    p = _write_events(tmp_path, rows)
+    out = (
+        group_quantiles(p, num_partitions=3, n_buckets=32, rescan_cap=50)
+        .to_pandas()
+        .set_index("event_type")
+    )
+    s = np.sort(vals)
+    n = len(vals)
+    assert out.loc["ulp", "n"] == n
+    assert out.loc["ulp", "p50"] == s[(n - 1) // 2]
+    assert out.loc["ulp", "p90"] == s[((n - 1) * 9) // 10]
+
+
 def test_group_quantiles_heavy_ties_and_nan_tail(ray_session, tmp_path):
     """Degenerate cases of the histogram path: a bucket of identical
     values resolves without a rescan (min == max short-circuit), and
