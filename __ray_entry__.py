@@ -847,10 +847,11 @@ _SIMHASH_SQL = r"""
       FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bits
       GROUP BY doc_id, bits.b
     ), sig AS (
-      SELECT d.doc_id, coalesce(s.f, 0::UBIGINT) AS f
-      FROM documents d LEFT JOIN (
-        SELECT doc_id, sum(v << bit)::UBIGINT AS f FROM votes GROUP BY doc_id
-      ) s USING (doc_id)
+      -- token-less docs carry no fingerprint and never pair (same
+      -- contract as the MinHash/ngram oracles: exact dedup owns
+      -- empty-vs-empty; at scale, pairing every empty doc via shared
+      -- signature 0 would be quadratic)
+      SELECT doc_id, sum(v << bit)::UBIGINT AS f FROM votes GROUP BY doc_id
     )
     SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.f, y.f))::BIGINT AS hamming
     FROM sig x JOIN sig y ON x.doc_id < y.doc_id

@@ -647,8 +647,16 @@ def simhash_dup_pairs(docs_path: str, max_hamming: int = 3) -> rd.Dataset:
 
     def _sig(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        texts = batch.column("text").to_pylist()
+        # token-less docs (null/empty/whitespace text) have no fingerprint
+        # signal — excluded from candidacy, like the MinHash/ngram paths
+        # (exact dedup owns empty-vs-empty duplicates). At web scale the
+        # alternative is quadratic: every empty doc shares signature 0 and
+        # all four chunk buckets with every other empty doc.
+        has_tok = np.array([bool((t or "").split()) for t in texts])
+        ids = ids[has_tok]
         sigs = np.array(
-            [simhash64(t) for t in batch.column("text").to_pylist()], dtype=np.uint64
+            [simhash64(t) for t, k in zip(texts, has_tok) if k], dtype=np.uint64
         )
         n = len(ids)
         chunks = np.repeat(np.arange(4, dtype=np.int32), n)
