@@ -245,7 +245,13 @@ def embedding_dup_pairs_lsh(
 
     def _explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        x, _ = _unit_rows(embedding_matrix(batch.column("embedding")))
+        x, xz = _unit_rows(embedding_matrix(batch.column("embedding")))
+        if xz.any():
+            # zero-norm vectors sit in bucket 0 of EVERY table (all sign
+            # bits false) and would pair quadratically with each other —
+            # for nothing, since their cosine is -1 (< any positive
+            # threshold). Dropped from candidacy entirely.
+            ids, x = ids[~xz], x[~xz]
         d = x.shape[1]
         planes = d_planes.get(d)
         if planes is None:
