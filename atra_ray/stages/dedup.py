@@ -182,10 +182,11 @@ def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
 
 
 def jaccard(a: str, b: str, ngram: int = 3) -> float:
+    """Exact shingle-set Jaccard; 0/0 := 0 — shingle-less docs never
+    count as similar (the module-wide contract: exact dedup owns
+    empty-vs-empty duplicates; see ngram_jaccard_dup_pairs)."""
     sa = set(_shingle_hashes(a, ngram).tolist())
     sb = set(_shingle_hashes(b, ngram).tolist())
-    if not sa and not sb:
-        return 1.0
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
