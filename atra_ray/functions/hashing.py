@@ -45,6 +45,17 @@ def md5_low64_column(col):
             dtype=np.uint64,
             count=len(enc.dictionary),
         )
-        idx = enc.indices.to_numpy(zero_copy_only=False)
-        out.append(pa.array(uniq[idx], pa.uint64()))
+        if ch.null_count:
+            # null in, null out — DuckDB md5_number_lower(NULL) semantics
+            # (a null index would otherwise surface as an opaque numpy
+            # fancy-indexing TypeError)
+            mask = np.asarray(enc.indices.is_null())
+            idx = np.asarray(
+                enc.indices.fill_null(0).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            out.append(pa.array(uniq[idx], pa.uint64(), mask=mask))
+        else:
+            idx = enc.indices.to_numpy(zero_copy_only=False)
+            out.append(pa.array(uniq[idx], pa.uint64()))
     return pa.chunked_array(out, pa.uint64()) if len(out) != 1 else out[0]
