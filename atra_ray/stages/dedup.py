@@ -866,6 +866,43 @@ def connected_components(
         out = _split_by_node(props, "node", P)
         return tuple(out) if P > 1 else out[0]
 
+    @ray.remote(num_returns=P)
+    def _shortcut_request(labels: pa.Table):
+        """Pointer-doubling step 1: route each (node, lab) row to the
+        partition that OWNS ``lab`` (labels are node-hash partitioned, and
+        every label value is a node id, so its owner holds its label)."""
+        if labels.num_rows == 0:
+            return (None,) * P if P > 1 else None
+        t = pa.table(
+            {"l": labels.column("lab"), "node": labels.column("node")}
+        )
+        out = _split_by_node(t, "l", P)
+        return tuple(out) if P > 1 else out[0]
+
+    @ray.remote(num_returns=P)
+    def _shortcut_reply(labels: pa.Table, *reqs):
+        """Pointer-doubling step 2: answer lab[lab[node]] for incoming
+        (l, node) requests and route the (node, new_lab) proposals back to
+        node's owner — one round then propagates a label TWO hops, so a
+        chain of diameter D converges in O(log D) rounds instead of D."""
+        parts = [r for r in reqs if r is not None and r.num_rows]
+        if not parts:
+            return (None,) * P if P > 1 else None
+        req = pa.concat_tables(parts)
+        nodes = labels.column("node").to_numpy(zero_copy_only=False)
+        labs = labels.column("lab").to_numpy(zero_copy_only=False)
+        order = np.argsort(nodes)
+        ls = req.column("l").to_numpy(zero_copy_only=False)
+        lab_of_l = labs[order][np.searchsorted(nodes[order], ls)]
+        props = pa.table(
+            {
+                "node": req.column("node"),
+                "lab": pa.array(lab_of_l, pa.int64()),
+            }
+        )
+        out = _split_by_node(props, "node", P)
+        return tuple(out) if P > 1 else out[0]
+
     @ray.remote(num_returns=2)
     def _min_reduce(labels: pa.Table, *incoming):
         """New label per node = min(own label, incoming proposals);
@@ -908,6 +945,7 @@ def connected_components(
 
     converged = False
     for _ in range(max_iters):
+        # hook: one-hop edge propagation
         props = [
             _propose.remote(edge_refs[p], label_refs[p]) for p in range(P)
         ]
@@ -918,7 +956,30 @@ def connected_components(
             for q in range(P)
         ]
         label_refs = [o[0] for o in outs]
-        if sum(ray.get([o[1] for o in outs])) == 0:
+        changed_edges = [o[1] for o in outs]
+        # shortcut: lab[x] <- lab[lab[x]] (pointer doubling) — without it
+        # convergence is O(component diameter) rounds and a long dup
+        # chain exhausts max_iters; with it, O(log diameter)
+        reqs = [_shortcut_request.remote(label_refs[p]) for p in range(P)]
+        if P == 1:
+            reqs = [[r] for r in reqs]
+        replies = [
+            _shortcut_reply.remote(label_refs[p], *[reqs[q][p] for q in range(P)])
+            for p in range(P)
+        ]
+        if P == 1:
+            replies = [[r] for r in replies]
+        outs = [
+            _min_reduce.remote(
+                label_refs[q], *[replies[p][q] for p in range(P)]
+            )
+            for q in range(P)
+        ]
+        label_refs = [o[0] for o in outs]
+        total_changed = sum(
+            ray.get(changed_edges + [o[1] for o in outs])
+        )
+        if total_changed == 0:
             converged = True
             break
     if not converged:

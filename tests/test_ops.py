@@ -955,6 +955,30 @@ def test_connected_components_chain_star_multihop():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_connected_components_long_chain_pointer_doubling():
+    """A chain far longer than max_iters must still converge: the
+    shortcut pass (lab[x] <- lab[lab[x]], pointer doubling) makes
+    convergence O(log diameter) rounds — plain one-hop propagation would
+    need diameter rounds and trip the 64-round guard."""
+    import ray.data as rd
+
+    from atra_ray.stages.dedup import connected_components
+
+    L = 1500  # diameter 1500 >> max_iters=64; log2(1500) ~ 11 rounds
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(range(0, L), pa.int64()),
+                "b": pa.array(range(1, L + 1), pa.int64()),
+            }
+        )
+    )
+    out = connected_components(edges, num_partitions=4).to_pandas()
+    assert len(out) == L + 1
+    assert (out["cluster"] == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_dup_clusters_transitive(docs_parquet):
     """dup_clusters puts pairwise-linked near-dups into one min-id
     cluster; docs in no pair are omitted."""
