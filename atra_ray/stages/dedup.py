@@ -386,10 +386,24 @@ def lsh_candidate_pairs(
             return pd.DataFrame(_EMPTY_PAIRS)
         a_out, b_out = [], []
         for _, g in d.groupby(["band", "band_hash"], sort=False):
-            ids = np.sort(g["doc_id"].to_numpy())[:max_bucket]
-            i, j = np.triu_indices(len(ids), k=1)
-            a_out.append(ids[i])
-            b_out.append(ids[j])
+            ids = np.sort(g["doc_id"].to_numpy())
+            if len(ids) > max_bucket:
+                # over-cap bucket (a giant near-identical cluster —
+                # boilerplate-duplicate pages at web scale): emit a STAR
+                # to the bucket min instead of the m² triangle. Linear
+                # output, and CONNECTIVITY-preserving — every member
+                # pairs with a smaller id, so the min-id survivor rule
+                # (dedup_minhash) and the transitive components
+                # (dup_clusters) stay exact; only exhaustive pair
+                # ENUMERATION is capped (the documented contract).
+                # The former [:max_bucket] truncation silently dropped
+                # members past the cap from candidacy entirely.
+                a_out.append(np.full(len(ids) - 1, ids[0], dtype=ids.dtype))
+                b_out.append(ids[1:])
+            else:
+                i, j = np.triu_indices(len(ids), k=1)
+                a_out.append(ids[i])
+                b_out.append(ids[j])
         return pd.DataFrame(
             {"a": np.concatenate(a_out), "b": np.concatenate(b_out)}
         ).drop_duplicates()

@@ -1177,3 +1177,46 @@ def test_media_tone_detection(tmp_path):
     assert st._one(None)[0] is False
     with pytest.raises(ValueError):
         ToneDetectStage(nfft=1000)  # not a power of two
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_giant_identical_cluster_over_bucket_cap(tmp_path):
+    """A near-identical cluster far larger than max_bucket: over-cap LSH
+    buckets emit a star to the bucket min, so the min-id survivor set and
+    the transitive cluster stay EXACT (the old truncation dropped members
+    past the cap from candidacy entirely — they survived dedup as false
+    uniques)."""
+    import pyarrow.parquet as pq2
+
+    from atra_ray.stages.dedup import dedup_minhash, dup_clusters
+
+    n = 150  # >> max_bucket=8 below
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n + 2), pa.int64()),
+            "text": pa.array(
+                [text] * n + ["totally different words here entirely", "x y z"],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * (n + 2), pa.string()),
+        }
+    )
+    p = tmp_path / "documents.parquet"
+    pq2.write_table(t, p)
+    survivors = sorted(
+        r["doc_id"]
+        for r in dedup_minhash(
+            str(p), threshold=0.5, bands=16, max_bucket=8
+        ).take_all()
+    )
+    # doc 0 survives for the cluster; the two non-dup docs survive
+    assert survivors == [0, n, n + 1]
+    clusters = {
+        r["doc_id"]: r["cluster"]
+        for r in dup_clusters(
+            str(p), threshold=0.5, bands=16, max_bucket=8
+        ).take_all()
+    }
+    assert set(clusters) == set(range(n))  # every cluster member present
+    assert set(clusters.values()) == {0}
