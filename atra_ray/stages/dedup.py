@@ -650,7 +650,9 @@ def simhash64(text: str | None) -> int:
     return int(out.view(np.uint64)[0])
 
 
-def simhash_dup_pairs(docs_path: str, max_hamming: int = 3) -> rd.Dataset:
+def simhash_dup_pairs(
+    docs_path: str, max_hamming: int = 3, max_bucket: int = 256
+) -> rd.Dataset:
     """Near-dup pairs by SimHash banding (4 × 16-bit chunks) + Hamming
     verify — the Manku-style (WWW'07 \"Detecting Near-Duplicates for Web
     Crawling\") contract: candidates must share at least one exact 16-bit
@@ -706,7 +708,16 @@ def simhash_dup_pairs(docs_path: str, max_hamming: int = 3) -> rd.Dataset:
             g = g.sort_values("doc_id")
             ids = g["doc_id"].to_numpy()
             sigs = g["sig"].to_numpy().astype(np.int64).view(np.uint64)
-            i, j = np.triu_indices(len(ids), k=1)
+            if len(ids) > max_bucket:
+                # over-cap chunk bucket (giant near-identical cluster):
+                # star to the bucket min — linear pair output, min-id
+                # survivor rule and transitive components stay exact;
+                # only exhaustive enumeration is capped (same contract as
+                # the MinHash-LSH path)
+                i = np.zeros(len(ids) - 1, dtype=np.int64)
+                j = np.arange(1, len(ids), dtype=np.int64)
+            else:
+                i, j = np.triu_indices(len(ids), k=1)
             x = (sigs[i] ^ sigs[j]).copy()
             ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
             keep = ham <= max_hamming
