@@ -226,6 +226,7 @@ def embedding_dup_pairs_lsh(
     planes_per_table: int = 8,
     seed: int = 42,
     num_partitions: int = 32,
+    max_bucket: int = 4096,
 ) -> rd.Dataset:
     """vec_id pairs (a < b, cosine >= threshold) — the SCALE path for
     embedding near-dup detection (the ``embedding_dup_pairs`` docstring's
@@ -293,6 +294,24 @@ def embedding_dup_pairs_lsh(
                 continue
             ids = g["vec_id"].to_numpy()
             m = np.stack(g["emb"].to_numpy())
+            if len(ids) > max_bucket:
+                # over-cap bucket (a giant near-parallel cluster): verify
+                # a STAR to the bucket min instead of the m x m matmul —
+                # linear work, min-id survivors and components exact;
+                # exhaustive pair enumeration capped (same contract as
+                # the MinHash/SimHash paths)
+                sims_star = m[1:] @ m[0]
+                keep = sims_star >= threshold
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "a": np.full(int(keep.sum()), ids[0]),
+                            "b": ids[1:][keep],
+                            "cosine": sims_star[keep],
+                        }
+                    )
+                )
+                continue
             sims = m @ m.T
             i, j = np.triu_indices(len(ids), k=1)
             keep = sims[i, j] >= threshold
