@@ -380,8 +380,15 @@ def interval_join_count(
             .sort_values("ts", kind="stable")
             .reset_index(drop=True)
         )
+        # JOIN semantics, not PARTITION BY: SQL's ON b.user_id = a.user_id
+        # never matches NULL, but pandas merge_asof(by=...) MATCHES NaN
+        # groups — a null-user right row must never count, and a null-user
+        # left row keeps n_followups = 0 (it stays in the output)
         right = (
-            df.loc[df["event_type"] == right_type, ["user_id", "ts"]]
+            df.loc[
+                (df["event_type"] == right_type) & df["user_id"].notna(),
+                ["user_id", "ts"],
+            ]
             .sort_values("ts", kind="stable")
             .reset_index(drop=True)
         )
