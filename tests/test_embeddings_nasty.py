@@ -3,6 +3,14 @@ zero-norm vectors (cosine undefined — both sides pin to DuckDB's -1.0
 convention so they rank LAST), exact-duplicate vectors (similarity ties
 resolve by vec_id on both sides), negative components, and a couple of
 near-parallel vectors around the dup threshold.
+
+Float-boundary caveat (multi-seed shakeout finding): a pair whose
+cosine lands within ~1e-7 of the threshold, or two candidates whose
+sims differ by less than the summation-order epsilon, is NOT bit-stable
+between numpy's matmul and DuckDB's list_cosine_similarity — no two
+float computation orders agree there. The seed below (like the driver
+testdata) keeps an epsilon margin around the threshold; exact ties
+(duplicate vectors) are fine because both sides tie-break on vec_id.
 """
 
 from __future__ import annotations
