@@ -514,3 +514,56 @@ def test_request_headers_merge_order():
     assert h1["X-Trace"] == "g" and h1["User-Agent"] == cfg.user_agent
     other = cfg.request_headers_for("h2.example")
     assert other["Accept-Language"] == "en" and "Cookie" not in other
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_randomized_config_conformance(fixtures_small, tmp_path):
+    """Seeded random CONFIG sweep: budget kind/depths, wave quota,
+    robots on/off, blacklist, per-origin budget override — for each
+    sampled config the engine's URL-seen set and crawl order must equal
+    the single-threaded simulator's under the same seeds."""
+    import random
+
+    rng = random.Random(20260819)
+    seeds = (fixtures_small / "seeds.txt").read_text().split()
+    kinds = ["absolute", "normal", "seed_only"]
+    for trial in range(4):
+        kind = kinds[trial % len(kinds)]
+        budget = BudgetSetting(
+            kind=kind,
+            depth=rng.randint(1, 3),
+            depth_on_website=rng.choice([0, rng.randint(1, 3)]),
+        )
+        cfg = CrawlConfig(
+            budget=budget,
+            budgets_per_origin=(
+                ("host1.example", BudgetSetting(kind="absolute", depth=1)),
+            )
+            if rng.random() < 0.5
+            else (),
+            respect_robots_txt=rng.random() < 0.7,
+            blacklist=("host3",) if rng.random() < 0.4 else (),
+            max_pages_per_host_per_wave=rng.choice([2, 7, 64]),
+        )
+        out = str(tmp_path / f"run{trial}")
+        sim = simulate_crawl(
+            str(fixtures_small / "pages.parquet"),
+            str(fixtures_small / "robots.parquet"),
+            seeds,
+            cfg,
+        )
+        eng = run_crawl(
+            str(fixtures_small / "pages.parquet"),
+            str(fixtures_small / "robots.parquet"),
+            seeds,
+            cfg,
+            out,
+        )
+        got_seen = _seen_map(pq.read_table(Path(out) / "link_state.parquet"))
+        want_seen = _seen_map(sim["seen"])
+        assert got_seen == want_seen, f"trial {trial} cfg={cfg}"
+        got_order = _order_map(
+            _results_table(out, ["url", "wave", "host_seq"])
+        )
+        want_order = _order_map(sim["order"])
+        assert got_order == want_order, f"trial {trial} cfg={cfg}"
