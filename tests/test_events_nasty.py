@@ -39,8 +39,8 @@ _AGG = {
 }
 
 
-def _nasty_events(out_dir: Path) -> str:
-    rng = np.random.RandomState(99)
+def _nasty_events(out_dir: Path, seed: int = 99) -> str:
+    rng = np.random.RandomState(seed)
     base = dt.datetime(2024, 1, 1)
     n = 4000
     rows = {"event_id": [], "ts": [], "user_id": [], "event_type": [],
@@ -113,14 +113,17 @@ def _canon(df):
 
 
 @pytest.mark.usefixtures("ray_session")
+# seed 7 regression-pins the interval-join NaN-user finding (merge_asof
+# matches NaN 'by' groups while SQL's JOIN ON never matches NULL)
+@pytest.mark.parametrize("seed", [99, 7])
 @pytest.mark.parametrize("qname", sorted(_TEMPORAL | _AGG))
-def test_events_query_nasty_values_match_oracle(qname, tmp_path_factory):
+def test_events_query_nasty_values_match_oracle(qname, seed, tmp_path_factory):
     import duckdb
     import pandas as pd
 
     import __ray_entry__ as em
 
-    sf_dir = _nasty_events(tmp_path_factory.mktemp("nasty"))
+    sf_dir = _nasty_events(tmp_path_factory.mktemp("nasty"), seed)
     got = em.queries()[qname](sf_dir)
     got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
 
