@@ -317,6 +317,15 @@ def bench_suite(sf_dir: str, num_cpus: int) -> dict:
         # produced (url->uint64 md5 ids, label-only BSP, 8 iterations)
         "graph_pagerank": lambda: _consume(_pagerank_crawl_full()),
     }
+    # warm the SHARED session's worker pool before timing: the heavy
+    # queries ran in subprocesses, so the first small-operator execution
+    # here would otherwise pay worker spawn + library imports (~2.5 s
+    # measured) inside its own timing window
+    import ray.data as _rd
+
+    _rd.range(256, override_num_blocks=num_cpus * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
     for name, fn in suite.items():
         t0 = time.perf_counter()
         fn()
